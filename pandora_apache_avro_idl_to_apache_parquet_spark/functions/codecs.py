@@ -1,0 +1,514 @@
+"""Lightweight columnar compression codecs (numpy kernels).
+
+Per the north rule these generalize the reference's single static codec
+(Snappy, ``/root/reference/.../Pandora/Apache/Parquet.fs:1374``) into a per-chunk
+candidate set with auto-selection:
+
+* int32 streams: PLAIN, BITPACK, FOR (frame-of-reference + bit-packed residuals),
+  RLE (run values + run lengths, each FOR-packed), DICT (sorted dictionary +
+  bit-packed codes).
+* byte/string streams: STR_PLAIN, STR_DICT, STR_FSST (FSST-style symbol-table
+  compression per Boncz/Neumann/Leis, VLDB 2020 — a pure-Python/numpy "FSST-lite"
+  that is bit-identical on round-trip; see PAPERS.md).
+
+Every encoded payload is **self-describing**: a fixed header (magic, version,
+codec id, dtype, value count) followed by codec-specific sections, so a chunk can
+be decoded with nothing but its payload bytes — the property the reference gets
+from one-Parquet-file-per-table (``Parquet.fs:1357-1391``) we get per column chunk.
+
+All kernels operate on whole numpy arrays; no per-row Python.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"PC"
+VERSION = 1
+
+# codec ids
+PLAIN = 0
+BITPACK = 1
+FOR = 2
+RLE = 3
+DICT = 4
+GROUPED = 5
+STR_PLAIN = 10
+STR_DICT = 11
+STR_FSST = 12
+
+DT_INT32 = 0
+DT_BYTES = 1
+
+INT_CODECS = (PLAIN, BITPACK, FOR, RLE, DICT)
+STR_CODECS = (STR_PLAIN, STR_DICT, STR_FSST)
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    BITPACK: "bitpack",
+    FOR: "for",
+    RLE: "rle",
+    DICT: "dict",
+    GROUPED: "grouped",
+    STR_PLAIN: "plain",
+    STR_DICT: "dict",
+    STR_FSST: "fsst",
+}
+NAME_TO_CODEC_INT = {"plain": PLAIN, "bitpack": BITPACK, "for": FOR, "rle": RLE, "dict": DICT}
+NAME_TO_CODEC_STR = {"plain": STR_PLAIN, "dict": STR_DICT, "fsst": STR_FSST}
+
+_HDR = struct.Struct("<2sBBBQ")  # magic, version, codec, dtype, n_values
+
+
+def _header(codec: int, dtype: int, n: int) -> bytes:
+    return _HDR.pack(MAGIC, VERSION, codec, dtype, n)
+
+
+def _read_header(buf: bytes) -> tuple[int, int, int, int]:
+    magic, ver, codec, dtype, n = _HDR.unpack_from(buf, 0)
+    if magic != MAGIC or ver != VERSION:
+        raise ValueError("bad payload header")
+    return codec, dtype, n, _HDR.size
+
+
+# ---------------------------------------------------------------- bit packing
+
+def pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack non-negative uint32 values into ``width``-bit big-endian-within-byte
+    lanes via np.packbits. width==0 encodes a constant-0 stream as zero bytes."""
+    if width == 0 or len(vals) == 0:
+        return b""
+    v = vals.astype(np.uint32, copy=False)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
+    bits = ((v[:, None] >> shifts) & np.uint32(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint32)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width)
+    weights = np.left_shift(np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64))
+    out = bits.reshape(n, width).astype(np.uint64) @ weights
+    return out.astype(np.uint32)
+
+
+def _bit_width(max_val: int) -> int:
+    return int(max_val).bit_length()
+
+
+# ------------------------------------------------------------- int32 codecs
+# Each _enc returns the codec *body* (no header) or None if inapplicable.
+
+def _enc_plain_i32(a: np.ndarray) -> bytes:
+    return a.astype("<i4", copy=False).tobytes()
+
+
+def _dec_plain_i32(body: bytes, n: int) -> np.ndarray:
+    return np.frombuffer(body, dtype="<i4", count=n).copy()
+
+
+def _enc_bitpack_i32(a: np.ndarray) -> bytes | None:
+    """Bit-pack raw values; applicable only to non-negative streams."""
+    if len(a) == 0:
+        return struct.pack("<B", 0)
+    lo = int(a.min())
+    if lo < 0:
+        return None
+    w = _bit_width(int(a.max()))
+    return struct.pack("<B", w) + pack_bits(a.astype(np.int64).astype(np.uint32), w)
+
+
+def _dec_bitpack_i32(body: bytes, n: int) -> np.ndarray:
+    (w,) = struct.unpack_from("<B", body, 0)
+    return unpack_bits(body[1:], n, w).astype(np.int32)
+
+
+def _enc_for_i32(a: np.ndarray) -> bytes:
+    """Frame-of-reference: store min as i64 base, bit-pack residuals."""
+    if len(a) == 0:
+        return struct.pack("<qB", 0, 0)
+    a64 = a.astype(np.int64, copy=False)
+    base = int(a64.min())
+    resid = (a64 - base).astype(np.uint64)
+    w = _bit_width(int(resid.max()))
+    return struct.pack("<qB", base, w) + pack_bits(resid.astype(np.uint32), w)
+
+
+def _dec_for_i32(body: bytes, n: int) -> np.ndarray:
+    base, w = struct.unpack_from("<qB", body, 0)
+    resid = unpack_bits(body[9:], n, w)
+    return (resid.astype(np.int64) + base).astype(np.int32)
+
+
+def _rle_split(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = len(a)
+    if n == 0:
+        return a[:0], np.zeros(0, dtype=np.int64)
+    change = np.flatnonzero(np.diff(a)) + 1
+    starts = np.concatenate(([0], change))
+    vals = a[starts]
+    lens = np.diff(np.concatenate((starts, [n])))
+    return vals, lens
+
+
+def _enc_rle_i32(a: np.ndarray) -> bytes:
+    vals, lens = _rle_split(a)
+    vb = _enc_for_i32(vals.astype(np.int32, copy=False))
+    lb = _enc_for_i32((lens - 1).astype(np.int32)) if len(lens) else _enc_for_i32(np.zeros(0, np.int32))
+    return struct.pack("<QQ", len(vals), len(vb)) + vb + lb
+
+
+def _dec_rle_i32(body: bytes, n: int) -> np.ndarray:
+    n_runs, vlen = struct.unpack_from("<QQ", body, 0)
+    off = 16
+    vals = _dec_for_i32(body[off : off + vlen], n_runs)
+    lens = _dec_for_i32(body[off + vlen :], n_runs).astype(np.int64) + 1
+    return np.repeat(vals, lens)
+
+
+def _enc_dict_i32(a: np.ndarray) -> bytes:
+    uniq, inv = np.unique(a, return_inverse=True)
+    ub = _enc_for_i32(uniq.astype(np.int32, copy=False))
+    w = _bit_width(max(len(uniq) - 1, 0))
+    codes = pack_bits(inv.astype(np.uint32), w)
+    return struct.pack("<QQB", len(uniq), len(ub), w) + ub + codes
+
+
+def _dec_dict_i32(body: bytes, n: int) -> np.ndarray:
+    n_dict, ulen, w = struct.unpack_from("<QQB", body, 0)
+    off = 17
+    uniq = _dec_for_i32(body[off : off + ulen], n_dict)
+    inv = unpack_bits(body[off + ulen :], n, w)
+    return uniq[inv] if n else uniq[:0]
+
+
+_INT_ENC = {PLAIN: _enc_plain_i32, BITPACK: _enc_bitpack_i32, FOR: _enc_for_i32,
+            RLE: _enc_rle_i32, DICT: _enc_dict_i32}
+_INT_DEC = {PLAIN: _dec_plain_i32, BITPACK: _dec_bitpack_i32, FOR: _dec_for_i32,
+            RLE: _dec_rle_i32, DICT: _dec_dict_i32}
+
+
+def encode_int32(a: np.ndarray, codec: int) -> bytes | None:
+    """Encode an int32 array with the given codec; None if inapplicable."""
+    a = np.asarray(a, dtype=np.int32)
+    body = _INT_ENC[codec](a)
+    if body is None:
+        return None
+    return _header(codec, DT_INT32, len(a)) + body
+
+
+def decode_int32(buf: bytes) -> np.ndarray:
+    codec, dtype, n, off = _read_header(buf)
+    if dtype != DT_INT32:
+        raise ValueError("not an int32 payload")
+    return np.asarray(_INT_DEC[codec](buf[off:], n), dtype=np.int32)
+
+
+# ------------------------------------------------------------ string codecs
+# String streams are (lengths: int32 array, blob: concatenated utf8 bytes).
+
+def strings_to_blob(values) -> tuple[np.ndarray, bytes]:
+    """Vectorized string column -> (lengths, blob); ``values`` is a pandas
+    Series / numpy object array of str, or already a pyarrow StringArray."""
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    arr = values if isinstance(values, pa.Array) else pa.array(values, type=pa.string())
+    if arr.type != pa.string():
+        arr = arr.cast(pa.string())
+    if arr.null_count:
+        raise ValueError("null strings not supported in token-table columns")
+    n = len(arr)
+    raw_offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=n + 1 + arr.offset)[arr.offset:]
+    offs = raw_offs - raw_offs[0]
+    data = arr.buffers()[2]
+    blob = data.to_pybytes()[raw_offs[0] : raw_offs[-1]] if data is not None else b""
+    lengths = np.diff(offs).astype(np.int32)
+    return lengths, blob
+
+
+def blob_to_strings(lengths: np.ndarray, blob: bytes):
+    """(lengths, blob) -> pyarrow StringArray (zero-copy reassembly)."""
+    import pyarrow as pa
+
+    offs = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offs[1:])
+    return pa.StringArray.from_buffers(
+        len(lengths), pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)
+    )
+
+
+def _enc_str_plain(lengths: np.ndarray, blob: bytes) -> bytes:
+    lb = encode_int32(lengths, FOR)
+    return struct.pack("<Q", len(lb)) + lb + blob
+
+
+def _dec_str_plain(body: bytes) -> tuple[np.ndarray, bytes]:
+    (llen,) = struct.unpack_from("<Q", body, 0)
+    lengths = decode_int32(body[8 : 8 + llen])
+    return lengths, body[8 + llen :]
+
+
+def _enc_str_dict(lengths: np.ndarray, blob: bytes) -> bytes:
+    """Dictionary-encode a string stream via pyarrow's C++ dictionary_encode."""
+    arr = blob_to_strings(lengths, blob)
+    denc = arr.dictionary_encode()
+    uniq = denc.dictionary
+    inv = denc.indices.to_numpy(zero_copy_only=False).astype(np.uint32)
+    ulens, ublob = strings_to_blob(uniq)
+    ub = _enc_str_plain(ulens, ublob)
+    w = _bit_width(max(len(uniq) - 1, 0))
+    codes = pack_bits(inv, w)
+    return struct.pack("<QQB", len(uniq), len(ub), w) + ub + codes
+
+
+def _dec_str_dict(body: bytes, n: int) -> tuple[np.ndarray, bytes]:
+    import pyarrow as pa
+
+    n_dict, ulen, w = struct.unpack_from("<QQB", body, 0)
+    off = 17
+    ulens, ublob = _dec_str_plain(body[off : off + ulen])
+    inv = unpack_bits(body[off + ulen :], n, w).astype(np.int64)
+    uniq = blob_to_strings(ulens, ublob)
+    arr = uniq.take(pa.array(inv))
+    return strings_to_blob(arr)
+
+
+# --- FSST-lite -------------------------------------------------------------
+# Codes 192..254 are symbol codes (63 symbols max); byte 255 reserved.
+# Applicable only when the input blob contains no byte >= 192 (true for the
+# ASCII doc_id/source columns this engine targets); selection falls back to
+# dict/plain otherwise. Symbols are 2..8 byte substrings mined from a sample.
+
+_FSST_BASE = 192
+_FSST_MAX_SYMS = 63
+
+
+def _fsst_build_table(sample: bytes, max_syms: int = _FSST_MAX_SYMS) -> list[bytes]:
+    if not sample:
+        return []
+    sv = np.frombuffer(sample, dtype=np.uint8)
+    syms: list[bytes] = []
+    chosen: set[bytes] = set()
+    scores: dict[bytes, int] = {}
+    n = len(sv)
+    for L in (2, 3, 4, 6, 8):
+        if n < L:
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(sv, L)
+        # subsample windows for speed on big samples
+        step = max(1, len(win) // 65536)
+        w = win[::step]
+        view = np.ascontiguousarray(w).view([("", np.uint8)] * L).ravel()
+        uniq, counts = np.unique(view, return_counts=True)
+        order = np.argsort(counts)[::-1][:256]
+        ub = uniq[order].tobytes()
+        cs = counts[order]
+        for i, c in enumerate(cs):
+            pat = ub[i * L : (i + 1) * L]
+            gain = (L - 1) * int(c) * step
+            if gain > L + 2:
+                scores[pat] = max(scores.get(pat, 0), gain)
+    for pat, _g in sorted(scores.items(), key=lambda kv: -kv[1]):
+        if len(syms) >= max_syms:
+            break
+        if pat not in chosen:
+            chosen.add(pat)
+            syms.append(pat)
+    # longest-first so greedy replace prefers longer matches
+    syms.sort(key=len, reverse=True)
+    return syms
+
+
+def fsst_encode_blob(blob: bytes, syms: list[bytes]) -> bytes:
+    out = blob
+    for i, s in enumerate(syms):
+        out = out.replace(s, bytes([_FSST_BASE + i]))
+    return out
+
+
+def fsst_decode_blob(enc: bytes, syms: list[bytes]) -> bytes:
+    out = enc
+    # decode in reverse order of encoding is unnecessary (symbols contain no
+    # code bytes), but keep deterministic order anyway
+    for i, s in enumerate(syms):
+        out = out.replace(bytes([_FSST_BASE + i]), s)
+    return out
+
+
+def _enc_str_fsst(lengths: np.ndarray, blob: bytes) -> bytes | None:
+    view = np.frombuffer(blob, dtype=np.uint8)
+    if len(view) and int(view.max()) >= _FSST_BASE:
+        return None  # precondition: pure low-byte (ASCII-ish) stream
+    syms = _fsst_build_table(blob[: 1 << 16])
+    enc = fsst_encode_blob(blob, syms)
+    lb = encode_int32(lengths, FOR)
+    tab = struct.pack("<B", len(syms)) + b"".join(struct.pack("<B", len(s)) + s for s in syms)
+    return struct.pack("<QQ", len(lb), len(tab)) + lb + tab + enc
+
+
+def _dec_str_fsst(body: bytes) -> tuple[np.ndarray, bytes]:
+    llen, tlen = struct.unpack_from("<QQ", body, 0)
+    off = 16
+    lengths = decode_int32(body[off : off + llen])
+    off += llen
+    tab = body[off : off + tlen]
+    off += tlen
+    nsym = tab[0]
+    syms = []
+    p = 1
+    for _ in range(nsym):
+        sl = tab[p]
+        syms.append(tab[p + 1 : p + 1 + sl])
+        p += 1 + sl
+    blob = fsst_decode_blob(body[off:], syms)
+    return lengths, blob
+
+
+def encode_strings(lengths: np.ndarray, blob: bytes, codec: int) -> bytes | None:
+    lengths = np.asarray(lengths, dtype=np.int32)
+    if codec == STR_PLAIN:
+        body = _enc_str_plain(lengths, blob)
+    elif codec == STR_DICT:
+        body = _enc_str_dict(lengths, blob)
+    elif codec == STR_FSST:
+        body = _enc_str_fsst(lengths, blob)
+    else:
+        raise ValueError(f"unknown string codec {codec}")
+    if body is None:
+        return None
+    return _header(codec, DT_BYTES, len(lengths)) + body
+
+
+def decode_strings(buf: bytes) -> tuple[np.ndarray, bytes]:
+    codec, dtype, n, off = _read_header(buf)
+    if dtype != DT_BYTES:
+        raise ValueError("not a string payload")
+    body = buf[off:]
+    if codec == STR_PLAIN:
+        return _dec_str_plain(body)
+    if codec == STR_DICT:
+        return _dec_str_dict(body, n)
+    if codec == STR_FSST:
+        return _dec_str_fsst(body)
+    raise ValueError(f"unknown string codec {codec}")
+
+
+def payload_codec_name(buf: bytes) -> str:
+    codec, _, _, _ = _read_header(buf)
+    return CODEC_NAMES[codec]
+
+
+# --------------------------------------------------- GROUPED cascade codec
+# A chunk's flattened values stream mixes rows with very different statistics
+# (constant runs next to full-range noise). One codec per 256K-value chunk
+# cannot adapt, so GROUPED classifies each ROW by vectorized per-row stats
+# (min/max/run-count via np.{minimum,maximum,add}.reduceat), regroups rows into
+# codec-homogeneous streams, and auto-selects a codec per group — the per-chunk
+# analog of Parquet's adaptive data pages, but aligned to the engine's row
+# semantics so each chunk stays independently decodable. Decoding scatters the
+# group streams back to original row order with one vectorized gather.
+#
+# The payload depends on the per-row lengths, which each chunk stores alongside
+# it; encode/decode therefore take ``lengths`` explicitly.
+
+def ranges(lengths: np.ndarray) -> np.ndarray:
+    """[3,0,2] -> [0,1,2,0,1]: per-item aranges, fully vectorized."""
+    l = np.asarray(lengths, dtype=np.int64)
+    total = int(l.sum())
+    starts = np.cumsum(l) - l
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, l)
+
+
+def _row_groups(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Classify rows into codec groups from vectorized per-row stats."""
+    l = lengths.astype(np.int64)
+    n_rows = len(l)
+    gid = np.zeros(n_rows, dtype=np.int32)
+    nz = l > 0
+    if not nz.any():
+        return gid
+    starts = (np.cumsum(l) - l)[nz]
+    v64 = values.astype(np.int64, copy=False)
+    rmin = np.minimum.reduceat(v64, starts)
+    rmax = np.maximum.reduceat(v64, starts)
+    width = np.ceil(np.log2(rmax - rmin + 1)).astype(np.int64)
+    width[rmax == rmin] = 0
+    # run count per row: positions where value changes (row-local)
+    changes = np.zeros(len(values), dtype=np.int64)
+    if len(values) > 1:
+        changes[1:] = (np.diff(values) != 0).astype(np.int64)
+    changes[starts] = 0
+    runs = np.add.reduceat(changes, starts) + 1
+    lnz = l[nz]
+    # bytes/value estimates: FOR = width/8 (+base), RLE ≈ runs*(width/8+2)/len
+    for_bpv = width / 8.0
+    rle_bpv = runs * (width / 8.0 + 2.0) / np.maximum(lnz, 1)
+    # group id: 0 reserved for empty rows; 1 = RLE-ish; 2+k = FOR width bucket
+    buckets = np.minimum((width + 3) // 4, 8).astype(np.int32)  # 0,4,8,...,32 bits
+    g = np.where(rle_bpv < for_bpv * 0.6, 1, 2 + buckets)
+    gid[nz] = g
+    return gid
+
+
+def encode_int32_grouped(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    values = np.asarray(values, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    gid = _row_groups(values, lengths)
+    uniq = np.unique(gid)
+    remap = np.searchsorted(uniq, gid).astype(np.int32)
+    n_groups = len(uniq)
+    gid_payload = encode_int32(remap, RLE)
+    alt = encode_int32(remap, BITPACK)
+    if alt is not None and len(alt) < len(gid_payload):
+        gid_payload = alt
+
+    perm = np.argsort(remap, kind="stable")
+    starts = np.cumsum(lengths) - lengths
+    src_idx = np.repeat(starts[perm], lengths[perm]) + ranges(lengths[perm])
+    reordered = values[src_idx]
+    # group boundaries in the reordered stream
+    counts = np.zeros(n_groups, dtype=np.int64)
+    np.add.at(counts, remap, lengths)
+    ends = np.cumsum(counts)
+    parts = []
+    from ..plans.cost import select_int_codec
+
+    lo = 0
+    for g in range(n_groups):
+        seg = reordered[lo : int(ends[g])]
+        lo = int(ends[g])
+        parts.append(select_int_codec(seg))
+    body = struct.pack("<BQ", n_groups, len(gid_payload)) + gid_payload
+    for p in parts:
+        body += struct.pack("<Q", len(p)) + p
+    return _header(GROUPED, DT_INT32, len(values)) + body
+
+
+def decode_int32_grouped(buf: bytes, lengths: np.ndarray) -> np.ndarray:
+    codec, dtype, n, off = _read_header(buf)
+    if codec != GROUPED or dtype != DT_INT32:
+        raise ValueError("not a grouped payload")
+    body = buf[off:]
+    n_groups, glen = struct.unpack_from("<BQ", body, 0)
+    p = 9
+    remap = decode_int32(body[p : p + glen])
+    p += glen
+    streams = []
+    for _ in range(n_groups):
+        (plen,) = struct.unpack_from("<Q", body, p)
+        p += 8
+        streams.append(decode_int32(body[p : p + plen]))
+        p += plen
+    lengths = np.asarray(lengths, dtype=np.int64)
+    perm = np.argsort(remap, kind="stable")
+    starts = np.cumsum(lengths) - lengths
+    dst_idx = np.repeat(starts[perm], lengths[perm]) + ranges(lengths[perm])
+    out = np.empty(n, dtype=np.int32)
+    out[dst_idx] = np.concatenate(streams) if streams else np.zeros(0, np.int32)
+    return out

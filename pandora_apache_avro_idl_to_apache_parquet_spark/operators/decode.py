@@ -1,0 +1,93 @@
+"""Decode pipeline: chunk files -> token table, plus round-trip verification.
+
+Every chunk row is independently round-trippable (its payloads are
+self-describing), so decode is a shuffle-free ``mapInArrow`` over the chunk
+scan: decode each column payload, rebuild the list column zero-copy via
+``pa.ListArray.from_arrays(offsets, values)`` — the inverse of the vectorized
+explode. This mirrors the reference's parent/child recombination contract
+(``child.pj_pid = parent.pj_uid``, ``/root/reference/README.md:95-102``) with
+offsets standing in for the FK join.
+
+``verify_roundtrip`` enforces the north-rule invariant: per-row token-array
+equality between source and decode(encode(source)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import codecs as C
+from ..schema import TOKENS_SCHEMA
+from .encode import read_chunks
+
+
+def _decode_arrow_schema() -> pa.Schema:
+    return pa.schema(
+        [pa.field("doc_id", pa.string(), False),
+         pa.field("tokens", pa.list_(pa.int32()), False),
+         pa.field("n_tok", pa.int32(), False),
+         pa.field("source", pa.string(), False)]
+    )
+
+
+def _decode_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    schema = _decode_arrow_schema()
+    for batch in it:
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        for i in range(batch.num_rows):  # iterates CHUNKS (few per batch), not rows
+            d_len, d_blob = C.decode_strings(cols["doc_id_payload"][i].as_py())
+            s_len, s_blob = C.decode_strings(cols["source_payload"][i].as_py())
+            lengths = C.decode_int32(cols["lengths_payload"][i].as_py())
+            vbuf = cols["values_payload"][i].as_py()
+            if C.payload_codec_name(vbuf) == "grouped":
+                values = C.decode_int32_grouped(vbuf, lengths)
+            else:
+                values = C.decode_int32(vbuf)
+            offs = np.zeros(len(lengths) + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offs[1:])
+            tokens = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                              pa.array(values, pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [C.blob_to_strings(d_len, d_blob).cast(pa.string()),
+                 tokens.cast(pa.list_(pa.int32())),
+                 pa.array(lengths, pa.int32()),
+                 C.blob_to_strings(s_len, s_blob).cast(pa.string())],
+                schema=schema,
+            )
+
+
+def decode_tokens(spark: SparkSession, out_dir: str) -> DataFrame:
+    chunks = read_chunks(spark, out_dir).select(
+        "doc_id_payload", "source_payload", "lengths_payload", "values_payload"
+    )
+    return chunks.mapInArrow(_decode_batches, schema=TOKENS_SCHEMA)
+
+
+def verify_roundtrip(src: DataFrame, decoded: DataFrame) -> DataFrame:
+    """Rows violating the bit-identical invariant (empty DataFrame == pass).
+
+    Full outer join on doc_id: catches missing rows, duplicate rows, and any
+    per-row array/source mismatch.
+    """
+    a = src.select(
+        F.col("doc_id"),
+        F.col("tokens").alias("src_tokens"),
+        F.col("source").alias("src_source"),
+    )
+    b = decoded.select(
+        F.col("doc_id"),
+        F.col("tokens").alias("dec_tokens"),
+        F.col("source").alias("dec_source"),
+    )
+    joined = a.join(b, "doc_id", "full_outer")
+    return joined.filter(
+        F.col("src_tokens").isNull()
+        | F.col("dec_tokens").isNull()
+        | (F.col("src_tokens") != F.col("dec_tokens"))
+        | (F.col("src_source") != F.col("dec_source"))
+    )

@@ -1,0 +1,72 @@
+"""Sampled cost-based codec selection.
+
+The reference picks one codec globally and statically (Snappy,
+``/root/reference/.../Pandora/Apache/Parquet.fs:1374``). Per the north rule we
+instead pick per column chunk: encode a *prefix sample* of the chunk with every
+candidate, extrapolate encoded size, take the argmin, then encode the full chunk
+with the winner. The chosen codec is recorded in the manifest — the same
+provenance-tag idea as the reference's ``Transformation`` marks
+(``Parquet.fs:43-50``), applied to codecs.
+
+A head sample (not a strided one) is used deliberately: run lengths and local
+value locality — what RLE/FOR exploit — survive a prefix but not a stride.
+A final guard compares the winner's actual size against PLAIN so a bad
+extrapolation can never make a chunk *larger* than uncompressed + header.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..functions import codecs as C
+
+SAMPLE_VALUES = 4096
+
+
+def select_int_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
+    """Encode int32 array with the estimated-best codec; returns payload."""
+    a = np.asarray(a, dtype=np.int32)
+    n = len(a)
+    if n == 0:
+        return C.encode_int32(a, C.PLAIN)
+    s = a[: min(n, sample)]
+    scale = n / len(s)
+    best_codec, best_est = C.PLAIN, 4.0 * n
+    for codec in (C.BITPACK, C.FOR, C.RLE, C.DICT):
+        enc = C.encode_int32(s, codec)
+        if enc is None:
+            continue
+        est = len(enc) * scale
+        if est < best_est:
+            best_codec, best_est = codec, est
+    out = C.encode_int32(a, best_codec)
+    if out is None or (best_codec != C.PLAIN and len(out) >= 4 * n + 32):
+        out = C.encode_int32(a, C.PLAIN)
+    return out
+
+
+def select_str_codec(lengths: np.ndarray, blob: bytes,
+                     sample: int = SAMPLE_VALUES) -> bytes:
+    """Encode a string stream (lengths, blob) with the estimated-best codec."""
+    n = len(lengths)
+    if n == 0:
+        return C.encode_strings(lengths, blob, C.STR_PLAIN)
+    k = min(n, sample)
+    s_len = np.asarray(lengths[:k], dtype=np.int32)
+    s_blob = blob[: int(s_len.sum())]
+    scale = n / k
+    plain_full = C.encode_strings(lengths, blob, C.STR_PLAIN)
+    best_codec, best_est = C.STR_PLAIN, float(len(plain_full))
+    for codec in (C.STR_DICT, C.STR_FSST):
+        enc = C.encode_strings(s_len, s_blob, codec)
+        if enc is None:
+            continue
+        est = len(enc) * scale
+        if est < best_est:
+            best_codec, best_est = codec, est
+    if best_codec == C.STR_PLAIN:
+        return plain_full
+    out = C.encode_strings(lengths, blob, best_codec)
+    if out is None or len(out) >= len(plain_full):
+        out = plain_full
+    return out
