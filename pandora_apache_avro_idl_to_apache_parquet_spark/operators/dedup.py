@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram-Jaccard near-dup over a
+``documents(doc_id, text, ...)`` table. Everything is built from JVM-side
+built-ins (split/transform/md5/conv/explode/groupBy) so whole-stage codegen
+applies and every step has an exact ANSI-SQL oracle (see ``__spark_entry__``).
+
+Hashes are md5-prefix integers (``functions.hashing.spark_md5_long``) — chosen
+over ``xxhash64`` because the DuckDB oracle must reproduce them bit-for-bit.
+
+Scale notes (100 TB story):
+* exact dedup shuffles only ``(hash, doc_id)`` pairs, never text — the text
+  column is pruned before the exchange.
+* MinHash: signatures are computed per-row with array higher-order functions
+  (no explode blow-up); only the banded LSH join explodes, and it explodes to
+  ``n_bands`` rows per doc, not ``n_shingles``.
+* LSH buckets on a skewed corpus can hot-spot; ``lsh_candidate_pairs`` caps
+  bucket size (a bucket with > ``max_bucket`` docs is near-certainly boilerplate
+  — every member pairs with thousands of others and the quadratic pair blow-up
+  would dominate the stage), the same mitigation the reference applies to
+  nothing — its single-process design never meets skew — but which its
+  ``pj_pds``-partitioned layout presumes downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.hashing import spark_md5_long
+
+DEFAULT_PERMS = 8
+DEFAULT_BANDS = 4  # rows-per-band = DEFAULT_PERMS // DEFAULT_BANDS = 2
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy.
+
+    Returns one row per duplicated content hash: the keeper (min doc_id),
+    the duplicate count, and the content hash. Only (hash, doc_id) cross the
+    shuffle; text stays at the scan.
+    """
+    hashed = docs.select(
+        F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def with_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Add ``shingles``: the distinct word ``k``-grams of ``text``.
+
+    Pure array higher-order functions — one pass, no explode. Documents with
+    fewer than ``k`` words get their whole text as the single shingle.
+    """
+    words = "filter(split(text, ' '), w -> w <> '')"
+    grams = (
+        f"transform(sequence(1, greatest(size({words}) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({words}, i, {k})))"
+    )
+    return docs.withColumn("shingles", F.expr(f"array_distinct({grams})"))
+
+
+def with_minhash(docs: DataFrame, n_perms: int = DEFAULT_PERMS, k: int = 3) -> DataFrame:
+    """Add ``sig``: the ``n_perms``-element MinHash signature of the shingle set.
+
+    Permutation ``p``'s hash of shingle ``s`` is md5-long of ``"p:s"`` — a
+    distinct deterministic hash family member per permutation, reproducible in
+    the SQL oracle. Signature stays an array column: no shuffle, no explode.
+    """
+    df = with_shingles(docs, k=k) if "shingles" not in docs.columns else docs
+    sig = [
+        F.expr(
+            "array_min(transform(shingles, s -> "
+            + spark_md5_long(f"concat('{p}:', s)")
+            + "))"
+        ).alias(f"mh{p}")
+        for p in range(n_perms)
+    ]
+    return df.select("*", F.array(*sig).alias("sig")).drop("shingles")
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_perms: int = DEFAULT_PERMS,
+    n_bands: int = DEFAULT_BANDS,
+    k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    shingle → minhash → band → bucket-join: the signature is cut into
+    ``n_bands`` bands of ``n_perms/n_bands`` rows; a band's bucket key is the
+    md5-long of its joined values; docs sharing a bucket become a candidate
+    pair. The self-join is on (band, bucket) so co-bucketed docs co-locate in
+    one shuffle; oversized buckets (> ``max_bucket``) are dropped before the
+    quadratic pair expansion.
+    """
+    r = n_perms // n_bands
+    sig = with_minhash(docs, n_perms=n_perms, k=k).select("doc_id", "sig")
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        spark_md5_long(
+                            f"concat_ws(',', transform(slice(sig, {b * r + 1}, {r}), x -> cast(x as string)))"
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    small = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("members"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, a -> "
+                "transform(filter(members, b -> b > a), b -> struct(a as doc_a, b as doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct().orderBy("doc_a", "doc_b")
+
+
+def with_simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Add ``simhash``: ``bits``-bit SimHash over the word multiset.
+
+    Distributed formulation: explode words, join bit positions, sum ±1 votes
+    per (doc, bit), majority sign sets the bit. All shuffles carry ints only.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("w")
+    ).withColumn("h", F.expr(spark_md5_long("w")))
+    positions = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        words.select("doc_id", "h", positions)
+        .withColumn("vote", F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    sim = votes.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END")).alias("simhash")
+    )
+    return docs.join(sim, "doc_id")
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Pairs are generated block-wise: split the simhash into ``max_hamming+1``
+    byte-blocks — two hashes within distance d must agree on ≥1 block
+    (pigeonhole), so the self-join is on (block_idx, block_value), never a full
+    cross-join.
+    """
+    n_blocks = max_hamming + 1
+    width = bits // n_blocks
+    sims = with_simhash(docs, bits=bits).select("doc_id", "simhash")
+    blocks = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(simhash >> {i * width}) & {(1 << width) - 1}")
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ ``threshold``.
+
+    Inverted-index self-join: explode distinct shingles, join on shingle,
+    count common, Jaccard = |∩| / (|A| + |B| − |∩|). The shuffle key is the
+    shingle (the inverted index), so only co-shingled docs ever meet — this is
+    the exact verifier usually run after LSH candidate generation.
+    """
+    sh = with_shingles(docs, k=k).select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard", F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6)
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
