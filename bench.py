@@ -1,0 +1,117 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two parts:
+1. the engine headline — encode throughput (tokens/sec) + compressed
+   bytes/token on a deterministic synthetic token table sized to the sf, with
+   a decode + bit-identical spot total; this is the BASELINE.json metric;
+2. per-query wall times for the breadth operators over the sf-dir tables.
+
+Run directly: ``python bench.py`` (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Queries timed per-round (a representative slice of the registry; the full
+# registry is correctness-gated separately via oracle_sql).
+BENCH_QUERIES = [
+    "tokens_explode",
+    "token_stats_by_source",
+    "dict_cardinality",
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "window_running_total",
+    "events_sessionize",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_bruteforce_topk",
+    "text_quality",
+    "multimodal_features",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import decode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import encode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.queries import QUERIES
+    from pandora_apache_avro_idl_to_apache_parquet_spark.session import get_spark
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.tokens import synthesize_tokens
+
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(app="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # ---- headline: encode throughput on synthetic tokens sized to sf ----
+    n_rows = max(int(1_000_000 * sf), 10_000) if sf > 0 else 100_000
+    out = tempfile.mkdtemp(prefix="bench_enc_")
+    src = synthesize_tokens(spark, n_rows, seed=42).cache()
+    n_tokens = src.selectExpr("sum(n_tok)").first()[0]
+    t0 = time.perf_counter()
+    manifest = encode_tokens(src, out, n_parts=max(CPUS * 3, 24))
+    enc_sec = time.perf_counter() - t0
+    enc_bytes = sum(os.path.getsize(f) for f in glob.glob(out + "/data/*.parquet"))
+    timings["encode_tokens"] = round(enc_sec, 3)
+
+    t0 = time.perf_counter()
+    n_dec = decode_tokens(spark, out).selectExpr("sum(n_tok)").first()[0]
+    dec_sec = time.perf_counter() - t0
+    timings["decode_tokens"] = round(dec_sec, 3)
+    assert n_dec == n_tokens, f"decode token total {n_dec} != {n_tokens}"
+    src.unpersist()
+    shutil.rmtree(out, ignore_errors=True)
+
+    # ---- breadth queries over the sf-dir tables ----
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "encode tokens/sec + breadth query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "encode_rows": n_rows,
+                "encode_tokens": int(n_tokens),
+                "tokens_per_sec": int(n_tokens / enc_sec),
+                "decode_tokens_per_sec": int(n_tokens / dec_sec),
+                "bytes_per_token": round(enc_bytes / n_tokens, 4),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

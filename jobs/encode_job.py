@@ -1,0 +1,89 @@
+"""spark-submit entry point: the production encode job.
+
+    zip -r engine.zip pandora_apache_avro_idl_to_apache_parquet_spark
+    spark-submit --master <cluster> --py-files engine.zip jobs/encode_job.py \
+        --input /path/to/iceberg_or_parquet_tokens --out /path/to/encoded \
+        --n-parts 4096
+
+With ``--synth N`` the job generates the deterministic FIXTURES.md F1 table
+instead of reading an input (used by the scaling benchmark so both cluster
+sizes see bit-identical input). Prints one JSON line of metrics; exit 0 iff
+the optional ``--verify`` round-trip holds.
+
+On a real cluster the same file is submitted unchanged: ``--n-parts`` should
+be ~3× total executor cores; resume after failure is automatic (completed
+part_ids are skipped via the checkpoint markers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--input", help="token table path (parquet dir or table name)")
+    p.add_argument("--synth", type=int, help="synthesize N rows instead of reading input")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-parts", type=int, default=64)
+    p.add_argument("--chunk-rows", type=int, default=4096)
+    p.add_argument("--verify", action="store_true", help="decode + bit-identical check")
+    args = p.parse_args()
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import (
+        decode_tokens,
+        verify_roundtrip,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import encode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.tokens import (
+        scan_tokens,
+        synthesize_tokens,
+    )
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.synth:
+        src = synthesize_tokens(spark, args.synth, seed=args.seed)
+    elif args.input:
+        src = scan_tokens(spark, args.input)
+    else:
+        p.error("need --input or --synth")
+
+    n_tokens = src.selectExpr("sum(n_tok)").first()[0] or 0
+    t0 = time.perf_counter()
+    encode_tokens(src, args.out, n_parts=args.n_parts, chunk_rows=args.chunk_rows)
+    enc_sec = time.perf_counter() - t0
+    enc_bytes = sum(os.path.getsize(f) for f in glob.glob(args.out + "/data/*.parquet"))
+
+    bad = 0
+    if args.verify:
+        bad = verify_roundtrip(src, decode_tokens(spark, args.out)).count()
+
+    print(
+        json.dumps(
+            {
+                "n_tokens": int(n_tokens),
+                "encode_sec": round(enc_sec, 3),
+                "tokens_per_sec": int(n_tokens / enc_sec) if enc_sec else 0,
+                "enc_bytes": enc_bytes,
+                "bytes_per_token": round(enc_bytes / n_tokens, 4) if n_tokens else 0.0,
+                "roundtrip_bad_rows": bad,
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

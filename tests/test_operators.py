@@ -1,0 +1,208 @@
+"""Unit tests for the breadth operators (dedup, similarity, text, multimodal,
+flatten) on crafted in-memory tables — the operator-level complement to the
+driver's DuckDB oracle gate (scripts/oracle_check.py covers engine-vs-SQL
+parity; these cover semantic edge cases the testdata doesn't hit, e.g. real
+duplicates, hamming-near simhashes, identical embeddings)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators import (
+    dedup,
+    flatten,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and looked at the dog", "en", "web", 0),
+        (2, "the cat sat on the mat and looked at the dog", "en", "web", 0),  # dup of 1
+        (3, "the cat sat on the mat and stared at the dog", "en", "web", 0),  # near-dup
+        (4, "completely different text about spark shuffles here", "en", "code", 0),
+        (5, "der hund und die katze sind nicht ein problem", "de", "web", 0),
+        (6, "one", "en", "misc", 0),  # fewer words than shingle k
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0], 0),  # close to 0
+        (3, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal
+        (4, [0.0, 0.0, 1.0, 0.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_doc_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.with_minhash(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+    assert len(sigs[1]) == dedup.DEFAULT_PERMS
+
+
+def test_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_lsh_bucket_cap_drops_boilerplate(spark):
+    boiler = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated verbatim", "en", "web", 0) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert dedup.lsh_candidate_pairs(boiler, max_bucket=10).count() == 0
+    assert dedup.lsh_candidate_pairs(boiler, max_bucket=100).count() == 30 * 29 // 2
+
+
+def test_simhash_identical_and_near(docs):
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.with_simhash(docs).collect()}
+    assert sims[1] == sims[2]
+    ham_near = bin(sims[1] ^ sims[3]).count("1")
+    ham_far = bin(sims[1] ^ sims[4]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= s < (1 << 32) for s in sims.values())
+
+
+def test_simhash_near_pairs_block_join_complete(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) in pairs  # one-word edit stays within hamming 8
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in
+             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()}
+    assert pairs[(1, 2)]["jaccard"] == 1.0
+    r13 = pairs[(1, 3)]
+    # "the cat sat on the mat and {looked|stared} at the dog": 9 shingles each,
+    # 3-gram windows touching the changed word differ (3), rest shared (6)
+    assert r13["common"] == 6 and abs(r13["jaccard"] - 6 / 12) < 1e-9
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk(emb):
+    out = similarity.brute_force_topk(emb, n_queries=1, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] == 1.0  # identical vector
+    assert out[2]["score"] == 0.0  # orthogonal
+
+
+def test_embedding_near_pairs(emb):
+    pairs = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+             similarity.embedding_near_pairs(emb, threshold=0.9).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and (0, 3) not in pairs
+
+
+def test_lsh_bucket_identical_vectors_same_bucket(spark, emb):
+    b = emb.withColumn("bucket", F.expr(similarity.lsh_bucket_expr("embedding", 6)))
+    rows = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert rows[0] == rows[1]
+    assert 0 <= rows[0] < 64
+
+
+def test_ivf_assign_covers_all(emb):
+    out = similarity.ivf_assign(emb, n_cells=4).collect()
+    assert len(out) == 5
+    byid = {r["vec_id"]: r for r in out}
+    assert byid[0]["cell"] == 0 and byid[0]["cell_score"] == 1.0
+    # vec 1 is identical to centroid 0 and centroid 1 (tie -> lowest cell id)
+    assert byid[1]["cell"] == 0 and byid[1]["cell_score"] == 1.0
+    assert byid[3]["cell"] == 3  # its own centroid
+    assert byid[4]["cell"] == 3 or byid[4]["cell_score"] == 0.0
+
+
+# ------------------------------------------------------------------- text
+
+
+def test_quality_score_ranges(docs):
+    out = {r["doc_id"]: r for r in text.quality_score(docs).collect()}
+    assert all(0.0 <= r["quality"] <= 1.0 for r in out.values())
+    # doc 1 is English prose with stopwords; doc 6 is a single word
+    assert out[1]["quality"] > out[6]["quality"]
+    assert out[1]["stopword_ratio"] > 0.3
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(docs).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_token_counts(spark):
+    d = spark.createDataFrame(
+        [(1, "hello world, 42 times!", "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = text.token_counts(d).first()
+    assert r["n_ws_tokens"] == 4
+    # hello/world/,/42/times/! -> 6 BPE-ish pieces
+    assert r["n_bpe_tokens"] == 6
+
+
+def test_fingerprint_dup_detection(docs):
+    fp = {r["doc_id"]: (r["fp_min"], r["fp_max"]) for r in
+          text.document_fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing_roundtrip(docs):
+    feats = multimodal.extract_features(multimodal.documents_as_media(docs))
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert len(rows) == 6
+    r = rows[1]
+    assert len(r["features"]) == multimodal.FEATURE_DIM
+    assert all(0.0 <= f < 1.0 for f in r["features"])
+    assert r["n_bytes"] == len("the cat sat on the mat and looked at the dog")
+    # identical payloads -> identical fake features (deterministic extractor)
+    assert rows[1]["features"] == rows[2]["features"]
+    assert rows[1]["sha"] == rows[2]["sha"]
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media_stub(b"xx", "image")
+
+
+# ----------------------------------------------------------------- flatten
+
+
+def test_flatten_tokens_positions(spark):
+    df = spark.createDataFrame(
+        [("a", [10, 20, 30], 3, "web"), ("b", [], 0, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = flatten.flatten_tokens(df).collect()
+    assert [(r["doc_id"], r["pos"], r["token"]) for r in out] == [
+        ("a", 0, 10), ("a", 1, 20), ("a", 2, 30)
+    ]
+    offs = {r["doc_id"]: r["offset"] for r in flatten.token_offsets(df).collect()}
+    assert offs == {"a": 0, "b": 3}
