@@ -26,7 +26,7 @@ import struct
 import numpy as np
 
 MAGIC = b"PC"
-VERSION = 1
+VERSION = 2  # v2: plane-major (bitsliced) packed-int layout
 
 # codec ids
 PLAIN = 0
@@ -76,23 +76,51 @@ def _read_header(buf: bytes) -> tuple[int, int, int, int]:
 # ---------------------------------------------------------------- bit packing
 
 def pack_bits(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative uint32 values into ``width``-bit big-endian-within-byte
-    lanes via np.packbits. width==0 encodes a constant-0 stream as zero bytes."""
+    """Pack non-negative uint32 values at exactly ``width`` bits each, in a
+    plane-major (bitsliced) layout: ``width // 8`` contiguous byte planes
+    followed by ``width % 8`` packbits-compressed bit planes. Exact-width
+    compression at vectorized-contiguous speed — every pass is a whole-array
+    shift/mask into a preallocated plane, no per-value bit matrix.
+    width==0 encodes a constant-0 stream as zero bytes."""
     if width == 0 or len(vals) == 0:
         return b""
     v = vals.astype(np.uint32, copy=False)
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint32)
-    bits = ((v[:, None] >> shifts) & np.uint32(1)).astype(np.uint8)
-    return np.packbits(bits.ravel()).tobytes()
+    n = len(v)
+    n_byte_planes, rem = divmod(width, 8)
+    parts = []
+    if n_byte_planes:
+        bplanes = np.empty((n_byte_planes, n), np.uint8)
+        for p in range(n_byte_planes):
+            np.bitwise_and(v >> np.uint32(8 * p), np.uint32(0xFF),
+                           out=bplanes[p], casting="unsafe")
+        parts.append(bplanes.tobytes())
+    if rem:
+        bits = np.empty((rem, n), np.uint8)
+        base = np.uint32(8 * n_byte_planes)
+        for j in range(rem):
+            np.bitwise_and(v >> (base + np.uint32(j)), np.uint32(1),
+                           out=bits[j], casting="unsafe")
+        parts.append(np.packbits(bits, axis=1).tobytes())
+    return b"".join(parts)
 
 
 def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint32)
-    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), count=n * width)
-    weights = np.left_shift(np.uint64(1), np.arange(width - 1, -1, -1, dtype=np.uint64))
-    out = bits.reshape(n, width).astype(np.uint64) @ weights
-    return out.astype(np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    n_byte_planes, rem = divmod(width, 8)
+    out = np.zeros(n, dtype=np.uint32)
+    for p in range(n_byte_planes):
+        out |= raw[p * n : (p + 1) * n].astype(np.uint32) << np.uint32(8 * p)
+    if rem:
+        nb = (n + 7) // 8
+        planes = np.unpackbits(
+            raw[n_byte_planes * n :].reshape(rem, nb), axis=1, count=n
+        )
+        base = np.uint32(8 * n_byte_planes)
+        for j in range(rem):
+            out |= planes[j].astype(np.uint32) << (base + np.uint32(j))
+    return out
 
 
 def _bit_width(max_val: int) -> int:
@@ -170,11 +198,21 @@ def _dec_rle_i32(body: bytes, n: int) -> np.ndarray:
 
 
 def _enc_dict_i32(a: np.ndarray) -> bytes:
-    uniq, inv = np.unique(a, return_inverse=True)
+    # hash-based factorize (O(n)) beats np.unique's O(n log n) sort; only the
+    # (small) dictionary is sorted, codes are remapped through its rank
+    import pandas as pd
+
+    codes, uniq = pd.factorize(a, sort=False)
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(order), dtype=np.uint32)
+    rank[order] = np.arange(len(order), dtype=np.uint32)
+    inv = rank[codes]
+    uniq = uniq[order]
     ub = _enc_for_i32(uniq.astype(np.int32, copy=False))
     w = _bit_width(max(len(uniq) - 1, 0))
-    codes = pack_bits(inv.astype(np.uint32), w)
-    return struct.pack("<QQB", len(uniq), len(ub), w) + ub + codes
+    codes_packed = pack_bits(inv, w)
+    return struct.pack("<QQB", len(uniq), len(ub), w) + ub + codes_packed
 
 
 def _dec_dict_i32(body: bytes, n: int) -> np.ndarray:
@@ -297,22 +335,23 @@ def _fsst_build_table(sample: bytes, max_syms: int = _FSST_MAX_SYMS) -> list[byt
     chosen: set[bytes] = set()
     scores: dict[bytes, int] = {}
     n = len(sv)
+    sv64 = sv.astype(np.uint64)
     for L in (2, 3, 4, 6, 8):
         if n < L:
             continue
-        win = np.lib.stride_tricks.sliding_window_view(sv, L)
-        # subsample windows for speed on big samples
-        step = max(1, len(win) // 65536)
-        w = win[::step]
-        view = np.ascontiguousarray(w).view([("", np.uint8)] * L).ravel()
-        uniq, counts = np.unique(view, return_counts=True)
+        # pack each length-L window into a uint64 key (big-endian): unique on
+        # scalar ints is ~100x faster than on structured void records
+        m = n - L + 1
+        step = max(1, m // 65536)
+        key = np.zeros((m + step - 1) // step, dtype=np.uint64)
+        for b in range(L):
+            key = (key << np.uint64(8)) | sv64[b : b + m : step]
+        uniq, counts = np.unique(key, return_counts=True)
         order = np.argsort(counts)[::-1][:256]
-        ub = uniq[order].tobytes()
-        cs = counts[order]
-        for i, c in enumerate(cs):
-            pat = ub[i * L : (i + 1) * L]
+        for k, c in zip(uniq[order], counts[order]):
             gain = (L - 1) * int(c) * step
             if gain > L + 2:
+                pat = int(k).to_bytes(L, "big")
                 scores[pat] = max(scores.get(pat, 0), gain)
     for pat, _g in sorted(scores.items(), key=lambda kv: -kv[1]):
         if len(syms) >= max_syms:
@@ -456,10 +495,12 @@ def _row_groups(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return gid
 
 
-def encode_int32_grouped(values: np.ndarray, lengths: np.ndarray) -> bytes:
+def encode_int32_grouped(values: np.ndarray, lengths: np.ndarray,
+                         gid: np.ndarray | None = None) -> bytes:
     values = np.asarray(values, dtype=np.int32)
     lengths = np.asarray(lengths, dtype=np.int64)
-    gid = _row_groups(values, lengths)
+    if gid is None:
+        gid = _row_groups(values, lengths)
     uniq = np.unique(gid)
     remap = np.searchsorted(uniq, gid).astype(np.int32)
     n_groups = len(uniq)

@@ -31,6 +31,29 @@ from ..functions.hashing import spark_md5_long
 DEFAULT_PERMS = 8
 DEFAULT_BANDS = 4  # rows-per-band = DEFAULT_PERMS // DEFAULT_BANDS = 2
 
+# MinHash permutation family: h_p(s) = (A_p * base(s) + B_p) mod M with
+# base(s) = md5-long(s) mod M. One md5 per shingle, p affine mixes — 8x fewer
+# digest computations than md5-per-permutation, and every op stays exact in
+# 63-bit integer arithmetic (A_p, base < 2^31) so the DuckDB oracle reproduces
+# it verbatim (DuckDB BIGINT errors on overflow; Spark wraps — staying under
+# 2^62 keeps both engines on the same values).
+MH_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
+MH_COEFFS = [
+    (1103515245, 12345),
+    (1588635695, 1117695901),
+    (1744537572, 940284249),
+    (1947483562, 1099087573),
+    (1290064443, 279246091),
+    (1899138556, 920441195),
+    (1164605309, 661098316),
+    (1853447102, 1971662, ),
+]
+
+
+def minhash_base_expr(shingle_col: str) -> str:
+    """Spark SQL: per-shingle base hash array (one md5 per shingle)."""
+    return f"transform({shingle_col}, s -> {spark_md5_long('s')} % {MH_MOD})"
+
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Exact dedup via content-hash groupBy.
@@ -71,16 +94,17 @@ def with_minhash(docs: DataFrame, n_perms: int = DEFAULT_PERMS, k: int = 3) -> D
     distinct deterministic hash family member per permutation, reproducible in
     the SQL oracle. Signature stays an array column: no shuffle, no explode.
     """
+    if n_perms > len(MH_COEFFS):
+        raise ValueError(f"n_perms > {len(MH_COEFFS)} needs more MH_COEFFS entries")
     df = with_shingles(docs, k=k) if "shingles" not in docs.columns else docs
+    df = df.withColumn("hbase", F.expr(minhash_base_expr("shingles")))
     sig = [
         F.expr(
-            "array_min(transform(shingles, s -> "
-            + spark_md5_long(f"concat('{p}:', s)")
-            + "))"
+            f"array_min(transform(hbase, h -> ({a}L * h + {b}L) % {MH_MOD}))"
         ).alias(f"mh{p}")
-        for p in range(n_perms)
+        for p, (a, b) in enumerate(MH_COEFFS[:n_perms])
     ]
-    return df.select("*", F.array(*sig).alias("sig")).drop("shingles")
+    return df.select("*", F.array(*sig).alias("sig")).drop("shingles", "hbase")
 
 
 def lsh_candidate_pairs(

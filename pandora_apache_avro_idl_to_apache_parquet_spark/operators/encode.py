@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import codecs as C
 from ..functions.hashing import klondike, sha256
-from ..plans.cost import select_int_codec, select_str_codec
+from ..plans.cost import encode_values, select_int_codec, select_str_codec
 from ..schema import CHUNK_COLUMNS, CHUNK_SCHEMA, MANIFEST_COLUMNS, TOKENS_SCHEMA
 
 DEFAULT_CHUNK_ROWS = 4096
@@ -122,14 +122,11 @@ def _encode_partition_pdf(pdf: pd.DataFrame, out_dir: str, chunk_rows: int,
 
         d_len, d_blob = C.strings_to_blob(doc_ids)
         s_len, s_blob = C.strings_to_blob(sources)
-        # values: whole-stream selection vs row-grouped cascade, keep the smaller
-        v_flat = select_int_codec(values)
-        v_grp = C.encode_int32_grouped(values, lengths)
         payloads = {
             "doc_id": (select_str_codec(d_len, d_blob), len(d_blob) + 4 * len(d_len)),
             "source": (select_str_codec(s_len, s_blob), len(s_blob) + 4 * len(s_len)),
             "lengths": (select_int_codec(lengths), 4 * len(lengths)),
-            "values": (min(v_flat, v_grp, key=len), 4 * len(values)),
+            "values": (encode_values(values, lengths), 4 * len(values)),
         }
         sha = sha256(b"".join(p for p, _ in payloads.values()))
         row = {

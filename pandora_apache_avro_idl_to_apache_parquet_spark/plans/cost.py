@@ -45,6 +45,23 @@ def select_int_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
     return out
 
 
+def encode_values(values: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Encode a chunk's flattened token stream: whole-stream codec when the
+    rows are statistically homogeneous, row-grouped cascade when they are not.
+
+    Classifies rows once (vectorized per-row stats); a single effective group
+    means the grouped container would only add headers and a gid stream, so
+    the whole-stream path is used directly — this halves encode work versus
+    encoding both candidates and keeping the smaller."""
+    values = np.asarray(values, dtype=np.int32)
+    lengths = np.asarray(lengths, dtype=np.int64)
+    gid = C._row_groups(values, lengths)
+    uniq = np.unique(gid[lengths > 0]) if len(gid) else np.zeros(0, np.int32)
+    if len(uniq) <= 1:
+        return select_int_codec(values)
+    return C.encode_int32_grouped(values, lengths, gid=gid)
+
+
 def select_str_codec(lengths: np.ndarray, blob: bytes,
                      sample: int = SAMPLE_VALUES) -> bytes:
     """Encode a string stream (lengths, blob) with the estimated-best codec."""

@@ -497,10 +497,8 @@ def _o_dedup_minhash() -> str:
         f"i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + {k - 1}), ' '))"
     )
     mh_cols = ", ".join(
-        "list_min(list_transform(shingles, s -> "
-        + duck_md5_long(f"'{p}:' || s")
-        + f")) AS mh{p}"
-        for p in range(n_perms)
+        f"list_min(list_transform(hbase, h -> ({a} * h + {b}) % {dedup.MH_MOD})) AS mh{p}"
+        for p, (a, b) in enumerate(dedup.MH_COEFFS[:n_perms])
     )
     buckets = ", ".join(
         duck_md5_long(
@@ -513,8 +511,12 @@ def _o_dedup_minhash() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, list_distinct({grams}) AS shingles FROM documents
+), hb AS (
+  SELECT doc_id,
+         list_transform(shingles, s -> ({duck_md5_long('s')} % {dedup.MH_MOD})) AS hbase
+  FROM sh
 ), sig AS (
-  SELECT doc_id, {mh_cols} FROM sh
+  SELECT doc_id, {mh_cols} FROM hb
 ), bl AS (
   SELECT doc_id, [{buckets}] AS bs FROM sig
 ), bidx AS (
