@@ -1,0 +1,96 @@
+"""Structured Streaming surface of the encode engine.
+
+The reference's only streaming construct is a pull-based console loop
+(``/root/reference/demo/avroidl2parquet.fsx:191-420``, A30): generate n events,
+flatten, upload, repeat until a key press. Its Spark re-expression is
+``foreachBatch`` — each micro-batch runs the same batch encode pipeline into a
+batch-scoped output directory, so the per-partition checkpoint/resume
+semantics of :mod:`..operators.encode` apply within every batch, and Spark's
+own streaming checkpoint replaces the reference's monotonic Delta-commit-index
+discovery (A29, ``README.md:608-701``).
+
+Also provided: an event-time windowed aggregation with a watermark
+(``token_window_counts``) — the streaming analog of the manifest's per-source
+statistics, demonstrating late-data handling the reference has no notion of.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.encode import encode_tokens
+from ..schema import TOKENS_SCHEMA
+
+
+def read_token_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of token-table parquet drops (schema-validated)."""
+    reader = spark.readStream.schema(TOKENS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def encode_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                  n_parts: int = 64, available_now: bool = False):
+    """Encode a token stream micro-batch-wise via foreachBatch.
+
+    Each batch encodes into ``out_dir/batch=<id>`` — batch-scoped so the
+    engine's own part-level checkpoint markers never collide across batches;
+    exactly-once delivery comes from Spark's streaming checkpoint (a replayed
+    batch re-encodes into the same directory and the part markers make the
+    replay idempotent, the A29 optimistic-retry analog).
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_tokens(batch_df, os.path.join(out_dir, f"batch={batch_id}"),
+                      n_parts=n_parts)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def token_window_counts(stream: DataFrame, window: str = "1 hour",
+                        watermark: str = "2 hours",
+                        ts_col: str = "event_time") -> DataFrame:
+    """Event-time tumbling-window token statistics with late-data watermark.
+
+    Input must carry an ``event_time`` timestamp column (a batch token table
+    has none — the caller stamps arrival or parses it from doc_id).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "source",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+def decoded_batches_dir(out_dir: str) -> list[str]:
+    """Batch output dirs written by ``encode_stream`` (sorted by batch id)."""
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch=")
+    )

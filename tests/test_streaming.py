@@ -1,0 +1,61 @@
+"""Structured Streaming tests: foreachBatch encode with availableNow, and the
+watermarked windowed aggregation (SURVEY.md Part B streaming row)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import (
+    decode_tokens,
+    verify_roundtrip,
+)
+from pandora_apache_avro_idl_to_apache_parquet_spark.sources.tokens import synthesize_tokens
+from pandora_apache_avro_idl_to_apache_parquet_spark.streaming.pipeline import (
+    decoded_batches_dir,
+    encode_stream,
+    read_token_stream,
+    token_window_counts,
+)
+
+N = 800
+
+
+def test_encode_stream_available_now(spark, tmp_path):
+    src_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "enc")
+    ckpt = str(tmp_path / "ckpt")
+    # two file drops -> at least one micro-batch each with maxFilesPerTrigger=1
+    df = synthesize_tokens(spark, N, seed=42).cache()
+    df.filter(F.crc32(F.col("doc_id")) % 2 == 0).write.parquet(src_dir)
+    df.filter(F.crc32(F.col("doc_id")) % 2 == 1).write.mode("append").parquet(src_dir)
+
+    stream = read_token_stream(spark, src_dir, max_files_per_trigger=1)
+    q = encode_stream(stream, out_dir, ckpt, n_parts=4, available_now=True)
+    q.awaitTermination(120)
+
+    batches = decoded_batches_dir(out_dir)
+    assert batches, "no batch outputs written"
+    decoded = None
+    for b in batches:
+        d = decode_tokens(spark, b)
+        decoded = d if decoded is None else decoded.union(d)
+    assert decoded.count() == N
+    assert verify_roundtrip(df, decoded).count() == 0
+    df.unpersist()
+
+
+def test_token_window_counts_batch_semantics(spark):
+    # windowed agg is testable in batch mode (same plan, no trigger)
+    df = synthesize_tokens(spark, 200, seed=7).withColumn(
+        "event_time",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(mins=(F.crc32("doc_id") % 180).cast("int")),
+    )
+    out = token_window_counts(df, window="1 hour", watermark="2 hours")
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 200
+    starts = {r["window_start"].minute for r in rows}
+    assert starts == {0}  # tumbling windows aligned to the hour
+    spans = {(r["window_end"] - r["window_start"]).total_seconds() for r in rows}
+    assert spans == {3600.0}
