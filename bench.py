@@ -82,7 +82,6 @@ def main() -> None:
     timings["decode_tokens"] = round(dec_sec, 3)
     assert n_dec == n_tokens, f"decode token total {n_dec} != {n_tokens}"
     src.unpersist()
-    shutil.rmtree(out, ignore_errors=True)
 
     # ---- breadth queries over the sf-dir tables ----
     for name in BENCH_QUERIES:
@@ -111,6 +110,9 @@ def main() -> None:
         )
     )
     spark.stop()
+    # cleanup last: deletes trigger TRIM storms on discard-mounted filesystems
+    # and must never overlap a timed section
+    shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -31,7 +31,12 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="token table path (parquet dir or table name)")
     p.add_argument("--synth", type=int, help="synthesize N rows instead of reading input")
+    p.add_argument("--stage-dir", help="with --synth: write the synthetic table to this "
+                   "parquet dir first (untimed) and encode from the scan, so the timed "
+                   "section measures encode of a stored table, not generation")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--stage-only", action="store_true",
+                   help="with --synth/--stage-dir: write the staged table and exit")
     p.add_argument("--out", required=True)
     p.add_argument("--n-parts", type=int, default=64)
     p.add_argument("--chunk-rows", type=int, default=4096)
@@ -53,6 +58,13 @@ def main() -> int:
 
     if args.synth:
         src = synthesize_tokens(spark, args.synth, seed=args.seed)
+        if args.stage_dir:
+            src.write.mode("overwrite").parquet(args.stage_dir)
+            if args.stage_only:
+                print(json.dumps({"staged": args.stage_dir, "rows": args.synth}))
+                spark.stop()
+                return 0
+            src = scan_tokens(spark, args.stage_dir)
     elif args.input:
         src = scan_tokens(spark, args.input)
     else:

@@ -68,6 +68,29 @@ def decode_tokens(spark: SparkSession, out_dir: str) -> DataFrame:
     return chunks.mapInArrow(_decode_batches, schema=TOKENS_SCHEMA)
 
 
+def lookup_docs(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
+    """Selective decode: fetch specific documents without scanning every chunk.
+
+    Chunk pruning via the manifest's ``doc_id_min``/``doc_id_max`` zone map:
+    rows inside a chunk are sorted by doc_id (the encode kernel sorts before
+    chunking), so a chunk can contain a wanted doc only if
+    ``doc_id_min <= id <= doc_id_max``. The predicate lands in the parquet
+    scan (PushedFilters on the min/max columns), payloads of pruned chunks are
+    never read, and only surviving chunks are decoded — the point-lookup path
+    the reference's one-file-per-table layout cannot offer.
+    """
+    chunks = read_chunks(spark, out_dir)
+    cond = None
+    for d in doc_ids:
+        c = (F.lit(d) >= F.col("doc_id_min")) & (F.lit(d) <= F.col("doc_id_max"))
+        cond = c if cond is None else (cond | c)
+    hit = chunks.filter(cond).select(
+        "doc_id_payload", "source_payload", "lengths_payload", "values_payload"
+    )
+    decoded = hit.mapInArrow(_decode_batches, schema=TOKENS_SCHEMA)
+    return decoded.filter(F.col("doc_id").isin(doc_ids))
+
+
 def verify_roundtrip(src: DataFrame, decoded: DataFrame) -> DataFrame:
     """Rows violating the bit-identical invariant (empty DataFrame == pass).
 

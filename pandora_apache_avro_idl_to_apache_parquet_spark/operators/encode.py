@@ -219,8 +219,10 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
                                      fail_parts=fail_parts)
 
     result = keyed.groupBy("part_id").applyInPandas(kernel, schema=manifest_struct)
-    # force execution; the manifest of record is re-derived from the data files
-    result.write.mode("overwrite").parquet(os.path.join(out_dir, "_attempt_manifest"))
+    # force execution with a no-file action: the manifest of record is the
+    # chunk files themselves, and writing (then overwriting) an attempt
+    # manifest would churn deletes — expensive on discard-mounted filesystems
+    result.write.format("noop").mode("overwrite").save()
     return read_manifest(spark, out_dir)
 
 

@@ -1,0 +1,215 @@
+"""Generic schema-driven flatten-to-extension-tables — the reference's core.
+
+The reference walks an Avro schema and rewrites nested shapes into child
+tables linked by synthetic keys (``/root/reference/.../Pandora/Apache/
+Avro.fs:203-847`` rewrites A5-A8; ``Parquet.fs:768-1039`` populate/popuArray/
+popuMap A14-A16), every row carrying the six ``pj_*`` system columns
+(``Parquet.fs:444-467``). This module re-expresses that contract over ANY
+Spark DataFrame with nested ``StructType``/``ArrayType``/``MapType`` columns,
+declaratively (select/explode — Catalyst prunes and pipelines; no RDDs):
+
+* struct column      → child table, tag ``record``   (reference: plain RECORD,
+  recursive ``populate`` with pid=uid, fid=field, ``Parquet.fs:834-847``)
+* array<primitive>   → child ``{item}``, tag ``array``  (A6/A15)
+* array<struct>      → child table per element, tag ``array``  (A5/A15)
+* map<k,v>           → child ``{key, value}``, tag ``map``  (A7/A16)
+* primitive columns  → stay in the parent table  (A11 projection)
+
+Lineage columns (deterministic — the reference's random GUID ``pj_uid``,
+``Parquet.fs:778``, is replaced by a content-addressed row id so the output
+is reproducible and joins are still exact):
+
+| column  | reference analog | meaning |
+|---|---|---|
+| ``pj_uid`` | ``pj_uid``  | row id: xxhash64 of (table, parent uid, position) |
+| ``pj_pid`` | ``pj_pid``  | parent row's ``pj_uid`` (null at root) |
+| ``pj_fid`` | ``pj_fid``  | field name in the parent that spawned this row |
+| ``pj_pos`` | —           | element index (arrays) / null (maps, structs) |
+
+Join contract: ``child.pj_pid = parent.pj_uid`` filtered by ``pj_fid``
+(``/root/reference/README.md:95-102``). Table naming mirrors the reference's
+PascalCase synthesis (``Avro.fs:21-25, 291-404``): ``Parent.field``.
+
+Like the reference (which only materializes primitive fields per table and
+sorts them by FQDN, ``Parquet.fs:639-660``), output tables contain the
+system columns first, then the primitive columns sorted by name — golden-test
+stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+SYSTEM_COLS = ["pj_uid", "pj_pid", "pj_fid", "pj_pos"]
+
+
+def _is_primitive(dt: T.DataType) -> bool:
+    return not isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
+def _uid(table: str, pid_col, pos_col) -> F.Column:
+    """Deterministic row id: hash of (table, parent uid, position)."""
+    return F.xxhash64(F.lit(table), F.coalesce(pid_col, F.lit(-1)), pos_col)
+
+
+def flatten_table(df: DataFrame, root_name: str = "Root",
+                  max_depth: int = 8,
+                  uid_expr: str | F.Column | None = None) -> dict[str, DataFrame]:
+    """Explode a nested DataFrame into ``{table_name: DataFrame}`` extension
+    tables with lineage columns.
+
+    ``uid_expr``: expression yielding a per-row long that seeds the root
+    ``pj_uid`` — pass a natural key hash whenever one exists. The fallback is
+    ``monotonically_increasing_id``, which is only stable within one
+    materialization: parent and child tables are separate lazy plans, so with
+    the fallback the caller must cache ``df`` (or persist the outputs) before
+    joining them — the same caveat Spark documents for any nondeterministic
+    expression reused across plans. A natural-key hash has no such footgun.
+
+    Cycle safety: Spark schemas are trees (no self-references, unlike Avro's
+    named-type cycles the reference guards with ``isReference``,
+    ``Avro.fs:849-856``), so ``max_depth`` is a plain recursion bound.
+    """
+    out: dict[str, DataFrame] = {}
+    if uid_expr is None:
+        uid = F.monotonically_increasing_id()
+    elif isinstance(uid_expr, str):
+        uid = F.expr(uid_expr)
+    else:
+        uid = uid_expr
+    root = df.select(
+        _uid(root_name, F.lit(None).cast("long"), uid).alias("pj_uid"),
+        F.lit(None).cast("long").alias("pj_pid"),
+        F.lit(None).cast("string").alias("pj_fid"),
+        F.lit(None).cast("int").alias("pj_pos"),
+        "*",
+    )
+    _flatten(root, root_name, out, max_depth)
+    return out
+
+
+def _project(df: DataFrame, table: str, out: dict[str, DataFrame]) -> None:
+    prims = sorted(
+        f.name for f in df.schema.fields
+        if f.name not in SYSTEM_COLS and _is_primitive(f.dataType)
+    )
+    out[table] = df.select(*SYSTEM_COLS, *prims)
+
+
+def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -> None:
+    if depth <= 0:
+        raise ValueError(f"nesting deeper than bound at table {table}")
+    _project(df, table, out)
+    for field in df.schema.fields:
+        name, dt = field.name, field.dataType
+        if name in SYSTEM_COLS or _is_primitive(dt):
+            continue
+        child_tbl = f"{table}.{name[:1].upper()}{name[1:]}"
+        parent_keys = [
+            F.col("pj_uid").alias("__parent_uid"),
+        ]
+        if isinstance(dt, T.StructType):
+            # plain nested record: one child row per non-null struct (A14
+            # recursion with pid=uid, fid=key)
+            child = (
+                df.filter(F.col(name).isNotNull())
+                .select(*parent_keys, F.col(name).alias("__v"))
+                .select(
+                    _uid(child_tbl, F.col("__parent_uid"), F.lit(0)).alias("pj_uid"),
+                    F.col("__parent_uid").alias("pj_pid"),
+                    F.lit(name).alias("pj_fid"),
+                    F.lit(None).cast("int").alias("pj_pos"),
+                    F.col("__v.*"),
+                )
+            )
+        elif isinstance(dt, T.ArrayType):
+            elem = dt.elementType
+            exploded = df.select(
+                *parent_keys, F.posexplode(F.col(name)).alias("__pos", "__v")
+            )
+            body = (
+                [F.col("__v.*")]
+                if isinstance(elem, T.StructType)
+                else [F.col("__v").alias("item")]  # A6 synthesized {item} record
+            )
+            child = exploded.select(
+                _uid(child_tbl, F.col("__parent_uid"), F.col("__pos")).alias("pj_uid"),
+                F.col("__parent_uid").alias("pj_pid"),
+                F.lit(name).alias("pj_fid"),
+                F.col("__pos").alias("pj_pos"),
+                *body,
+            )
+        elif isinstance(dt, T.MapType):
+            exploded = df.select(
+                *parent_keys, F.posexplode(F.map_entries(F.col(name))).alias("__pos", "__kv")
+            )
+            val = dt.valueType
+            body = [F.col("__kv.key").alias("key")] + (
+                [F.col("__kv.value.*")]
+                if isinstance(val, T.StructType)
+                else [F.col("__kv.value").alias("value")]  # A7 {key, value} record
+            )
+            child = exploded.select(
+                _uid(child_tbl, F.col("__parent_uid"), F.col("__pos")).alias("pj_uid"),
+                F.col("__parent_uid").alias("pj_pid"),
+                F.lit(name).alias("pj_fid"),
+                F.col("__pos").alias("pj_pos"),
+                *body,
+            )
+        else:  # pragma: no cover
+            continue
+        _flatten(child, child_tbl, out, depth - 1)
+
+
+def reassemble_array(parent: DataFrame, child: DataFrame, fid: str,
+                     item_col: str = "item", out_col: str | None = None) -> DataFrame:
+    """Inverse of the array explode: regroup child ``{item}`` rows back onto
+    their parent as an array column, ordered by ``pj_pos`` — the reference's
+    parent/child recombination contract (``child.pj_pid = parent.pj_uid`` +
+    ``pj_fid`` filter) executed as a join + sorted collect."""
+    out_col = out_col or fid
+    items = (
+        child.filter(F.col("pj_fid") == fid)
+        .groupBy("pj_pid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pj_pos").alias("p"),
+                                            F.col(item_col).alias("v")))
+                ),
+                lambda s: s["v"],
+            ).alias(out_col)
+        )
+    )
+    joined = parent.join(items, parent["pj_uid"] == items["pj_pid"], "left").drop(
+        items["pj_pid"]
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast(items.schema[out_col].dataType))
+    )
+
+
+def schema_dot(tables: dict[str, DataFrame]) -> str:
+    """ER diagram of the flattened tables as Graphviz dot — the A31 analog
+    (``demo/avroidl2dot.fsx``): one node per table listing its columns, one
+    edge per parent→child link labeled with the spawning field."""
+    lines = ["digraph tables {", "  node [shape=record];"]
+    for name, df in sorted(tables.items()):
+        cols = "|".join(
+            f"{f.name}: {f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.name not in SYSTEM_COLS
+        )
+        safe = name.replace(".", "_")
+        lines.append(f'  {safe} [label="{{{name}|{cols}}}"];')
+    for name in sorted(tables):
+        if "." in name:
+            parent = name.rsplit(".", 1)[0]
+            fid = name.rsplit(".", 1)[1]
+            lines.append(
+                f'  {parent.replace(".", "_")} -> {name.replace(".", "_")} '
+                f'[label="{fid[0].lower()}{fid[1:]} (1-n)"];'
+            )
+    lines.append("}")
+    return "\n".join(lines)

@@ -760,6 +760,69 @@ FROM g ORDER BY doc_id
 """
 
 
+# ------------------------------------------- nested flatten + JSON scalars
+
+
+def q_nested_flatten_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the generic flatten-to-extension-tables machinery (operators/
+    nested.py, the reference's A14/A15 contract) end-to-end: nest documents
+    into (struct meta, array words), flatten into parent + child tables with
+    lineage, then recombine via the ``child.pj_pid = parent.pj_uid`` join —
+    the exact join contract the reference documents (README.md:95-102)."""
+    from .operators import nested
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        F.expr(_WORDS).alias("words"),
+    )
+    tables = nested.flatten_table(
+        docs, root_name="Doc", uid_expr=spark_md5_long("cast(doc_id as string)")
+    )
+    root, words = tables["Doc"], tables["Doc.Words"]
+    return (
+        words.join(root.select("pj_uid", "doc_id"), words.pj_pid == root.pj_uid)
+        .select("doc_id", F.col("pj_pos").alias("pos"), F.col("item").alias("word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+O_NESTED_FLATTEN_WORDS = f"""
+WITH w AS (
+  SELECT doc_id, {_DUCK_WORDS} AS words FROM documents
+), idx AS (
+  SELECT doc_id, words, unnest(generate_series(1, len(words))) AS i FROM w
+)
+SELECT doc_id, (i - 1)::INTEGER AS pos, words[i] AS word FROM idx
+ORDER BY doc_id, pos
+"""
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (A22/A26 analog) + aggregation over events."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+O_JSON_PROPS_STATS = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       sum(json_extract(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::INTEGER) AS min_k,
+       max(json_extract(props, '$.k')::INTEGER) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -817,6 +880,9 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (q_text_langid, _o_text_langid()),
     "text_token_counts": (q_text_token_counts, O_TEXT_TOKEN_COUNTS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    # nested flatten + JSON scalars
+    "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
+    "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
     # multimodal plumbing
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
 }
