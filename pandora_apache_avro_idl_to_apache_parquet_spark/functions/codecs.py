@@ -35,6 +35,7 @@ FOR = 2
 RLE = 3
 DICT = 4
 GROUPED = 5
+DELTA = 6
 STR_PLAIN = 10
 STR_DICT = 11
 STR_FSST = 12
@@ -42,7 +43,7 @@ STR_FSST = 12
 DT_INT32 = 0
 DT_BYTES = 1
 
-INT_CODECS = (PLAIN, BITPACK, FOR, RLE, DICT)
+INT_CODECS = (PLAIN, BITPACK, FOR, RLE, DICT, DELTA)
 STR_CODECS = (STR_PLAIN, STR_DICT, STR_FSST)
 
 CODEC_NAMES = {
@@ -52,6 +53,7 @@ CODEC_NAMES = {
     RLE: "rle",
     DICT: "dict",
     GROUPED: "grouped",
+    DELTA: "delta",
     STR_PLAIN: "plain",
     STR_DICT: "dict",
     STR_FSST: "fsst",
@@ -223,10 +225,35 @@ def _dec_dict_i32(body: bytes, n: int) -> np.ndarray:
     return uniq[inv] if n else uniq[:0]
 
 
+def _enc_delta_i32(a: np.ndarray) -> bytes:
+    """Delta: first value as i64, then FOR-packed consecutive differences —
+    wins on sorted/near-monotone streams (offsets, row ids) where raw FOR
+    still pays the full value range."""
+    if len(a) == 0:
+        return struct.pack("<q", 0) + _enc_for_i32(a)
+    a64 = a.astype(np.int64, copy=False)
+    diffs = np.diff(a64)
+    if len(diffs) and (diffs.max() > 2**31 - 1 or diffs.min() < -(2**31)):
+        return None  # diff overflow (int32 extremes); other codecs cover this
+    return struct.pack("<q", int(a64[0])) + _enc_for_i32(diffs.astype(np.int32))
+
+
+def _dec_delta_i32(body: bytes, n: int) -> np.ndarray:
+    (first,) = struct.unpack_from("<q", body, 0)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    diffs = _dec_for_i32(body[8:], n - 1).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    np.cumsum(diffs, out=out[1:]) if n > 1 else None
+    out[1:] += first
+    return out.astype(np.int32)
+
+
 _INT_ENC = {PLAIN: _enc_plain_i32, BITPACK: _enc_bitpack_i32, FOR: _enc_for_i32,
-            RLE: _enc_rle_i32, DICT: _enc_dict_i32}
+            RLE: _enc_rle_i32, DICT: _enc_dict_i32, DELTA: _enc_delta_i32}
 _INT_DEC = {PLAIN: _dec_plain_i32, BITPACK: _dec_bitpack_i32, FOR: _dec_for_i32,
-            RLE: _dec_rle_i32, DICT: _dec_dict_i32}
+            RLE: _dec_rle_i32, DICT: _dec_dict_i32, DELTA: _dec_delta_i32}
 
 
 def encode_int32(a: np.ndarray, codec: int) -> bytes | None:

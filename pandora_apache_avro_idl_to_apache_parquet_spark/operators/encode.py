@@ -223,7 +223,106 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
     # chunk files themselves, and writing (then overwriting) an attempt
     # manifest would churn deletes — expensive on discard-mounted filesystems
     result.write.format("noop").mode("overwrite").save()
+    write_commit_log(out_dir, pds)
     return read_manifest(spark, out_dir)
+
+
+PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 1, "payloadFormat": 2}
+
+
+def write_commit_log(out_dir: str, pds: date) -> str | None:
+    """Numbered-JSONL commit log — the A28/A29 analog of the reference's
+    ``_delta_log`` writer (``/root/reference/.../Pandora/Databricks/
+    DeltaLake.fs:176-444``): a ``_log/<%020d>.json`` file holding one
+    ``protocol`` line, one ``metaData`` line (schema + partition column), and
+    one ``add`` line per data file (path, size, sha256, partitionValues).
+
+    Index discovery mirrors the reference's fold-max-plus-one over existing
+    numeric filenames (``README.md:608-645``); the write is optimistic —
+    ``O_CREAT|O_EXCL`` plays the role of the reference's upload-
+    with-overwrite=false, and on collision (concurrent committer) the next
+    index is retried. Only files not yet referenced by earlier log entries are
+    added, so re-running after resume appends exactly the new files.
+    """
+    from ..schema import CHUNK_SCHEMA
+
+    data_dir, log_dir = _data_dir(out_dir), os.path.join(out_dir, "_log")
+    if not os.path.isdir(data_dir):
+        return None
+    os.makedirs(log_dir, exist_ok=True)
+    committed: set[str] = set()
+    indices = []
+    for f in sorted(os.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        indices.append(int(f[:-5]))
+        with open(os.path.join(log_dir, f)) as fh:
+            for line in fh:
+                entry = json.loads(line)
+                if "add" in entry:
+                    committed.add(entry["add"]["path"])
+    new_files = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet") and f not in committed
+    )
+    if not new_files:
+        return None
+    lines = [
+        json.dumps({"protocol": PROTOCOL}),
+        json.dumps(
+            {
+                "metaData": {
+                    "schemaString": CHUNK_SCHEMA.json(),
+                    "partitionColumns": ["pds"],
+                    "format": {"provider": "parquet"},
+                }
+            }
+        ),
+    ]
+    import hashlib
+
+    for f in new_files:
+        path = os.path.join(data_dir, f)
+        with open(path, "rb") as fh:
+            sha = hashlib.sha256(fh.read()).hexdigest()
+        lines.append(
+            json.dumps(
+                {
+                    "add": {
+                        "path": f,
+                        "size": os.path.getsize(path),
+                        "sha256": sha,
+                        "partitionValues": {"pds": pds.isoformat()},
+                        "dataChange": True,
+                        "modificationTime": int(os.path.getmtime(path) * 1000),
+                    }
+                }
+            )
+        )
+    payload = "\n".join(lines) + "\n"
+    idx = (max(indices) + 1) if indices else 0
+    while True:  # optimistic retry on index collision (A29)
+        target = os.path.join(log_dir, f"{idx:020d}.json")
+        try:
+            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            idx += 1
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return target
+
+
+def read_commit_log(out_dir: str) -> list[dict]:
+    """All committed entries across the numbered log files, in order."""
+    log_dir = os.path.join(out_dir, "_log")
+    entries: list[dict] = []
+    if not os.path.isdir(log_dir):
+        return entries
+    for f in sorted(os.listdir(log_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                entries.extend(json.loads(line) for line in fh)
+    return entries
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:

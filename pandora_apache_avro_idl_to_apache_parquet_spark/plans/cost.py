@@ -32,7 +32,7 @@ def select_int_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
     s = a[: min(n, sample)]
     scale = n / len(s)
     best_codec, best_est = C.PLAIN, 4.0 * n
-    for codec in (C.BITPACK, C.FOR, C.RLE, C.DICT):
+    for codec in (C.BITPACK, C.FOR, C.RLE, C.DICT, C.DELTA):
         enc = C.encode_int32(s, codec)
         if enc is None:
             continue

@@ -36,7 +36,13 @@ def test_int_codec_roundtrip(name, codec):
     a = INT_CASES[name]
     buf = C.encode_int32(a, codec)
     if buf is None:
-        assert codec == C.BITPACK and len(a) and a.min() < 0  # only inapplicability
+        # only two inapplicabilities exist: bitpack on negatives, delta on
+        # diff-overflowing extremes
+        assert (codec == C.BITPACK and len(a) and a.min() < 0) or (
+            codec == C.DELTA and len(a) > 1
+            and (np.diff(a.astype(np.int64)).max() > 2**31 - 1
+                 or np.diff(a.astype(np.int64)).min() < -(2**31))
+        )
         return
     assert np.array_equal(C.decode_int32(buf), a)
 

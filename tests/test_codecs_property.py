@@ -1,0 +1,92 @@
+"""Property-based codec round-trip tests (hypothesis) — every int32 stream and
+every string stream must round-trip bit-identically through every applicable
+codec and through the auto-selectors. Complements the crafted-array tests in
+test_codecs.py with adversarial random structure."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.functions import codecs as C
+from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import (
+    encode_values,
+    select_int_codec,
+    select_str_codec,
+)
+
+int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@st.composite
+def int_arrays(draw):
+    kind = draw(st.sampled_from(["random", "runs", "sorted", "small", "const"]))
+    n = draw(st.integers(min_value=0, max_value=500))
+    if kind == "random":
+        vals = draw(st.lists(int32s, min_size=n, max_size=n))
+        return np.array(vals, dtype=np.int32)
+    if kind == "runs":
+        runs = draw(st.lists(st.tuples(int32s, st.integers(1, 50)),
+                             min_size=0, max_size=20))
+        return np.concatenate(
+            [np.full(c, v, np.int32) for v, c in runs] or [np.zeros(0, np.int32)]
+        )
+    if kind == "sorted":
+        vals = sorted(draw(st.lists(int32s, min_size=n, max_size=n)))
+        return np.array(vals, dtype=np.int32)
+    if kind == "small":
+        vals = draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        return np.array(vals, dtype=np.int32)
+    return np.full(n, draw(int32s), dtype=np.int32)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=int_arrays(), codec=st.sampled_from(C.INT_CODECS))
+def test_int_codec_roundtrip(a, codec):
+    enc = C.encode_int32(a, codec)
+    if enc is None:  # codec inapplicable (e.g. bitpack on negatives)
+        return
+    assert np.array_equal(C.decode_int32(enc), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=int_arrays())
+def test_select_int_roundtrip_and_bounded(a):
+    enc = select_int_codec(a)
+    assert np.array_equal(C.decode_int32(enc), a)
+    assert len(enc) <= 4 * len(a) + 64  # never meaningfully worse than plain
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    lengths=st.lists(st.integers(0, 20), min_size=0, max_size=60),
+    data=st.data(),
+)
+def test_grouped_roundtrip(lengths, data):
+    lengths = np.array(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    vals = data.draw(st.lists(int32s, min_size=total, max_size=total))
+    values = np.array(vals, dtype=np.int32)
+    enc = encode_values(values, lengths)
+    if C.payload_codec_name(enc) == "grouped":
+        out = C.decode_int32_grouped(enc, lengths)
+    else:
+        out = C.decode_int32(enc)
+    assert np.array_equal(out, values)
+
+
+@settings(max_examples=40, deadline=None)
+@given(strings=st.lists(st.text(alphabet=st.characters(codec="ascii"),
+                                max_size=30), max_size=50))
+def test_string_codecs_roundtrip(strings):
+    import pyarrow as pa
+
+    arr = pa.array(strings, type=pa.string())
+    lengths, blob = C.strings_to_blob(arr)
+    for codec in C.STR_CODECS:
+        enc = C.encode_strings(lengths, blob, codec)
+        if enc is None:
+            continue
+        l2, b2 = C.decode_strings(enc)
+        assert np.array_equal(np.asarray(l2), np.asarray(lengths)) and b2 == blob
+    enc = select_str_codec(lengths, blob)
+    l2, b2 = C.decode_strings(enc)
+    assert np.array_equal(np.asarray(l2), np.asarray(lengths)) and b2 == blob

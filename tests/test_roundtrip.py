@@ -116,3 +116,30 @@ def test_scan_tokens_validates_schema(spark, tmp_path):
     spark.range(10).write.parquet(bad)
     with pytest.raises(ValueError):
         scan_tokens(spark, bad)
+
+
+def test_commit_log_protocol(spark, token_df, encoded):
+    """A28/A29 analog: numbered JSONL log lists every data file exactly once,
+    append-only across resumed runs, optimistic index collision-safe."""
+    import json
+    from datetime import date
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import (
+        read_commit_log,
+        write_commit_log,
+    )
+
+    out, _ = encoded
+    entries = read_commit_log(out)
+    kinds = [next(iter(e)) for e in entries]
+    assert kinds.count("protocol") == 1 and kinds.count("metaData") == 1
+    adds = [e["add"] for e in entries if "add" in e]
+    files = sorted(f for f in os.listdir(os.path.join(out, "data")) if f.endswith(".parquet"))
+    assert sorted(a["path"] for a in adds) == files
+    for a in adds:
+        assert a["size"] == os.path.getsize(os.path.join(out, "data", a["path"]))
+        assert len(a["sha256"]) == 64
+        assert a["partitionValues"]["pds"] == "2026-01-01"
+    # idempotent: nothing new to commit -> no new log file
+    assert write_commit_log(out, date(2026, 1, 1)) is None
+    assert read_commit_log(out) == entries
