@@ -86,7 +86,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v1"
+_FORMAT_TAG = "v2"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -823,6 +823,46 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- streaming
+
+
+def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: drop the derived token table as parquet
+    files, consume with a file-source stream (availableNow), encode each
+    micro-batch via foreachBatch, decode every batch output and return
+    per-source totals. Rows-only check (streaming execution is not
+    SQL-expressible), but totals must equal the batch derivation's."""
+    import tempfile
+
+    from .operators.decode import decode_tokens
+    from .streaming.pipeline import encode_stream, read_token_stream
+
+    work = tempfile.mkdtemp(prefix="stream_q_")
+    src_dir, out_dir, ckpt = f"{work}/drops", f"{work}/enc", f"{work}/ckpt"
+    derived_tokens(spark, sf_dir).write.parquet(src_dir)
+    stream = read_token_stream(spark, src_dir)
+    q = encode_stream(stream, out_dir, ckpt, n_parts=4, available_now=True)
+    q.awaitTermination(300)
+    from .streaming.pipeline import decoded_batches_dir
+
+    decoded = None
+    for b in decoded_batches_dir(out_dir):
+        d = decode_tokens(spark, b)
+        decoded = d if decoded is None else decoded.union(d)
+    return (
+        decoded.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("source")
+    )
+
+
+O_STREAMING_ENCODE = f"""
+WITH {DUCK_TOKS}
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -880,6 +920,8 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (q_text_langid, _o_text_langid()),
     "text_token_counts": (q_text_token_counts, O_TEXT_TOKEN_COUNTS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    # streaming (oracled: stream totals must equal the batch derivation)
+    "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
     "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
