@@ -97,3 +97,17 @@ if __name__ == "__main__":
     with open(os.path.join(GOLDEN_DIR, "codec_choices.md"), "w") as fh:
         fh.write(codec_choices_md(spark))
     print("goldens regenerated under", GOLDEN_DIR)
+
+
+def test_decode_plan_is_shuffle_free(spark, tmp_path):
+    """Decode must be a straight scan -> mapInArrow pipeline: no Exchange in
+    the executed plan (chunks are self-describing, so no repartitioning is
+    ever needed to reassemble them)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import decode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import encode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.tokens import synthesize_tokens
+
+    out = str(tmp_path / "enc")
+    encode_tokens(synthesize_tokens(spark, 200, seed=3), out, n_parts=2)
+    plan = decode_tokens(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"decode plan shuffles:\n{plan}"
