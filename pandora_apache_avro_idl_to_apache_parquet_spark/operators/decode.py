@@ -68,6 +68,47 @@ def decode_tokens(spark: SparkSession, out_dir: str) -> DataFrame:
     return chunks.mapInArrow(_decode_batches, schema=TOKENS_SCHEMA)
 
 
+def _tokens_only_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    schema = pa.schema(
+        [pa.field("tokens", pa.list_(pa.int32()), False),
+         pa.field("n_tok", pa.int32(), False)]
+    )
+    for batch in it:
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        for i in range(batch.num_rows):
+            lengths = C.decode_int32(cols["lengths_payload"][i].as_py())
+            vbuf = cols["values_payload"][i].as_py()
+            if C.payload_codec_name(vbuf) == "grouped":
+                values = C.decode_int32_grouped(vbuf, lengths)
+            else:
+                values = C.decode_int32(vbuf)
+            offs = np.zeros(len(lengths) + 1, dtype=np.int32)
+            np.cumsum(lengths, out=offs[1:])
+            tokens = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                              pa.array(values, pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [tokens.cast(pa.list_(pa.int32())), pa.array(lengths, pa.int32())],
+                schema=schema,
+            )
+
+
+def decode_values_only(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Column-pruned decode: only the ``lengths`` and ``values`` payloads are
+    read and decoded — the doc_id/source string payloads never leave parquet
+    (their columns are pruned at the scan). The intra-format analog of
+    Catalyst's column pruning, for token-statistics workloads that don't need
+    identities."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import ArrayType
+
+    chunks = read_chunks(spark, out_dir).select("lengths_payload", "values_payload")
+    schema = StructType(
+        [StructField("tokens", ArrayType(IntegerType(), False), False),
+         StructField("n_tok", IntegerType(), False)]
+    )
+    return chunks.mapInArrow(_tokens_only_batches, schema=schema)
+
+
 def lookup_docs(spark: SparkSession, out_dir: str, doc_ids: list[str]) -> DataFrame:
     """Selective decode: fetch specific documents without scanning every chunk.
 

@@ -195,6 +195,30 @@ FROM tok_rows GROUP BY source ORDER BY source
 """
 
 
+def q_values_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned decode path: token histogram moments computed from the
+    lengths/values payloads alone (string payloads never read)."""
+    from .operators.decode import decode_values_only
+
+    out = _encode_dir(spark, sf_dir)
+    df = decode_values_only(spark, out)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_tok").alias("n_values"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a, t) -> a + t)")).alias("token_sum"),
+        F.max(F.expr("array_max(tokens)")).alias("max_token"),
+    )
+
+
+O_VALUES_ONLY_STATS = f"""
+WITH {DUCK_TOKS}
+SELECT count(*)::BIGINT AS n_rows, sum(n_tok)::BIGINT AS n_values,
+       sum(coalesce(list_sum(tokens), 0))::BIGINT AS token_sum,
+       max(list_max(tokens)) AS max_token
+FROM toks
+"""
+
+
 # ------------------------------------------------------ relational coverage
 
 
@@ -447,6 +471,58 @@ WITH ev AS (
 )
 SELECT user_id, (max(session_idx) + 1)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based median/p90) per order priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_MEDIAN_ORDER_VALUE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_users_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate shape: per user, how many of their events exceed
+    their own average value (decorrelated into a window aggregate)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("user_avg", F.avg("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("value") > F.col("user_avg"), 1).otherwise(0)).alias(
+                "n_above_avg"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+O_USERS_ABOVE_OWN_AVG = """
+WITH w AS (
+  SELECT user_id, value, avg(value) OVER (PARTITION BY user_id) AS user_avg
+  FROM events WHERE user_id < 100
+)
+SELECT user_id, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN value > user_avg THEN 1 ELSE 0 END)::BIGINT AS n_above_avg
+FROM w GROUP BY user_id ORDER BY user_id
 """
 
 
@@ -893,6 +969,7 @@ QUERIES: dict[str, tuple] = {
     "token_stats_by_source": (q_token_stats_by_source, O_TOKEN_STATS_BY_SOURCE),
     "token_offsets": (q_token_offsets, O_TOKEN_OFFSETS),
     "dict_cardinality": (q_dict_cardinality, O_DICT_CARDINALITY),
+    "values_only_stats": (q_values_only_stats, O_VALUES_ONLY_STATS),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),
     "q3_top_revenue": (q_q3_top_revenue, O_Q3),
@@ -905,6 +982,8 @@ QUERIES: dict[str, tuple] = {
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
     "scalar_kitchen_sink": (q_scalar_kitchen_sink, O_SCALAR_KITCHEN_SINK),
+    "median_order_value": (q_median_order_value, O_MEDIAN_ORDER_VALUE),
+    "users_above_own_avg": (q_users_above_own_avg, O_USERS_ABOVE_OWN_AVG),
     # dedup
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _o_dedup_minhash()),
