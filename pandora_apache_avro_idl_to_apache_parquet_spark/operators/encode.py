@@ -250,62 +250,79 @@ def write_commit_log(out_dir: str, pds: date) -> str | None:
     if not os.path.isdir(data_dir):
         return None
     os.makedirs(log_dir, exist_ok=True)
-    committed: set[str] = set()
-    indices = []
-    for f in sorted(os.listdir(log_dir)):
-        if not f.endswith(".json"):
-            continue
-        indices.append(int(f[:-5]))
-        with open(os.path.join(log_dir, f)) as fh:
-            for line in fh:
-                entry = json.loads(line)
-                if "add" in entry:
-                    committed.add(entry["add"]["path"])
-    new_files = sorted(
-        f for f in os.listdir(data_dir) if f.endswith(".parquet") and f not in committed
-    )
-    if not new_files:
-        return None
-    lines = [
-        json.dumps({"protocol": PROTOCOL}),
-        json.dumps(
-            {
-                "metaData": {
-                    "schemaString": CHUNK_SCHEMA.json(),
-                    "partitionColumns": ["pds"],
-                    "format": {"provider": "parquet"},
-                }
-            }
-        ),
-    ]
-    import hashlib
 
-    for f in new_files:
-        path = os.path.join(data_dir, f)
-        with open(path, "rb") as fh:
-            sha = hashlib.sha256(fh.read()).hexdigest()
-        lines.append(
+    def _scan_log() -> tuple[set[str], list[int]]:
+        committed: set[str] = set()
+        indices: list[int] = []
+        for f in sorted(os.listdir(log_dir)):
+            if not f.endswith(".json"):
+                continue
+            indices.append(int(f[:-5]))
+            with open(os.path.join(log_dir, f)) as fh:
+                for line in fh:
+                    entry = json.loads(line)
+                    if "add" in entry:
+                        committed.add(entry["add"]["path"])
+        return committed, indices
+
+    def _build_payload(committed: set[str]) -> str | None:
+        new_files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet") and f not in committed
+        )
+        if not new_files:
+            return None
+        lines = [
+            json.dumps({"protocol": PROTOCOL}),
             json.dumps(
                 {
-                    "add": {
-                        "path": f,
-                        "size": os.path.getsize(path),
-                        "sha256": sha,
-                        "partitionValues": {"pds": pds.isoformat()},
-                        "dataChange": True,
-                        "modificationTime": int(os.path.getmtime(path) * 1000),
+                    "metaData": {
+                        "schemaString": CHUNK_SCHEMA.json(),
+                        "partitionColumns": ["pds"],
+                        "format": {"provider": "parquet"},
                     }
                 }
+            ),
+        ]
+        import hashlib
+
+        for f in new_files:
+            path = os.path.join(data_dir, f)
+            with open(path, "rb") as fh:
+                sha = hashlib.sha256(fh.read()).hexdigest()
+            lines.append(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": f,
+                            "size": os.path.getsize(path),
+                            "sha256": sha,
+                            "partitionValues": {"pds": pds.isoformat()},
+                            "dataChange": True,
+                            "modificationTime": int(os.path.getmtime(path) * 1000),
+                        }
+                    }
+                )
             )
-        )
-    payload = "\n".join(lines) + "\n"
+        return "\n".join(lines) + "\n"
+
+    committed, indices = _scan_log()
+    payload = _build_payload(committed)
+    if payload is None:
+        return None
     idx = (max(indices) + 1) if indices else 0
     while True:  # optimistic retry on index collision (A29)
         target = os.path.join(log_dir, f"{idx:020d}.json")
         try:
             fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            idx += 1
+            # a concurrent committer won this index: re-read the log so files
+            # it committed are dropped from our payload (exactly-once — the
+            # 'only files not yet referenced' invariant), then try next index
+            committed, indices = _scan_log()
+            payload = _build_payload(committed)
+            if payload is None:
+                return None
+            idx = max(idx + 1, (max(indices) + 1) if indices else 0)
             continue
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)

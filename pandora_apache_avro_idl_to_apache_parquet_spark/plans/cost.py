@@ -59,7 +59,14 @@ def encode_values(values: np.ndarray, lengths: np.ndarray) -> bytes:
     uniq = np.unique(gid[lengths > 0]) if len(gid) else np.zeros(0, np.int32)
     if len(uniq) <= 1:
         return select_int_codec(values)
-    return C.encode_int32_grouped(values, lengths, gid=gid)
+    grouped = C.encode_int32_grouped(values, lengths, gid=gid)
+    # size guard: a misclassified chunk must never encode larger than the
+    # whole-stream selection (mirrors select_int_codec's <=PLAIN guard)
+    if len(grouped) >= 4 * len(values) + 32:
+        whole = select_int_codec(values)
+        if len(whole) < len(grouped):
+            return whole
+    return grouped
 
 
 def select_str_codec(lengths: np.ndarray, blob: bytes,

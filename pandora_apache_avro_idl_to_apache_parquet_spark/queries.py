@@ -503,7 +503,10 @@ def q_users_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id")
     return (
-        ev.withColumn("user_avg", F.avg("value").over(w))
+        # round-before-filter determinism rule: the windowed mean is rounded to
+        # 9 decimals identically in both engines so a value within one ulp of
+        # its group mean can never flip the comparison
+        ev.withColumn("user_avg", F.round(F.avg("value").over(w), 9))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
@@ -517,7 +520,7 @@ def q_users_above_own_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_USERS_ABOVE_OWN_AVG = """
 WITH w AS (
-  SELECT user_id, value, avg(value) OVER (PARTITION BY user_id) AS user_avg
+  SELECT user_id, value, round(avg(value) OVER (PARTITION BY user_id), 9) AS user_avg
   FROM events WHERE user_id < 100
 )
 SELECT user_id, count(*)::BIGINT AS n_events,
@@ -908,18 +911,23 @@ def q_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch via foreachBatch, decode every batch output and return
     per-source totals. Rows-only check (streaming execution is not
     SQL-expressible), but totals must equal the batch derivation's."""
-    import tempfile
-
     from .operators.decode import decode_tokens
-    from .streaming.pipeline import encode_stream, read_token_stream
+    from .streaming.pipeline import decoded_batches_dir, encode_stream, read_token_stream
 
-    work = tempfile.mkdtemp(prefix="stream_q_")
+    # content-keyed work dir (like _encode_dir): repeated driver rounds reuse
+    # a completed run instead of accumulating unbounded /tmp state
+    key = hashlib.md5(f"{_FORMAT_TAG}:stream:{os.path.abspath(sf_dir)}".encode()).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"pandora_engine_stream_{key}")
     src_dir, out_dir, ckpt = f"{work}/drops", f"{work}/enc", f"{work}/ckpt"
-    derived_tokens(spark, sf_dir).write.parquet(src_dir)
-    stream = read_token_stream(spark, src_dir)
-    q = encode_stream(stream, out_dir, ckpt, n_parts=4, available_now=True)
-    q.awaitTermination(300)
-    from .streaming.pipeline import decoded_batches_dir
+    done_marker = f"{work}/_done"
+    if not os.path.exists(done_marker):
+        shutil.rmtree(work, ignore_errors=True)
+        derived_tokens(spark, sf_dir).write.parquet(src_dir)
+        stream = read_token_stream(spark, src_dir)
+        q = encode_stream(stream, out_dir, ckpt, n_parts=4, available_now=True)
+        q.awaitTermination(300)
+        with open(done_marker, "w") as fh:
+            fh.write("ok")
 
     decoded = None
     for b in decoded_batches_dir(out_dir):

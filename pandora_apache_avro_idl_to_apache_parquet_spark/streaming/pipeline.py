@@ -89,8 +89,10 @@ def decoded_batches_dir(out_dir: str) -> list[str]:
     """Batch output dirs written by ``encode_stream`` (sorted by batch id)."""
     if not os.path.isdir(out_dir):
         return []
-    return sorted(
+    return [
         os.path.join(out_dir, d)
-        for d in os.listdir(out_dir)
-        if d.startswith("batch=")
-    )
+        for d in sorted(
+            (d for d in os.listdir(out_dir) if d.startswith("batch=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+    ]
