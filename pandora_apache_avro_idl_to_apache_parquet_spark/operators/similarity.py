@@ -1,32 +1,40 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Brute-force cosine top-k as the exact baseline; a random-hyperplane
-LSH-bucketed variant as the scale path (search only within a bucket). Built on
-``zip_with``/``aggregate`` array higher-order functions — JVM-side, codegen'd,
-no Python in the hot path — with exact DuckDB SQL oracles.
+Brute-force cosine top-k as the exact baseline; LSH-bucketed and IVF variants
+as the scale paths. Built on ``zip_with``/``aggregate`` array higher-order
+functions — JVM-side, codegen'd — with exact DuckDB SQL oracles. The only
+Python in any hot path is the bounded-heap partial top-k (Arrow-batched
+``mapInPandas``, a few small columns).
 
 Scores are rounded to 4 decimals *before* ranking so Spark and the SQL oracle
 rank identically despite last-ulp float differences; ties break on neighbor id.
 
-Scale notes:
-* ``brute_force_topk`` broadcasts the (small) query set and computes per-input
-  partial top-k inside the map side via window-over-rounded-score; at 100 TB
-  the corpus side never shuffles — only (query_id, neighbor, score) survivors.
-* ``lsh_bucketed_topk`` hashes both sides into ``2^n_planes`` sign buckets and
-  joins bucket-to-bucket, turning the cross product into an equi-join whose
-  shuffle is O(corpus), not O(corpus × queries). Recall < 1 by construction —
-  that is the documented trade; the hyperplanes are deterministic md5 signs so
-  results are reproducible and oracle-checkable.
-* IVF-style variant: ``ivf_assign`` picks the first ``n_cells`` embeddings as
-  coarse centroids (deterministic; k-means would be a driver-side loop) and
-  assigns every vector to its nearest centroid — the classic inverted-file
-  partitioning where a probe searches only its cell.
+Scale design (the 100-TB story):
+* Top-k never funnels the scored corpus through a per-query window. The plan is
+  score (map-only, queries broadcast) → per-partition bounded top-k
+  (``mapInPandas``, emits ≤ n_queries·k rows per partition) → tiny final
+  ``collect_list``+``array_sort``+``slice`` aggregate. No ``Window`` node
+  anywhere; shuffle bytes are O(partitions · queries · k), not O(corpus).
+* ``ivf_assign`` is entirely map-side: the (small, by construction) centroid
+  set is collapsed to ONE broadcast row and the per-vector argmax is an
+  ``array_max`` over a ``transform`` — the corpus never shuffles at all.
+* ``embedding_near_pairs`` mirrors the MinHash→Jaccard two-stage design
+  (``dedup.lsh_candidate_pairs``): banded random-hyperplane sign codes
+  generate candidates via a bucket equi-join (with an oversized-bucket cap —
+  boilerplate protection), then only candidates pay the exact cosine — never
+  an all-pairs cross join. Recall < 1 by construction and is governed by
+  (n_tables, planes): more planes ⇒ finer buckets (size ~n/2^planes, so scale
+  planes ≈ log2(n/target_bucket)); more tables ⇒ higher recall. The scheme is
+  sharpest in the near-duplicate regime (cos ≥ 0.8) where sign agreement is
+  concentrated; the exact all-pairs baseline is kept as
+  ``embedding_near_pairs_exact`` for small-n verification only.
 """
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from ..functions.hashing import spark_md5_long
 
@@ -44,10 +52,69 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({_dot(a, b)} / ({_norm(a)} * {_norm(b)}))"
 
 
+# ------------------------------------------------------------------- top-k
+
+def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-partition bounded top-k over (query_id, neighbor_id, score).
+
+    ``mapInPandas`` folds the partition's Arrow batches through a running
+    top-k table (≤ n_queries·k rows held at any time — a bounded heap, not a
+    buffer of the partition), so each partition emits at most n_queries·k
+    rows. The union over partitions is a superset of the global top-k under
+    the total order (score desc, neighbor_id asc), which the tiny final
+    aggregate then extracts exactly.
+    """
+    schema = scored.schema
+
+    def gen(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cur = pd.concat([best, pdf], ignore_index=True) if best is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+                ignore_index=True,
+            )
+            best = cur.groupby("query_id", sort=False).head(k)
+        if best is not None and len(best):
+            yield best
+
+    return scored.mapInPandas(gen, schema=schema)
+
+
+def _final_topk(pruned: DataFrame, k: int) -> DataFrame:
+    """Exact global top-k from the pruned survivors — a partial-aggregation-
+    friendly ``collect_list`` + ``array_sort`` + ``slice`` (no Window node)."""
+    agg = pruned.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct((-F.col("score")).alias("ns"), F.col("neighbor_id").alias("nid"))
+                )
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return (
+        agg.select("query_id", F.posexplode("top").alias("rank0", "s"))
+        .select(
+            "query_id",
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("s.nid").alias("neighbor_id"),
+            (-F.col("s.ns")).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     """Exact cosine top-k: first ``n_queries`` vectors (by vec_id) are the
     query set, every other vector is a candidate. Returns
-    (query_id, rank, neighbor_id, score)."""
+    (query_id, rank, neighbor_id, score). The corpus side is scored map-only
+    against the broadcast query set; only per-partition top-k survivors
+    shuffle (see module docstring)."""
     queries = (
         emb.orderBy("vec_id")
         .limit(n_queries)
@@ -62,25 +129,20 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFra
             F.round(F.expr(cosine_expr("q", "embedding")), 4).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
-    )
+    return _final_topk(_partial_topk(scored, k), k)
 
 
-def lsh_bucket_expr(col: str, n_planes: int = 8) -> str:
+def lsh_bucket_expr(col: str, n_planes: int = 8, key_prefix: str = "") -> str:
     """Spark SQL expression: random-hyperplane sign bucket of an embedding.
 
     Plane ``p``'s weight for dimension ``d`` is ±1 from the parity of
-    md5-long("p/d") — deterministic, engine-independent, and orthogonal-ish in
-    expectation, standing in for gaussian planes (SimHash for vectors).
+    md5-long("<prefix>p/d") — deterministic, engine-independent, and
+    orthogonal-ish in expectation, standing in for gaussian planes (SimHash
+    for vectors). ``key_prefix`` derives an independent hash table.
     """
     parts = []
     for p in range(n_planes):
-        w = spark_md5_long(f"concat('{p}/', cast(i as string))")
+        w = spark_md5_long(f"concat('{key_prefix}{p}/', cast(i as string))")
         proj = (
             f"aggregate(zip_with({col}, sequence(0, size({col}) - 1), "
             f"(x, i) -> cast(x as double) * (CASE WHEN {w} % 2 = 1 THEN 1.0 ELSE -1.0 END)), "
@@ -93,7 +155,8 @@ def lsh_bucket_expr(col: str, n_planes: int = 8) -> str:
 def lsh_bucketed_topk(
     emb: DataFrame, n_queries: int = 10, k: int = 5, n_planes: int = 4
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then the same bounded partial-top-k path as the exact variant."""
     bucketed = emb.withColumn("bucket", F.expr(lsh_bucket_expr("embedding", n_planes)))
     queries = (
         bucketed.orderBy("vec_id")
@@ -113,43 +176,105 @@ def lsh_bucketed_topk(
             F.round(F.expr(cosine_expr("q", "embedding")), 4).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "score")
-        .orderBy("query_id", "rank")
-    )
+    return _final_topk(_partial_topk(scored, k), k)
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     """Assign every embedding to its nearest of ``n_cells`` coarse centroids.
 
     Centroids are the first ``n_cells`` embeddings by vec_id (deterministic
-    seeding). Returns (vec_id, cell, cell_score). Broadcast the centroid set;
-    the corpus side is map-only.
-    """
+    seeding; a k-means refinement would iterate this same assignment). The
+    centroid set is collapsed into ONE row (an array of (cell, centroid)
+    structs) and broadcast, so the per-vector argmax is a map-side
+    ``array_max`` over a ``transform`` — the classic inverted-file coarse
+    quantizer with zero shuffle of the corpus. Ties break on the lower cell id
+    (the struct max compares (score, -cell)). Returns (vec_id, cell,
+    cell_score)."""
     cents = (
         emb.orderBy("vec_id")
         .limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c"))
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+        .agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell",
-        F.round(F.expr(cosine_expr("embedding", "c")), 4).alias("cell_score"),
+    best = F.expr(
+        "array_max(transform(cs, c -> struct("
+        f"round({cosine_expr('embedding', 'c.ce')}, 4) as s, -c.cell as nc)))"
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_score"), F.asc("cell"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "cell_score")
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            best.alias("best"),
+        )
+        .select(
+            "vec_id",
+            (-F.col("best.nc")).alias("cell"),
+            F.col("best.s").alias("cell_score"),
+        )
         .orderBy("vec_id")
     )
 
 
-def embedding_near_pairs(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact, symmetric, a<b)."""
+def embedding_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 4,
+    planes: int = 6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (symmetric, a<b) via banded
+    sign-LSH candidates + exact cosine verification.
+
+    Candidate generation mirrors ``dedup.lsh_candidate_pairs``: each vector
+    gets ``n_tables`` independent ``planes``-bit sign codes; vectors sharing a
+    (table, code) bucket become candidates (oversized buckets > ``max_bucket``
+    are dropped before the quadratic pair expansion). Only candidates pay the
+    exact cosine — the all-pairs cross join of the naive formulation never
+    happens. See module docstring for the recall/(n_tables, planes) trade.
+    """
+    codes = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(lsh_bucket_expr("embedding", planes, key_prefix=f"{t}:"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "code"),
+    )
+    small = (
+        codes.groupBy("tbl", "code")
+        .agg(F.collect_list("vec_id").alias("members"), F.count("*").alias("n"))
+        .filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    )
+    pairs = (
+        small.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, a -> "
+                    "transform(filter(members, b -> b > a), b -> struct(a as vec_a, b as vec_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        pairs.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos", F.round(F.expr(cosine_expr("ea", "eb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_pairs_exact(emb: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Exact all-pairs baseline (O(n²) cross join) — small-n verification of
+    the bucketed variant only; never the scale path."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -668,16 +668,47 @@ def _duck_cos(a: str, b: str) -> str:
     return _DUCK_COS.format(a=f"({a})::DOUBLE[]", b=f"({b})::DOUBLE[]")
 
 
+_EMB_TABLES, _EMB_PLANES, _EMB_CAP, _EMB_THRESH = 4, 6, 1000, 0.45
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+    """Banded sign-LSH candidates + exact cosine verify (the scale path; the
+    oracle mirrors the same algorithm — candidate semantics included — like
+    ``dedup_minhash_lsh``)."""
+    return similarity.embedding_near_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_EMB_THRESH,
+        n_tables=_EMB_TABLES,
+        planes=_EMB_PLANES,
+        max_bucket=_EMB_CAP,
+    )
 
 
-O_DEDUP_EMBEDDING_COSINE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({_duck_cos('a.embedding', 'b.embedding')}, 4) AS cos
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id
-  AND round({_duck_cos('a.embedding', 'b.embedding')}, 4) >= 0.45
+def _o_dedup_embedding_cosine() -> str:
+    band_exprs = ", ".join(
+        _duck_lsh_bucket("embedding", _EMB_PLANES, key_prefix=f"{t}:")
+        for t in range(_EMB_TABLES)
+    )
+    return f"""
+WITH bl AS (
+  SELECT vec_id, [{band_exprs}] AS bs FROM embeddings
+), bidx AS (
+  SELECT vec_id, bs, unnest(generate_series(1, {_EMB_TABLES})) AS i FROM bl
+), codes AS (
+  SELECT vec_id, (i - 1)::INTEGER AS tbl, bs[i] AS code FROM bidx
+), sizes AS (
+  SELECT tbl, code, count(*) AS n FROM codes GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM codes a
+  JOIN codes b ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+  JOIN sizes s ON s.tbl = a.tbl AND s.code = a.code AND s.n <= {_EMB_CAP}
+)
+SELECT vec_a, vec_b, round({_duck_cos('ea.embedding', 'eb.embedding')}, 4) AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE round({_duck_cos('ea.embedding', 'eb.embedding')}, 4) >= {_EMB_THRESH}
 ORDER BY vec_a, vec_b
 """
 
@@ -704,10 +735,10 @@ SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5 ORDER BY query_
 """
 
 
-def _duck_lsh_bucket(col: str, n_planes: int) -> str:
+def _duck_lsh_bucket(col: str, n_planes: int, key_prefix: str = "") -> str:
     parts = []
     for p in range(n_planes):
-        w = duck_md5_long(f"'{p}/' || i::VARCHAR")
+        w = duck_md5_long(f"'{key_prefix}{p}/' || i::VARCHAR")
         proj = (
             f"list_sum(list_transform(generate_series(0, len({col}) - 1), "
             f"i -> ({col})[i + 1]::DOUBLE * (CASE WHEN {w} % 2 = 1 THEN 1.0 ELSE -1.0 END)))"
@@ -997,7 +1028,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _o_dedup_minhash()),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine, O_DEDUP_EMBEDDING_COSINE),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, _o_dedup_embedding_cosine()),
     # similarity search
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, O_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh_topk, _o_ann_lsh()),

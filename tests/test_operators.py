@@ -136,6 +136,47 @@ def test_ivf_assign_covers_all(emb):
     assert byid[4]["cell"] == 3 or byid[4]["cell_score"] == 0.0
 
 
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_plans_have_no_window(emb):
+    """The scored corpus must never funnel through a per-query Window — the
+    plan is bounded partial top-k (MapInPandas) + collect_list/slice final."""
+    for df in (
+        similarity.brute_force_topk(emb, n_queries=2, k=2),
+        similarity.lsh_bucketed_topk(emb, n_queries=2, k=2),
+    ):
+        plan = _plan(df)
+        assert "Window" not in plan, f"top-k plan funnels through a Window:\n{plan}"
+        assert "MapInPandas" in plan, "partial top-k stage missing from plan"
+
+
+def test_near_pairs_plan_no_cross_join(emb):
+    """Candidate generation is a bucket equi-join, never an all-pairs cross."""
+    plan = _plan(similarity.embedding_near_pairs(emb, threshold=0.9))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_ivf_plan_is_map_side(emb):
+    """Argmax over the broadcast centroid array: no Window, no per-vector
+    hash shuffle of the corpus (only the tiny centroid agg + final sort)."""
+    plan = _plan(similarity.ivf_assign(emb, n_cells=2))
+    assert "Window" not in plan, plan
+    assert "array_max" in plan, plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+
+
+def test_near_pairs_bucketed_subset_of_exact(emb):
+    exact = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+             similarity.embedding_near_pairs_exact(emb, threshold=0.9).collect()}
+    bucketed = {(r["vec_a"], r["vec_b"]): r["cos"] for r in
+                similarity.embedding_near_pairs(emb, threshold=0.9).collect()}
+    assert set(bucketed) <= set(exact)
+    assert all(exact[p] == c for p, c in bucketed.items())
+    assert (0, 1) in bucketed  # identical vectors share every table's code
+
+
 # ------------------------------------------------------------------- text
 
 
