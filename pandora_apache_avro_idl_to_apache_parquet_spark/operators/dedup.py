@@ -159,23 +159,29 @@ def lsh_candidate_pairs(
 def with_simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Add ``simhash``: ``bits``-bit SimHash over the word multiset.
 
-    Distributed formulation: explode words, join bit positions, sum ±1 votes
-    per (doc, bit), majority sign sets the bit. All shuffles carry ints only.
+    Map-side formulation: one md5 per word (array ``transform``), then a
+    single-pass ``aggregate`` folds the per-word hash array into a
+    ``bits``-long vote vector (+1/-1 per bit) and the majority signs become
+    the fingerprint — a pure column expression, shuffle-free (contrast the
+    naive explode(words)×bits shuffle, which moves |words|·bits rows for a
+    per-doc quantity). Documents with no words are dropped (parity with the
+    exploded formulation, where they produce no rows).
     """
-    words = docs.select(
-        "doc_id", F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("w")
-    ).withColumn("h", F.expr(spark_md5_long("w")))
-    positions = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    words = "filter(split(text, ' '), w -> w <> '')"
+    hs = f"transform({words}, w -> {spark_md5_long('w')})"
     votes = (
-        words.select("doc_id", "h", positions)
-        .withColumn("vote", F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
+        f"aggregate({hs}, array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + (CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)))"
     )
-    sim = votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END")).alias("simhash")
+    simhash = (
+        f"aggregate(zip_with({votes}, sequence(0, {bits - 1}), "
+        f"(v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)"
     )
-    return docs.join(sim, "doc_id")
+    return docs.filter(F.expr(f"size({words}) > 0")).withColumn(
+        "simhash", F.expr(simhash)
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) -> DataFrame:
@@ -225,17 +231,27 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 3) ->
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
+                        df_cap: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ ``threshold``.
 
     Inverted-index self-join: explode distinct shingles, join on shingle,
     count common, Jaccard = |∩| / (|A| + |B| − |∩|). The shuffle key is the
     shingle (the inverted index), so only co-shingled docs ever meet — this is
     the exact verifier usually run after LSH candidate generation.
+
+    ``df_cap``: shingles appearing in more than ``df_cap`` documents are
+    dropped before the self-join (same rationale as ``max_bucket`` in
+    :func:`lsh_candidate_pairs` — one ubiquitous boilerplate shingle would
+    contribute document-frequency² join rows). Set sizes in the Jaccard
+    denominator keep the *full* shingle counts, so a capped shingle can only
+    lower a pair's estimated similarity, never raise it.
     """
     sh = with_shingles(docs, k=k).select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
+    sh = sh.join(rare.select("sh"), "sh", "left_semi")
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))

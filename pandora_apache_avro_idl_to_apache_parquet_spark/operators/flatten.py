@@ -31,17 +31,54 @@ def flatten_tokens(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
 
 
-def token_offsets(df: DataFrame, order_col: str = "doc_id") -> DataFrame:
+def token_offsets(df: DataFrame, order_col: str = "doc_id",
+                  prefix_len: int = 4) -> DataFrame:
     """Per-row exclusive start offset into the flattened value stream.
 
-    The Arrow list-offset representation of the explode: ``offset`` is the
-    running sum of ``n_tok`` over ``order_col`` order (window function).
+    The Arrow list-offset representation of the explode, computed as a
+    **two-phase distributed prefix sum** — a global ``Window.orderBy`` with no
+    partitioning would funnel the whole table through one reducer:
+
+    1. bucket rows by a fixed-length prefix of ``order_col`` (a fixed-length
+       prefix is order-consistent: ``prefix(a) < prefix(b) ⇒ a < b``), and
+       aggregate per-bucket token totals — a metadata-sized result (bounded by
+       the distinct-prefix count; pick ``prefix_len ≈ log_62(wanted buckets)``)
+       that the driver folds into exclusive per-bucket base offsets;
+    2. a *partition-local* running sum per bucket (window partitioned by the
+       bucket — parallel across buckets) plus the broadcast bucket base.
+
+    This is the same per-chunk/per-partition offset scheme the encode kernel
+    uses, lifted to the whole table.
     """
-    w = Window.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
-    return df.select(
-        F.col("doc_id"),
-        F.col("n_tok"),
-        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long").alias("offset"),
+    spark = df.sparkSession
+    bkt = F.substring(order_col, 1, prefix_len)
+    sums = (
+        df.groupBy(bkt.alias("__bkt"))
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    )
+    base, acc = {}, 0
+    for row in sorted(sums, key=lambda r: r["__bkt"]):
+        base[row["__bkt"]] = acc
+        acc += row["s"] or 0
+    base_df = spark.createDataFrame(
+        [(k, v) for k, v in base.items()] or [("", 0)], "__bkt string, __base long"
+    )
+    w = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("__bkt", bkt)
+        .join(F.broadcast(base_df), "__bkt")
+        .select(
+            F.col("doc_id"),
+            F.col("n_tok"),
+            (F.col("__base") + F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+            .cast("long")
+            .alias("offset"),
+        )
     )
 
 

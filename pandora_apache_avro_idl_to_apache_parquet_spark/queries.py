@@ -645,8 +645,12 @@ WITH sh AS (
          list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_WORDS}) - 2, 1)),
                        i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + 2), ' '))) AS shingles
   FROM documents
-), ex AS (
+), ex0 AS (
   SELECT doc_id, len(shingles)::INTEGER AS n_sh, u.s AS sh FROM sh, UNNEST(shingles) AS u(s)
+), rare AS (
+  SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= 1000
+), ex AS (
+  SELECT ex0.* FROM ex0 JOIN rare USING (sh)
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb, count(*)::BIGINT AS common
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id

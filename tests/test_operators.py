@@ -247,3 +247,42 @@ def test_flatten_tokens_positions(spark):
     ]
     offs = {r["doc_id"]: r["offset"] for r in flatten.token_offsets(df).collect()}
     assert offs == {"a": 0, "b": 3}
+
+
+def test_token_offsets_two_phase_no_global_window(spark):
+    """Offsets are a bucketed two-phase prefix sum: exact values, and no
+    single-partition exchange (the global-window anti-pattern) in the plan."""
+    df = spark.createDataFrame(
+        [(f"src{i % 3}-{i:04d}", list(range(i % 5)), i % 5, "s") for i in range(40)],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    out = flatten.token_offsets(df)
+    acc = 0
+    for r in sorted(out.collect(), key=lambda r: r["doc_id"]):
+        assert r["offset"] == acc
+        acc += r["n_tok"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_simhash_plan_shuffle_free(docs):
+    """SimHash is a map-side column expression — no Exchange in the plan."""
+    df = dedup.with_simhash(docs).select("doc_id", "simhash")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_df_cap_drops_boilerplate_shingle(spark):
+    rows = [
+        (i, f"common boiler plate w{i}a w{i}b w{i}c", "en", "web", 0)
+        for i in range(20)
+    ]
+    boiler = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # the only shared shingle has document frequency 20: capped -> no pairs
+    assert dedup.ngram_jaccard_pairs(boiler, k=3, threshold=0.01, df_cap=5).count() == 0
+    assert (
+        dedup.ngram_jaccard_pairs(boiler, k=3, threshold=0.01, df_cap=100).count()
+        == 20 * 19 // 2
+    )
