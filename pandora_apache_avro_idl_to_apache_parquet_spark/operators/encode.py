@@ -14,10 +14,16 @@ Scale notes (the 100 TB story):
   spreads uniformly over all partitions — this IS the salted repartition the
   north rule asks for (AQE skew handling does not apply to grouped-map UDFs,
   SURVEY.md §4).
-* Each group writes its own parquet file directly (tmp + atomic rename) and then
-  its checkpoint marker, so a failed job leaves only whole-partition units; the
-  next run anti-joins completed part_ids and re-encodes only the remainder —
-  the reference's optimistic Delta-commit retry (A29,
+* All chunk/checkpoint/commit-log I/O goes through :class:`..functions.fsio.
+  FsIO` resolved from the output URI, so executors write to the real shared
+  store (S3/HDFS/local) — never to a path that only exists on their own disk.
+  Publication is atomic-rename where the store supports it and write-once keys
+  where it does not (complete-object visibility + marker/log-gated readers;
+  see ``fsio.py``).
+* Each group publishes its own chunk file and then its checkpoint marker, so a
+  failed job leaves only whole-partition units; the next run anti-joins
+  completed part_ids and re-encodes only the remainder — the reference's
+  optimistic Delta-commit retry (A29,
   ``/root/reference/README.md:608-701``) re-expressed as idempotent
   per-partition commits.
 * The manifest is never written as a separate table that can drift: it is a
@@ -29,18 +35,18 @@ Scale notes (the 100 TB story):
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 import uuid
 from datetime import date
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import codecs as C
+from ..functions.fsio import FsIO
 from ..functions.hashing import klondike, sha256
 from ..plans.cost import encode_values, select_int_codec, select_str_codec
 from ..schema import CHUNK_COLUMNS, CHUNK_SCHEMA, MANIFEST_COLUMNS, TOKENS_SCHEMA
@@ -50,31 +56,27 @@ DEFAULT_CHUNK_VALUES = 1 << 18
 MANIFEST_ONLY_SCHEMA = CHUNK_SCHEMA  # full schema; UDF returns manifest cols + payloads
 
 
-def _data_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "data")
+def _io(out_dir: str, io: FsIO | None) -> FsIO:
+    return io if io is not None else FsIO.resolve(out_dir)
 
 
-def _ckpt_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_checkpoints")
-
-
-def completed_parts(out_dir: str) -> list[int]:
-    d = _ckpt_dir(out_dir)
-    if not os.path.isdir(d):
-        return []
+def completed_parts(out_dir: str, io: FsIO | None = None) -> list[int]:
+    io = _io(out_dir, io)
+    d = io.join("_checkpoints")
     return sorted(
         int(f[len("part-"):-len(".json")])
-        for f in os.listdir(d)
+        for f in io.listdir(d)
         if f.startswith("part-") and f.endswith(".json")
     )
 
 
-def checkpoint_stats(out_dir: str) -> pd.DataFrame:
-    rows = []
-    d = _ckpt_dir(out_dir)
-    for p in completed_parts(out_dir):
-        with open(os.path.join(d, f"part-{p:05d}.json")) as fh:
-            rows.append(json.load(fh))
+def checkpoint_stats(out_dir: str, io: FsIO | None = None) -> pd.DataFrame:
+    io = _io(out_dir, io)
+    d = io.join("_checkpoints")
+    rows = [
+        json.loads(io.read_text(posixpath.join(d, f"part-{p:05d}.json")))
+        for p in completed_parts(out_dir, io)
+    ]
     return pd.DataFrame(rows)
 
 
@@ -95,9 +97,12 @@ def _chunk_boundaries(lengths: np.ndarray, max_rows: int, max_values: int) -> li
     return bounds
 
 
-def _encode_partition_pdf(pdf: pd.DataFrame, out_dir: str, chunk_rows: int,
+def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
                           chunk_values: int, pds: date, fail_parts=None) -> pd.DataFrame:
     """Grouped-map kernel: one part_id's rows -> chunk parquet file + manifest."""
+    import time
+
+    t_start = time.perf_counter()
     part_id = int(pdf["part_id"].iloc[0])
     if fail_parts and part_id in fail_parts:
         raise RuntimeError(f"injected failure for part {part_id}")
@@ -113,6 +118,7 @@ def _encode_partition_pdf(pdf: pd.DataFrame, out_dir: str, chunk_rows: int,
         raise ValueError(f"n_tok invariant violated at doc_id={pdf['doc_id'].iloc[bad]}")
     cum = np.concatenate(([0], np.cumsum(lengths_all.astype(np.int64))))
 
+    t_kernel0 = time.perf_counter()
     rows: list[dict] = []
     for seq, (lo, hi) in enumerate(_chunk_boundaries(lengths_all, chunk_rows, chunk_values)):
         doc_ids = pdf["doc_id"].iloc[lo:hi]
@@ -149,22 +155,26 @@ def _encode_partition_pdf(pdf: pd.DataFrame, out_dir: str, chunk_rows: int,
             row[f"{col}_enc_bytes"] = len(payload)
             row[f"{col}_payload"] = payload
         rows.append(row)
+    kernel_sec = time.perf_counter() - t_kernel0
 
     cols = [f.name for f in CHUNK_SCHEMA.fields]
     out = pd.DataFrame(rows, columns=cols)
 
-    # write chunk file: tmp + atomic rename, then checkpoint marker
-    data_dir, ckpt_dir = _data_dir(out_dir), _ckpt_dir(out_dir)
-    os.makedirs(data_dir, exist_ok=True)
-    os.makedirs(ckpt_dir, exist_ok=True)
+    # publish chunk file, then checkpoint marker (all through FsIO: atomic
+    # rename locally, write-once keys on object stores — see fsio.py)
+    data_dir, ckpt_dir = io.join("data"), io.join("_checkpoints")
+    io.makedirs(data_dir)
+    io.makedirs(ckpt_dir)
+    tag = uuid.uuid4().hex[:8]
     table = pa.Table.from_pandas(out, preserve_index=False)
-    final = os.path.join(data_dir, f"part-{part_id:05d}.parquet")
-    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(
-        table, tmp,
+    t_write0 = time.perf_counter()
+    io.publish_parquet(
+        table,
+        posixpath.join(data_dir, f"part-{part_id:05d}.parquet"),
+        attempt_tag=tag,
         compression={f"{c}_payload": "NONE" for c in CHUNK_COLUMNS} | {"__default__": "SNAPPY"},
     )
-    os.replace(tmp, final)
+    write_sec = time.perf_counter() - t_write0
 
     stats = {
         "part_id": part_id,
@@ -173,13 +183,16 @@ def _encode_partition_pdf(pdf: pd.DataFrame, out_dir: str, chunk_rows: int,
         "n_values": int(cum[-1]),
         "enc_bytes": int(out[[f"{c}_enc_bytes" for c in CHUNK_COLUMNS]].to_numpy().sum()) if len(out) else 0,
         "raw_bytes": int(out[[f"{c}_raw_bytes" for c in CHUNK_COLUMNS]].to_numpy().sum()) if len(out) else 0,
+        "kernel_sec": round(kernel_sec, 4),
+        "write_sec": round(write_sec, 4),
+        "total_sec": round(time.perf_counter() - t_start, 4),
         "status": "done",
     }
-    cfinal = os.path.join(ckpt_dir, f"part-{part_id:05d}.json")
-    ctmp = cfinal + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(ctmp, "w") as fh:
-        json.dump(stats, fh)
-    os.replace(ctmp, cfinal)
+    io.publish_bytes(
+        posixpath.join(ckpt_dir, f"part-{part_id:05d}.json"),
+        json.dumps(stats).encode(),
+        attempt_tag=tag,
+    )
 
     return out.drop(columns=[f"{c}_payload" for c in CHUNK_COLUMNS])
 
@@ -195,17 +208,22 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
                   chunk_rows: int = DEFAULT_CHUNK_ROWS,
                   chunk_values: int = DEFAULT_CHUNK_VALUES,
                   pds: date | None = None,
-                  fail_parts: set[int] | None = None) -> DataFrame:
+                  fail_parts: set[int] | None = None,
+                  io: FsIO | None = None) -> DataFrame:
     """Run the encode job; returns the manifest DataFrame (payload-free).
 
     Resume: part_ids with a checkpoint marker in ``out_dir/_checkpoints`` are
     skipped; ``fail_parts`` injects failures for the resume pytest (A29 analog).
+    ``io`` injects a custom filesystem (tests use a latency + no-rename
+    wrapper); by default it resolves from ``out_dir`` via ``pyarrow.fs`` and
+    is shipped to executors inside the kernel closure (picklable).
     """
     spark = df.sparkSession
     pds = pds or date(2026, 1, 1)
+    io = _io(out_dir, io)
     keyed = with_part_id(df, n_parts)
 
-    done = completed_parts(out_dir)
+    done = completed_parts(out_dir, io)
     if done:
         done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
         keyed = keyed.join(F.broadcast(done_df), "part_id", "left_anti")
@@ -215,7 +233,7 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
     manifest_struct = StructType([f for f in CHUNK_SCHEMA.fields if not f.name.endswith("_payload")])
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_pdf(pdf, out_dir, chunk_rows, chunk_values, pds,
+        return _encode_partition_pdf(pdf, io, chunk_rows, chunk_values, pds,
                                      fail_parts=fail_parts)
 
     result = keyed.groupBy("part_id").applyInPandas(kernel, schema=manifest_struct)
@@ -223,14 +241,14 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
     # chunk files themselves, and writing (then overwriting) an attempt
     # manifest would churn deletes — expensive on discard-mounted filesystems
     result.write.format("noop").mode("overwrite").save()
-    write_commit_log(out_dir, pds)
-    return read_manifest(spark, out_dir)
+    write_commit_log(out_dir, pds, io)
+    return read_manifest(spark, out_dir, io)
 
 
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 1, "payloadFormat": 2}
 
 
-def write_commit_log(out_dir: str, pds: date) -> str | None:
+def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None) -> str | None:
     """Numbered-JSONL commit log — the A28/A29 analog of the reference's
     ``_delta_log`` writer (``/root/reference/.../Pandora/Databricks/
     DeltaLake.fs:176-444``): a ``_log/<%020d>.json`` file holding one
@@ -239,35 +257,37 @@ def write_commit_log(out_dir: str, pds: date) -> str | None:
 
     Index discovery mirrors the reference's fold-max-plus-one over existing
     numeric filenames (``README.md:608-645``); the write is optimistic —
-    ``O_CREAT|O_EXCL`` plays the role of the reference's upload-
-    with-overwrite=false, and on collision (concurrent committer) the next
-    index is retried. Only files not yet referenced by earlier log entries are
-    added, so re-running after resume appends exactly the new files.
+    ``FsIO.create_exclusive`` plays the role of the reference's upload-
+    with-overwrite=false, and on collision (concurrent committer) the log is
+    re-read so files the winner committed are dropped from our payload before
+    the next index is tried. Only files not yet referenced by earlier log
+    entries are added, so re-running after resume appends exactly the new
+    files.
     """
     from ..schema import CHUNK_SCHEMA
 
-    data_dir, log_dir = _data_dir(out_dir), os.path.join(out_dir, "_log")
-    if not os.path.isdir(data_dir):
+    io = _io(out_dir, io)
+    data_dir, log_dir = io.join("data"), io.join("_log")
+    if not io.isdir(data_dir):
         return None
-    os.makedirs(log_dir, exist_ok=True)
+    io.makedirs(log_dir)
 
     def _scan_log() -> tuple[set[str], list[int]]:
         committed: set[str] = set()
         indices: list[int] = []
-        for f in sorted(os.listdir(log_dir)):
+        for f in io.listdir(log_dir):
             if not f.endswith(".json"):
                 continue
             indices.append(int(f[:-5]))
-            with open(os.path.join(log_dir, f)) as fh:
-                for line in fh:
-                    entry = json.loads(line)
-                    if "add" in entry:
-                        committed.add(entry["add"]["path"])
+            for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+                entry = json.loads(line)
+                if "add" in entry:
+                    committed.add(entry["add"]["path"])
         return committed, indices
 
     def _build_payload(committed: set[str]) -> str | None:
         new_files = sorted(
-            f for f in os.listdir(data_dir) if f.endswith(".parquet") and f not in committed
+            f for f in io.listdir(data_dir) if f.endswith(".parquet") and f not in committed
         )
         if not new_files:
             return None
@@ -286,19 +306,18 @@ def write_commit_log(out_dir: str, pds: date) -> str | None:
         import hashlib
 
         for f in new_files:
-            path = os.path.join(data_dir, f)
-            with open(path, "rb") as fh:
-                sha = hashlib.sha256(fh.read()).hexdigest()
+            path = posixpath.join(data_dir, f)
+            sha = hashlib.sha256(io.read_bytes(path)).hexdigest()
             lines.append(
                 json.dumps(
                     {
                         "add": {
                             "path": f,
-                            "size": os.path.getsize(path),
+                            "size": io.size(path),
                             "sha256": sha,
                             "partitionValues": {"pds": pds.isoformat()},
                             "dataChange": True,
-                            "modificationTime": int(os.path.getmtime(path) * 1000),
+                            "modificationTime": io.mtime_ms(path),
                         }
                     }
                 )
@@ -311,45 +330,45 @@ def write_commit_log(out_dir: str, pds: date) -> str | None:
         return None
     idx = (max(indices) + 1) if indices else 0
     while True:  # optimistic retry on index collision (A29)
-        target = os.path.join(log_dir, f"{idx:020d}.json")
-        try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # a concurrent committer won this index: re-read the log so files
-            # it committed are dropped from our payload (exactly-once — the
-            # 'only files not yet referenced' invariant), then try next index
-            committed, indices = _scan_log()
-            payload = _build_payload(committed)
-            if payload is None:
-                return None
-            idx = max(idx + 1, (max(indices) + 1) if indices else 0)
-            continue
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
-        return target
+        target = posixpath.join(log_dir, f"{idx:020d}.json")
+        if io.create_exclusive(target, payload.encode()):
+            return target
+        # a concurrent committer won this index: re-read the log so files
+        # it committed are dropped from our payload (exactly-once — the
+        # 'only files not yet referenced' invariant), then try next index
+        committed, indices = _scan_log()
+        payload = _build_payload(committed)
+        if payload is None:
+            return None
+        idx = max(idx + 1, (max(indices) + 1) if indices else 0)
 
 
-def read_commit_log(out_dir: str) -> list[dict]:
+def read_commit_log(out_dir: str, io: FsIO | None = None) -> list[dict]:
     """All committed entries across the numbered log files, in order."""
-    log_dir = os.path.join(out_dir, "_log")
+    io = _io(out_dir, io)
+    log_dir = io.join("_log")
     entries: list[dict] = []
-    if not os.path.isdir(log_dir):
-        return entries
-    for f in sorted(os.listdir(log_dir)):
+    for f in io.listdir(log_dir):
         if f.endswith(".json"):
-            with open(os.path.join(log_dir, f)) as fh:
-                entries.extend(json.loads(line) for line in fh)
+            entries.extend(
+                json.loads(line)
+                for line in io.read_text(posixpath.join(log_dir, f)).splitlines()
+            )
     return entries
 
 
-def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_manifest(spark: SparkSession, out_dir: str, io: FsIO | None = None) -> DataFrame:
     """Manifest = payload-free projection of chunk files (column-pruned scan)."""
-    return read_chunks(spark, out_dir).select(*MANIFEST_COLUMNS)
+    return read_chunks(spark, out_dir, io).select(*MANIFEST_COLUMNS)
 
 
-def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
-    d = _data_dir(out_dir)
-    if not os.path.isdir(d) or not any(f.endswith(".parquet") for f in os.listdir(d)):
+def read_chunks(spark: SparkSession, out_dir: str, io: FsIO | None = None) -> DataFrame:
+    """Chunk-file scan. The DataFrame read itself goes through Spark's own
+    Hadoop connectors (pass URIs for cluster stores); FsIO only answers the
+    cheap existence probe so empty inputs yield an empty typed frame."""
+    io = _io(out_dir, io)
+    d = io.join("data")
+    if not any(f.endswith(".parquet") for f in io.listdir(d)):
         # empty input produced no chunk files: empty frame with the chunk schema
         return spark.createDataFrame([], CHUNK_SCHEMA)
-    return spark.read.parquet(d)
+    return spark.read.parquet(out_dir.rstrip("/") + "/data")

@@ -86,13 +86,17 @@ def token_window_counts(stream: DataFrame, window: str = "1 hour",
 
 
 def decoded_batches_dir(out_dir: str) -> list[str]:
-    """Batch output dirs written by ``encode_stream`` (sorted by batch id)."""
-    if not os.path.isdir(out_dir):
-        return []
+    """Batch output dirs written by ``encode_stream`` (sorted by batch id).
+
+    Listed through :class:`..functions.fsio.FsIO` so the streaming surface
+    works against the same cluster stores as the batch encode."""
+    from ..functions.fsio import FsIO
+
+    io = FsIO.resolve(out_dir)
     return [
         os.path.join(out_dir, d)
         for d in sorted(
-            (d for d in os.listdir(out_dir) if d.startswith("batch=")),
+            (d for d in io.listdir(io.base) if d.startswith("batch=")),
             key=lambda d: int(d.split("=", 1)[1]),
         )
     ]
