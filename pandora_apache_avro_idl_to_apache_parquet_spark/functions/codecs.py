@@ -26,7 +26,7 @@ import struct
 import numpy as np
 
 MAGIC = b"PC"
-VERSION = 2  # v2: plane-major (bitsliced) packed-int layout
+VERSION = 3  # v3: int64/float dtypes + escape-aware (UTF-8-safe) FSST
 
 # codec ids
 PLAIN = 0
@@ -42,6 +42,9 @@ STR_FSST = 12
 
 DT_INT32 = 0
 DT_BYTES = 1
+DT_INT64 = 2
+DT_FLOAT32 = 3  # float32 bit patterns through the int32 codec family
+DT_FLOAT64 = 4  # float64 bit patterns through the int64 codec family
 
 INT_CODECS = (PLAIN, BITPACK, FOR, RLE, DICT, DELTA)
 STR_CODECS = (STR_PLAIN, STR_DICT, STR_FSST)
@@ -127,6 +130,50 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
 
 def _bit_width(max_val: int) -> int:
     return int(max_val).bit_length()
+
+
+def pack_bits64(vals: np.ndarray, width: int) -> bytes:
+    """64-bit-wide variant of :func:`pack_bits` (same plane-major layout,
+    uint64 lanes) for the int64/float64 codec family."""
+    if width == 0 or len(vals) == 0:
+        return b""
+    v = vals.astype(np.uint64, copy=False)
+    n = len(v)
+    n_byte_planes, rem = divmod(width, 8)
+    parts = []
+    if n_byte_planes:
+        bplanes = np.empty((n_byte_planes, n), np.uint8)
+        for p in range(n_byte_planes):
+            np.bitwise_and(v >> np.uint64(8 * p), np.uint64(0xFF),
+                           out=bplanes[p], casting="unsafe")
+        parts.append(bplanes.tobytes())
+    if rem:
+        bits = np.empty((rem, n), np.uint8)
+        base = np.uint64(8 * n_byte_planes)
+        for j in range(rem):
+            np.bitwise_and(v >> (base + np.uint64(j)), np.uint64(1),
+                           out=bits[j], casting="unsafe")
+        parts.append(np.packbits(bits, axis=1).tobytes())
+    return b"".join(parts)
+
+
+def unpack_bits64(buf: bytes, n: int, width: int) -> np.ndarray:
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    n_byte_planes, rem = divmod(width, 8)
+    out = np.zeros(n, dtype=np.uint64)
+    for p in range(n_byte_planes):
+        out |= raw[p * n : (p + 1) * n].astype(np.uint64) << np.uint64(8 * p)
+    if rem:
+        nb = (n + 7) // 8
+        planes = np.unpackbits(
+            raw[n_byte_planes * n :].reshape(rem, nb), axis=1, count=n
+        )
+        base = np.uint64(8 * n_byte_planes)
+        for j in range(rem):
+            out |= planes[j].astype(np.uint64) << (base + np.uint64(j))
+    return out
 
 
 # ------------------------------------------------------------- int32 codecs
@@ -272,6 +319,173 @@ def decode_int32(buf: bytes) -> np.ndarray:
     return np.asarray(_INT_DEC[codec](buf[off:], n), dtype=np.int32)
 
 
+# ------------------------------------------------------------- int64 codecs
+# Same codec family as int32, 64-bit lanes: the reference's LONG /
+# TIMESTAMP_MS / TIME_MS physical types (``Parquet.fs:52-110, 534-621``) all
+# land here; float64 rides the same kernels as bit patterns (DT_FLOAT64).
+
+def _u64(x: int) -> np.uint64:
+    return np.array([x], dtype=np.int64).view(np.uint64)[0]
+
+
+def _enc_plain_i64(a: np.ndarray) -> bytes:
+    return a.astype("<i8", copy=False).tobytes()
+
+
+def _dec_plain_i64(body: bytes, n: int) -> np.ndarray:
+    return np.frombuffer(body, dtype="<i8", count=n).copy()
+
+
+def _enc_bitpack_i64(a: np.ndarray) -> bytes | None:
+    if len(a) == 0:
+        return struct.pack("<B", 0)
+    lo = int(a.min())
+    if lo < 0:
+        return None
+    w = _bit_width(int(a.max()))
+    return struct.pack("<B", w) + pack_bits64(a.view(np.uint64), w)
+
+
+def _dec_bitpack_i64(body: bytes, n: int) -> np.ndarray:
+    (w,) = struct.unpack_from("<B", body, 0)
+    return unpack_bits64(body[1:], n, w).view(np.int64).copy()
+
+
+def _enc_for_i64(a: np.ndarray) -> bytes:
+    """FOR with mod-2^64 residuals: (a - min) in uint64 wraparound arithmetic
+    is exact for any int64 range (max - min always fits in uint64)."""
+    if len(a) == 0:
+        return struct.pack("<qB", 0, 0)
+    base = int(a.min())
+    resid = a.view(np.uint64) - _u64(base)
+    w = _bit_width(int(resid.max()))
+    return struct.pack("<qB", base, w) + pack_bits64(resid, w)
+
+
+def _dec_for_i64(body: bytes, n: int) -> np.ndarray:
+    base, w = struct.unpack_from("<qB", body, 0)
+    resid = unpack_bits64(body[9:], n, w)
+    return (resid + _u64(base)).view(np.int64).copy()
+
+
+def _enc_rle_i64(a: np.ndarray) -> bytes:
+    vals, lens = _rle_split(a)
+    vb = _enc_for_i64(vals.astype(np.int64, copy=False))
+    lb = _enc_for_i64((lens - 1).astype(np.int64)) if len(lens) else _enc_for_i64(np.zeros(0, np.int64))
+    return struct.pack("<QQ", len(vals), len(vb)) + vb + lb
+
+
+def _dec_rle_i64(body: bytes, n: int) -> np.ndarray:
+    n_runs, vlen = struct.unpack_from("<QQ", body, 0)
+    off = 16
+    vals = _dec_for_i64(body[off : off + vlen], n_runs)
+    lens = _dec_for_i64(body[off + vlen :], n_runs) + 1
+    return np.repeat(vals, lens)
+
+
+def _enc_dict_i64(a: np.ndarray) -> bytes:
+    import pandas as pd
+
+    codes, uniq = pd.factorize(a, sort=False)
+    uniq = np.asarray(uniq)
+    order = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(order), dtype=np.uint32)
+    rank[order] = np.arange(len(order), dtype=np.uint32)
+    inv = rank[codes]
+    uniq = uniq[order]
+    ub = _enc_for_i64(uniq.astype(np.int64, copy=False))
+    w = _bit_width(max(len(uniq) - 1, 0))
+    codes_packed = pack_bits(inv, w)
+    return struct.pack("<QQB", len(uniq), len(ub), w) + ub + codes_packed
+
+
+def _dec_dict_i64(body: bytes, n: int) -> np.ndarray:
+    n_dict, ulen, w = struct.unpack_from("<QQB", body, 0)
+    off = 17
+    uniq = _dec_for_i64(body[off : off + ulen], n_dict)
+    inv = unpack_bits(body[off + ulen :], n, w)
+    return uniq[inv] if n else uniq[:0]
+
+
+def _enc_delta_i64(a: np.ndarray) -> bytes:
+    """Delta with mod-2^64 diffs: wraparound on both encode and decode keeps
+    the round-trip exact for any int64 stream (no overflow bail needed)."""
+    if len(a) == 0:
+        return struct.pack("<q", 0) + _enc_for_i64(a)
+    diffs = (a.view(np.uint64)[1:] - a.view(np.uint64)[:-1]).view(np.int64)
+    return struct.pack("<q", int(a[0])) + _enc_for_i64(diffs)
+
+
+def _dec_delta_i64(body: bytes, n: int) -> np.ndarray:
+    (first,) = struct.unpack_from("<q", body, 0)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    diffs = _dec_for_i64(body[8:], n - 1).view(np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = _u64(first)
+    if n > 1:
+        np.cumsum(diffs, out=out[1:])
+        out[1:] += _u64(first)
+    return out.view(np.int64).copy()
+
+
+_INT64_ENC = {PLAIN: _enc_plain_i64, BITPACK: _enc_bitpack_i64, FOR: _enc_for_i64,
+              RLE: _enc_rle_i64, DICT: _enc_dict_i64, DELTA: _enc_delta_i64}
+_INT64_DEC = {PLAIN: _dec_plain_i64, BITPACK: _dec_bitpack_i64, FOR: _dec_for_i64,
+              RLE: _dec_rle_i64, DICT: _dec_dict_i64, DELTA: _dec_delta_i64}
+
+
+def encode_int64(a: np.ndarray, codec: int) -> bytes | None:
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    body = _INT64_ENC[codec](a)
+    if body is None:
+        return None
+    return _header(codec, DT_INT64, len(a)) + body
+
+
+def decode_int64(buf: bytes) -> np.ndarray:
+    codec, dtype, n, off = _read_header(buf)
+    if dtype != DT_INT64:
+        raise ValueError("not an int64 payload")
+    return np.asarray(_INT64_DEC[codec](buf[off:], n), dtype=np.int64)
+
+
+# ------------------------------------------------------- generic typed API
+# Floats ride the int kernels as raw bit patterns (views, zero-copy): DICT /
+# RLE / FOR work on any bit pattern, NaN payloads and -0.0 round-trip
+# bit-identically because equality never touches float semantics.
+
+def encode_typed(a: np.ndarray, codec: int) -> bytes | None:
+    """Encode a 1-D numpy array of int32/int64/float32/float64 with the given
+    int-family codec; None if inapplicable."""
+    a = np.ascontiguousarray(a)
+    if a.dtype == np.int32:
+        return encode_int32(a, codec)
+    if a.dtype == np.int64:
+        return encode_int64(a, codec)
+    if a.dtype == np.float32:
+        body = _INT_ENC[codec](a.view(np.int32))
+        return None if body is None else _header(codec, DT_FLOAT32, len(a)) + body
+    if a.dtype == np.float64:
+        body = _INT64_ENC[codec](a.view(np.int64))
+        return None if body is None else _header(codec, DT_FLOAT64, len(a)) + body
+    raise ValueError(f"unsupported dtype {a.dtype}")
+
+
+def decode_typed(buf: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_typed`: dtype comes from the header."""
+    codec, dtype, n, off = _read_header(buf)
+    if dtype == DT_INT32:
+        return np.asarray(_INT_DEC[codec](buf[off:], n), dtype=np.int32)
+    if dtype == DT_INT64:
+        return np.asarray(_INT64_DEC[codec](buf[off:], n), dtype=np.int64)
+    if dtype == DT_FLOAT32:
+        return np.asarray(_INT_DEC[codec](buf[off:], n), dtype=np.int32).view(np.float32)
+    if dtype == DT_FLOAT64:
+        return np.asarray(_INT64_DEC[codec](buf[off:], n), dtype=np.int64).view(np.float64)
+    raise ValueError(f"not a typed-array payload (dtype {dtype})")
+
+
 # ------------------------------------------------------------ string codecs
 # String streams are (lengths: int32 array, blob: concatenated utf8 bytes).
 
@@ -345,13 +559,48 @@ def _dec_str_dict(body: bytes, n: int) -> tuple[np.ndarray, bytes]:
 
 
 # --- FSST-lite -------------------------------------------------------------
-# Codes 192..254 are symbol codes (63 symbols max); byte 255 reserved.
-# Applicable only when the input blob contains no byte >= 192 (true for the
-# ASCII doc_id/source columns this engine targets); selection falls back to
-# dict/plain otherwise. Symbols are 2..8 byte substrings mined from a sample.
+# Codes 192..254 are symbol codes (63 symbols max); byte 255 is the escape
+# marker. Arbitrary byte/UTF-8 input is supported via an escape pass: every
+# input byte b >= 192 becomes the pair (255, b-128) — the low partner byte
+# (64..127) can never collide with a symbol code or the marker — after which
+# the escaped stream contains no byte in 192..254 and symbol replacement is a
+# clean bijection. Symbols are 2..8 byte substrings mined from a sample of
+# the ESCAPED stream; symbol expansion on decode is order-independent
+# (single-byte code targets, expansions contain no codes), and un-escaping
+# runs last. Mirrors the code-space/escape design of Boncz/Neumann/Leis FSST
+# (VLDB 2020) in pure numpy.
 
 _FSST_BASE = 192
 _FSST_MAX_SYMS = 63
+_FSST_ESC = 255
+
+
+def _fsst_escape(blob: bytes) -> bytes:
+    """b >= 192 -> (255, b-128); output has no byte in [192, 254] and every
+    255 is followed by a byte in [64, 127]."""
+    v = np.frombuffer(blob, dtype=np.uint8)
+    hi = v >= _FSST_BASE
+    n_hi = int(hi.sum())
+    if n_hi == 0:
+        return blob
+    start = np.arange(len(v), dtype=np.int64) + (np.cumsum(hi) - hi)
+    out = np.empty(len(v) + n_hi, dtype=np.uint8)
+    out[start[~hi]] = v[~hi]
+    out[start[hi]] = _FSST_ESC
+    out[start[hi] + 1] = v[hi] - 128
+    return out.tobytes()
+
+
+def _fsst_unescape(enc: bytes) -> bytes:
+    v = np.frombuffer(enc, dtype=np.uint8)
+    marks = np.flatnonzero(v == _FSST_ESC)
+    if len(marks) == 0:
+        return enc
+    out = v.copy()
+    out[marks + 1] += 128
+    keep = np.ones(len(v), dtype=bool)
+    keep[marks] = False
+    return out[keep].tobytes()
 
 
 def _fsst_build_table(sample: bytes, max_syms: int = _FSST_MAX_SYMS) -> list[bytes]:
@@ -408,11 +657,9 @@ def fsst_decode_blob(enc: bytes, syms: list[bytes]) -> bytes:
 
 
 def _enc_str_fsst(lengths: np.ndarray, blob: bytes) -> bytes | None:
-    view = np.frombuffer(blob, dtype=np.uint8)
-    if len(view) and int(view.max()) >= _FSST_BASE:
-        return None  # precondition: pure low-byte (ASCII-ish) stream
-    syms = _fsst_build_table(blob[: 1 << 16])
-    enc = fsst_encode_blob(blob, syms)
+    escaped = _fsst_escape(blob)
+    syms = _fsst_build_table(escaped[: 1 << 16])
+    enc = fsst_encode_blob(escaped, syms)
     lb = encode_int32(lengths, FOR)
     tab = struct.pack("<B", len(syms)) + b"".join(struct.pack("<B", len(s)) + s for s in syms)
     return struct.pack("<QQ", len(lb), len(tab)) + lb + tab + enc
@@ -432,7 +679,7 @@ def _dec_str_fsst(body: bytes) -> tuple[np.ndarray, bytes]:
         sl = tab[p]
         syms.append(tab[p + 1 : p + 1 + sl])
         p += 1 + sl
-    blob = fsst_decode_blob(body[off:], syms)
+    blob = _fsst_unescape(fsst_decode_blob(body[off:], syms))
     return lengths, blob
 
 

@@ -45,6 +45,35 @@ def select_int_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
     return out
 
 
+def select_typed_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
+    """Auto-select for any supported dtype (int32/int64/float32/float64):
+    prefix-sample every candidate, extrapolate, encode with the argmin, with
+    the same <=PLAIN guard. Floats ride the int kernels as bit patterns (see
+    ``codecs.encode_typed``), so DICT/RLE/FOR wins on repeated or clustered
+    float values carry over for free."""
+    a = np.ascontiguousarray(a)
+    if a.dtype == np.int32:
+        return select_int_codec(a, sample)
+    n = len(a)
+    width = a.dtype.itemsize
+    if n == 0:
+        return C.encode_typed(a, C.PLAIN)
+    s = a[: min(n, sample)]
+    scale = n / len(s)
+    best_codec, best_est = C.PLAIN, float(width) * n
+    for codec in (C.BITPACK, C.FOR, C.RLE, C.DICT, C.DELTA):
+        enc = C.encode_typed(s, codec)
+        if enc is None:
+            continue
+        est = len(enc) * scale
+        if est < best_est:
+            best_codec, best_est = codec, est
+    out = C.encode_typed(a, best_codec)
+    if out is None or (best_codec != C.PLAIN and len(out) >= width * n + 32):
+        out = C.encode_typed(a, C.PLAIN)
+    return out
+
+
 def encode_values(values: np.ndarray, lengths: np.ndarray) -> bytes:
     """Encode a chunk's flattened token stream: whole-stream codec when the
     rows are statistically homogeneous, row-grouped cascade when they are not.

@@ -86,7 +86,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v2"  # bump to bust the /tmp encode cache on payload-affecting changes
+_FORMAT_TAG = "v3"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -216,6 +216,56 @@ SELECT count(*)::BIGINT AS n_rows, sum(n_tok)::BIGINT AS n_values,
        sum(coalesce(list_sum(tokens), 0))::BIGINT AS token_sum,
        max(list_max(tokens)) AS max_token
 FROM toks
+"""
+
+
+def q_typed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dtype chunk round-trip: int64 (ids, epoch-µs timestamps), float64
+    and UTF-8 string columns of ``events`` pass through auto-selected codecs
+    (``plans.cost.select_typed_codec`` / ``select_str_codec``) and back inside
+    one Arrow ``mapInPandas`` — the reference's LONG/TIMESTAMP_MS/DOUBLE/
+    STRING physical types (``/root/reference/.../Parquet.fs:52-110,534-621``)
+    exercised end-to-end. The oracle is the identity projection in DuckDB, so
+    any non-bit-identical decode fails the hash compare. The string column is
+    salted with multi-byte UTF-8 to force the FSST escape path."""
+    import numpy as np
+    import pandas as pd
+
+    from .functions import codecs as C
+    from .plans.cost import select_str_codec, select_typed_codec
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', ts)").alias("ts_us"),
+        "value",
+        F.expr("event_type || ' é✓'").alias("tag"),
+    )
+    schema = ev.schema
+
+    def rt(batches):
+        for pdf in batches:
+            out = {}
+            for col in ("event_id", "user_id", "ts_us"):
+                out[col] = C.decode_typed(
+                    select_typed_codec(pdf[col].to_numpy(np.int64))
+                )
+            out["value"] = C.decode_typed(
+                select_typed_codec(pdf["value"].to_numpy(np.float64))
+            )
+            lens, blob = C.strings_to_blob(pdf["tag"])
+            d_lens, d_blob = C.decode_strings(select_str_codec(lens, blob))
+            out["tag"] = C.blob_to_strings(d_lens, d_blob).to_pandas()
+            yield pd.DataFrame(out)
+
+    return ev.mapInPandas(rt, schema=schema)
+
+
+O_TYPED_ROUNDTRIP = """
+SELECT event_id, user_id,
+       date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', ts) AS ts_us,
+       value, event_type || ' é✓' AS tag
+FROM events
 """
 
 
@@ -1013,6 +1063,7 @@ QUERIES: dict[str, tuple] = {
     "token_offsets": (q_token_offsets, O_TOKEN_OFFSETS),
     "dict_cardinality": (q_dict_cardinality, O_DICT_CARDINALITY),
     "values_only_stats": (q_values_only_stats, O_VALUES_ONLY_STATS),
+    "typed_roundtrip": (q_typed_roundtrip, O_TYPED_ROUNDTRIP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),
     "q3_top_revenue": (q_q3_top_revenue, O_Q3),

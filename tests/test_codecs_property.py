@@ -90,3 +90,104 @@ def test_string_codecs_roundtrip(strings):
     enc = select_str_codec(lengths, blob)
     l2, b2 = C.decode_strings(enc)
     assert np.array_equal(np.asarray(l2), np.asarray(lengths)) and b2 == blob
+
+
+# ------------------------------------------------- typed (int64/float) lanes
+
+
+int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@st.composite
+def int64_arrays(draw):
+    kind = draw(st.sampled_from(["random", "runs", "sorted", "extremes", "const"]))
+    n = draw(st.integers(min_value=0, max_value=300))
+    if kind == "random":
+        return np.array(draw(st.lists(int64s, min_size=n, max_size=n)), dtype=np.int64)
+    if kind == "runs":
+        runs = draw(st.lists(st.tuples(int64s, st.integers(1, 40)), max_size=15))
+        return np.concatenate(
+            [np.full(c, v, np.int64) for v, c in runs] or [np.zeros(0, np.int64)]
+        )
+    if kind == "sorted":
+        return np.array(sorted(draw(st.lists(int64s, min_size=n, max_size=n))), dtype=np.int64)
+    if kind == "extremes":
+        vals = draw(st.lists(st.sampled_from(
+            [-(2**63), 2**63 - 1, 0, -1, 1, 2**31, -(2**31) - 1]), min_size=n, max_size=n))
+        return np.array(vals, dtype=np.int64)
+    return np.full(n, draw(int64s), dtype=np.int64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(a=int64_arrays(), codec=st.sampled_from(C.INT_CODECS))
+def test_int64_codec_roundtrip(a, codec):
+    enc = C.encode_int64(a, codec)
+    if enc is None:
+        return
+    assert np.array_equal(C.decode_int64(enc), a)
+
+
+@st.composite
+def float_arrays(draw, dtype):
+    finite = st.floats(allow_nan=False, allow_infinity=False,
+                       width=32 if dtype == np.float32 else 64)
+    special = st.sampled_from([float("nan"), float("inf"), float("-inf"), -0.0, 0.0])
+    n = draw(st.integers(min_value=0, max_value=200))
+    vals = draw(st.lists(st.one_of(finite, special), min_size=n, max_size=n))
+    return np.array(vals, dtype=dtype)
+
+
+@settings(max_examples=50, deadline=None)
+@given(data=st.data(), dtype=st.sampled_from([np.float32, np.float64]))
+def test_float_typed_roundtrip_bit_identical(data, dtype):
+    """NaN payloads, ±inf and -0.0 must round-trip bit-for-bit (floats ride
+    the int kernels as bit patterns; equality is on the bits, never on float
+    semantics)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import select_typed_codec
+
+    a = data.draw(float_arrays(dtype))
+    out = C.decode_typed(select_typed_codec(a))
+    assert out.dtype == a.dtype
+    ib = np.int32 if dtype == np.float32 else np.int64
+    assert np.array_equal(a.view(ib), out.view(ib))
+
+
+@settings(max_examples=40, deadline=None)
+@given(a=int64_arrays())
+def test_select_typed_int64_roundtrip_and_bounded(a):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import select_typed_codec
+
+    enc = select_typed_codec(a)
+    assert np.array_equal(C.decode_typed(enc), a)
+    assert len(enc) <= 8 * len(a) + 64
+
+
+@settings(max_examples=40, deadline=None)
+@given(strings=st.lists(st.text(max_size=30), max_size=50))
+def test_string_codecs_roundtrip_unicode(strings):
+    """Arbitrary unicode (multi-byte UTF-8 ⇒ bytes ≥ 0xC2 everywhere) through
+    every string codec — exercises the FSST escape path."""
+    import pyarrow as pa
+
+    arr = pa.array(strings, type=pa.string())
+    lengths, blob = C.strings_to_blob(arr)
+    for codec in C.STR_CODECS:
+        enc = C.encode_strings(lengths, blob, codec)
+        assert enc is not None, "FSST must accept arbitrary UTF-8 now"
+        l2, b2 = C.decode_strings(enc)
+        assert np.array_equal(np.asarray(l2), np.asarray(lengths)) and b2 == blob
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(max_size=400))
+def test_fsst_escape_roundtrip_arbitrary_bytes(blob):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.functions.codecs import (
+        _fsst_escape,
+        _fsst_unescape,
+    )
+
+    esc = _fsst_escape(blob)
+    v = np.frombuffer(esc, dtype=np.uint8)
+    in_code_range = (v >= 192) & (v <= 254)
+    assert not in_code_range.any()
+    assert _fsst_unescape(esc) == blob
