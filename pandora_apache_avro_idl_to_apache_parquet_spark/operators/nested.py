@@ -162,6 +162,55 @@ def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -
         _flatten(child, child_tbl, out, depth - 1)
 
 
+def flatten_schema(struct: T.StructType, root_name: str = "Root",
+                   max_depth: int = 8) -> dict[str, list[T.StructField]]:
+    """Schema-only view of :func:`flatten_table`: the extension-table DDL a
+    nested struct produces, without any data — the reference's ``Tables.
+    update`` table-synthesis step (``Parquet.fs:662-706``, one table per AST
+    entry) separated from population. Used by Avro-schema golden tests."""
+    out: dict[str, list[T.StructField]] = {}
+    sys_fields = [
+        T.StructField("pj_uid", T.LongType(), False),
+        T.StructField("pj_pid", T.LongType(), True),
+        T.StructField("pj_fid", T.StringType(), True),
+        T.StructField("pj_pos", T.IntegerType(), True),
+    ]
+
+    def emit(table: str, fields: list[T.StructField], depth: int) -> None:
+        if depth <= 0:
+            raise ValueError(f"nesting deeper than bound at table {table}")
+        prims = sorted(
+            (f for f in fields if _is_primitive(f.dataType)), key=lambda f: f.name
+        )
+        out[table] = sys_fields + prims
+        for f in fields:
+            dt = f.dataType
+            if _is_primitive(dt):
+                continue
+            child_tbl = f"{table}.{f.name[:1].upper()}{f.name[1:]}"
+            if isinstance(dt, T.StructType):
+                emit(child_tbl, list(dt.fields), depth - 1)
+            elif isinstance(dt, T.ArrayType):
+                elem = dt.elementType
+                if isinstance(elem, T.StructType):
+                    emit(child_tbl, list(elem.fields), depth - 1)
+                else:
+                    emit(child_tbl,
+                         [T.StructField("item", elem, dt.containsNull)], depth - 1)
+            elif isinstance(dt, T.MapType):
+                val = dt.valueType
+                key_f = T.StructField("key", dt.keyType, False)
+                if isinstance(val, T.StructType):
+                    emit(child_tbl, [key_f, *val.fields], depth - 1)
+                else:
+                    emit(child_tbl,
+                         [key_f, T.StructField("value", val, dt.valueContainsNull)],
+                         depth - 1)
+
+    emit(root_name, list(struct.fields), max_depth)
+    return out
+
+
 def reassemble_array(parent: DataFrame, child: DataFrame, fid: str,
                      item_col: str = "item", out_col: str | None = None) -> DataFrame:
     """Inverse of the array explode: regroup child ``{item}`` rows back onto

@@ -962,6 +962,66 @@ ORDER BY doc_id, pos
 """
 
 
+_DOC_AVSC = """
+{"type": "record", "name": "Doc", "namespace": "engine.test",
+ "fields": [
+   {"name": "doc_id", "type": "long"},
+   {"name": "meta", "type": {"type": "record", "name": "Meta",
+      "fields": [{"name": "lang", "type": "string"},
+                 {"name": "source", "type": "string"}]}},
+   {"name": "words", "type": {"type": "array", "items": "string"}}
+ ]}
+"""
+
+
+def q_avro_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema front door end-to-end (A1–A3 + A14/A15): an Avro ``.avsc`` JSON
+    schema is parsed into a StructType (``sources/avro_schema.py``, the
+    reference's ``Avro.fs:27-145`` walk), the documents table is conformed to
+    it, flattened into extension tables, and the word child table is
+    recombined with root + nested-record metadata via the
+    ``child.pj_pid = parent.pj_uid`` contract."""
+    from .operators import nested
+    from .sources.avro_schema import avsc_to_struct, conform
+
+    info = avsc_to_struct(_DOC_AVSC)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        F.expr(_WORDS).alias("words"),
+    )
+    conformed = conform(docs, info.struct)
+    tables = nested.flatten_table(
+        conformed, root_name=info.name, uid_expr=spark_md5_long("cast(doc_id as string)")
+    )
+    root, meta, words = tables["Doc"], tables["Doc.Meta"], tables["Doc.Words"]
+    return (
+        words.join(root.select("pj_uid", "doc_id"), words.pj_pid == root.pj_uid)
+        .join(
+            meta.select(F.col("pj_pid").alias("meta_pid"), "lang"),
+            F.col("pj_pid") == F.col("meta_pid"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("pj_pos").alias("pos"),
+            F.col("item").alias("word"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+O_AVRO_FLATTEN = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_DUCK_WORDS} AS words FROM documents
+), idx AS (
+  SELECT doc_id, lang, words, unnest(generate_series(1, len(words))) AS i FROM w
+)
+SELECT doc_id, lang, (i - 1)::INTEGER AS pos, words[i] AS word FROM idx
+ORDER BY doc_id, pos
+"""
+
+
 def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON scalar extraction (A22/A26 analog) + aggregation over events."""
     ev = _t(spark, sf_dir, "events")
@@ -1097,6 +1157,7 @@ QUERIES: dict[str, tuple] = {
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
+    "avro_flatten": (q_avro_flatten, O_AVRO_FLATTEN),
     "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
     # multimodal plumbing
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),

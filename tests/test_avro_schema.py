@@ -1,0 +1,88 @@
+"""Avro `.avsc` ingestion: golden table-schema tests over the reference's own
+schema corpus (`/root/reference/avro/avsc/*.avsc`), mirroring its
+`test/tab/<Name>.md` golden strategy (`Unit.Tests/.../EqualsMarkdownTests.fs`)
+— one fixture per schema, deterministic ordering, assert-no-parse-errors —
+plus an end-to-end parse → conform → flatten → recombine data test."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators import nested
+from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_schema import (
+    avsc_to_struct,
+    schema_markdown,
+)
+
+AVSC_DIR = "/root/reference/avro/avsc"
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "avro")
+NAMES = [
+    "Bar", "Foo", "Interop", "Method", "TestError", "TestRecord",
+    "Node", "SelfRef", "SampleNode",
+]
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_avsc_golden_table_schemas(name):
+    info = avsc_to_struct(open(f"{AVSC_DIR}/{name}.avsc").read())
+    assert info.errors == []
+    golden = open(f"{GOLDEN_DIR}/{name}.md").read()
+    assert schema_markdown(info) == golden
+
+
+def test_interop_union_and_named_types():
+    info = avsc_to_struct(open(f"{AVSC_DIR}/Interop.avsc").read())
+    fields = {f.name: f for f in info.struct.fields}
+    # A8 general union -> struct of nullable typeN branches
+    union = fields["unionField"].dataType
+    assert [f.name for f in union.fields] == ["type0", "type1", "type2"]
+    assert all(f.nullable for f in union.fields)
+    # enum -> string, fixed -> binary, null -> nullable string
+    assert fields["enumField"].dataType.simpleString() == "string"
+    assert fields["fixedField"].dataType.simpleString() == "binary"
+    assert fields["nullField"].nullable
+    assert info.named["org.apache.avro.Kind"]["symbols"] == ["A", "B", "C"]
+    assert info.named["org.apache.avro.MD5"]["size"] == 16
+
+
+def test_recursive_reference_truncated_not_crashed():
+    info = avsc_to_struct(open(f"{AVSC_DIR}/SelfRef.avsc").read())
+    assert info.errors == []
+    assert any("recursive" in t for t in info.truncated)
+    assert [f.name for f in info.struct.fields] == ["something"]
+
+
+def test_nullable_union_collapse():
+    info = avsc_to_struct(open(f"{AVSC_DIR}/TestRecord.avsc").read())
+    fields = {f.name: f for f in info.struct.fields}
+    assert fields["nullableHash"].nullable  # [null, MD5]
+    assert fields["nullableHash"].dataType.simpleString() == "binary"
+    assert fields["t"].nullable  # [time-millis int, null]
+    assert fields["t"].dataType.simpleString() == "int"
+
+
+def test_avsc_conform_flatten_recombine(spark):
+    """Data path: a dataset conforming to an .avsc-derived StructType flattens
+    into extension tables and recombines via the pj_pid=pj_uid contract."""
+    avsc = """
+    {"type": "record", "name": "Doc", "namespace": "test",
+     "fields": [
+       {"name": "doc_id", "type": "string"},
+       {"name": "meta", "type": {"type": "record", "name": "Meta",
+          "fields": [{"name": "lang", "type": "string"},
+                     {"name": "source", "type": "string"}]}},
+       {"name": "words", "type": {"type": "array", "items": "string"}}
+     ]}
+    """
+    info = avsc_to_struct(avsc)
+    rows = [("d1", ("en", "web"), ["a", "b"]), ("d2", ("de", "code"), ["x"])]
+    df = spark.createDataFrame(rows, info.struct)
+    tables = nested.flatten_table(
+        df, root_name=info.name, uid_expr=F.xxhash64("doc_id")
+    )
+    assert set(tables) == {"Doc", "Doc.Meta", "Doc.Words"}
+    root, words = tables["Doc"], tables["Doc.Words"]
+    joined = words.join(root.select("pj_uid", "doc_id"), words.pj_pid == root.pj_uid)
+    got = {(r["doc_id"], r["pj_pos"], r["item"]) for r in joined.collect()}
+    assert got == {("d1", 0, "a"), ("d1", 1, "b"), ("d2", 0, "x")}
