@@ -41,7 +41,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-SYSTEM_COLS = ["pj_uid", "pj_pid", "pj_fid", "pj_pos"]
+SYSTEM_COLS = ["pj_uid", "pj_pid", "pj_fid", "pj_pos", "pj_pds", "pj_sha", "pj_dts"]
+
+
+class FlattenResult(dict):
+    """``{table_name: DataFrame}`` plus per-child provenance ``tags``
+    (``record`` / ``record?`` / ``array`` / ``map``) — the reference's
+    ``Transformation`` marks (``Parquet.fs:43-50``) that drive ER cardinality
+    glyphs (A31)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.tags: dict[str, str] = {}
 
 
 def _is_primitive(dt: T.DataType) -> bool:
@@ -55,7 +66,10 @@ def _uid(table: str, pid_col, pos_col) -> F.Column:
 
 def flatten_table(df: DataFrame, root_name: str = "Root",
                   max_depth: int = 8,
-                  uid_expr: str | F.Column | None = None) -> dict[str, DataFrame]:
+                  uid_expr: str | F.Column | None = None,
+                  pds_expr: str | F.Column | None = None,
+                  sha_expr: str | F.Column | None = None,
+                  dts_expr: str | F.Column | None = None) -> "FlattenResult":
     """Explode a nested DataFrame into ``{table_name: DataFrame}`` extension
     tables with lineage columns.
 
@@ -67,37 +81,62 @@ def flatten_table(df: DataFrame, root_name: str = "Root",
     joining them — the same caveat Spark documents for any nondeterministic
     expression reused across plans. A natural-key hash has no such footgun.
 
+    ``pds_expr`` / ``sha_expr`` / ``dts_expr`` (optional): the reference's
+    remaining system-column trio (``Parquet.fs:448-461``) — partition date
+    stamp (cast to date; propagated to every child row, so *every* extension
+    table partition-prunes on ``pj_pds``), payload SHA (binary; **root rows
+    only**, null in children, exactly the reference's root-only ``pj_sha``)
+    and event timestamp (propagated). When omitted, tables carry only the
+    uid/pid/fid/pos quartet as before.
+
     Cycle safety: Spark schemas are trees (no self-references, unlike Avro's
     named-type cycles the reference guards with ``isReference``,
     ``Avro.fs:849-856``), so ``max_depth`` is a plain recursion bound.
     """
-    out: dict[str, DataFrame] = {}
+    out = FlattenResult()
     if uid_expr is None:
         uid = F.monotonically_increasing_id()
     elif isinstance(uid_expr, str):
         uid = F.expr(uid_expr)
     else:
         uid = uid_expr
+
+    def as_col(e):
+        return F.expr(e) if isinstance(e, str) else e
+
+    trio = []
+    if pds_expr is not None or sha_expr is not None or dts_expr is not None:
+        trio = [
+            (as_col(pds_expr).cast("date") if pds_expr is not None
+             else F.lit(None).cast("date")).alias("pj_pds"),
+            (as_col(sha_expr).cast("binary") if sha_expr is not None
+             else F.lit(None).cast("binary")).alias("pj_sha"),
+            (as_col(dts_expr).cast("timestamp_ntz") if dts_expr is not None
+             else F.lit(None).cast("timestamp_ntz")).alias("pj_dts"),
+        ]
     root = df.select(
         _uid(root_name, F.lit(None).cast("long"), uid).alias("pj_uid"),
         F.lit(None).cast("long").alias("pj_pid"),
         F.lit(None).cast("string").alias("pj_fid"),
         F.lit(None).cast("int").alias("pj_pos"),
+        *trio,
         "*",
     )
-    _flatten(root, root_name, out, max_depth)
+    _flatten(root, root_name, out, max_depth, with_trio=bool(trio))
     return out
 
 
 def _project(df: DataFrame, table: str, out: dict[str, DataFrame]) -> None:
+    sys_present = [c for c in SYSTEM_COLS if c in df.columns]
     prims = sorted(
         f.name for f in df.schema.fields
         if f.name not in SYSTEM_COLS and _is_primitive(f.dataType)
     )
-    out[table] = df.select(*SYSTEM_COLS, *prims)
+    out[table] = df.select(*sys_present, *prims)
 
 
-def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -> None:
+def _flatten(df: DataFrame, table: str, out: "FlattenResult", depth: int,
+             with_trio: bool = False) -> None:
     if depth <= 0:
         raise ValueError(f"nesting deeper than bound at table {table}")
     _project(df, table, out)
@@ -106,27 +145,44 @@ def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -
         if name in SYSTEM_COLS or _is_primitive(dt):
             continue
         child_tbl = f"{table}.{name[:1].upper()}{name[1:]}"
-        parent_keys = [
-            F.col("pj_uid").alias("__parent_uid"),
-        ]
+        parent_keys = [F.col("pj_uid").alias("__parent_uid")]
+        # pj_pds/pj_dts propagate to children; pj_sha is root-only (null in
+        # children), mirroring the reference's demo sha handling
+        # (avroidl2parquet.fsx:222-225)
+        trio_carry = (
+            [F.col("pj_pds").alias("__pds"), F.col("pj_dts").alias("__dts")]
+            if with_trio else []
+        )
+        trio_emit = (
+            [
+                F.col("__pds").alias("pj_pds"),
+                F.lit(None).cast("binary").alias("pj_sha"),
+                F.col("__dts").alias("pj_dts"),
+            ]
+            if with_trio else []
+        )
         if isinstance(dt, T.StructType):
             # plain nested record: one child row per non-null struct (A14
             # recursion with pid=uid, fid=key)
+            tag = "record?" if field.nullable else "record"
             child = (
                 df.filter(F.col(name).isNotNull())
-                .select(*parent_keys, F.col(name).alias("__v"))
+                .select(*parent_keys, *trio_carry, F.col(name).alias("__v"))
                 .select(
                     _uid(child_tbl, F.col("__parent_uid"), F.lit(0)).alias("pj_uid"),
                     F.col("__parent_uid").alias("pj_pid"),
                     F.lit(name).alias("pj_fid"),
                     F.lit(None).cast("int").alias("pj_pos"),
+                    *trio_emit,
                     F.col("__v.*"),
                 )
             )
         elif isinstance(dt, T.ArrayType):
+            tag = "array"
             elem = dt.elementType
             exploded = df.select(
-                *parent_keys, F.posexplode(F.col(name)).alias("__pos", "__v")
+                *parent_keys, *trio_carry,
+                F.posexplode(F.col(name)).alias("__pos", "__v"),
             )
             body = (
                 [F.col("__v.*")]
@@ -138,11 +194,14 @@ def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -
                 F.col("__parent_uid").alias("pj_pid"),
                 F.lit(name).alias("pj_fid"),
                 F.col("__pos").alias("pj_pos"),
+                *trio_emit,
                 *body,
             )
         elif isinstance(dt, T.MapType):
+            tag = "map"
             exploded = df.select(
-                *parent_keys, F.posexplode(F.map_entries(F.col(name))).alias("__pos", "__kv")
+                *parent_keys, *trio_carry,
+                F.posexplode(F.map_entries(F.col(name))).alias("__pos", "__kv"),
             )
             val = dt.valueType
             body = [F.col("__kv.key").alias("key")] + (
@@ -155,11 +214,14 @@ def _flatten(df: DataFrame, table: str, out: dict[str, DataFrame], depth: int) -
                 F.col("__parent_uid").alias("pj_pid"),
                 F.lit(name).alias("pj_fid"),
                 F.col("__pos").alias("pj_pos"),
+                *trio_emit,
                 *body,
             )
         else:  # pragma: no cover
             continue
-        _flatten(child, child_tbl, out, depth - 1)
+        if isinstance(out, FlattenResult):
+            out.tags[child_tbl] = tag
+        _flatten(child, child_tbl, out, depth - 1, with_trio=with_trio)
 
 
 def flatten_schema(struct: T.StructType, root_name: str = "Root",
@@ -239,10 +301,24 @@ def reassemble_array(parent: DataFrame, child: DataFrame, fid: str,
     )
 
 
+_CARDINALITY = {
+    # provenance tag -> ER glyph, mirroring the reference's Transformation-
+    # driven arrowheads (demo/avroidl2dot.fsx: ARRAY/MAP -> invodot 1-n,
+    # NULLABLE -> noneteeodot 0-1, plain record -> 1-1)
+    "array": "1-n",
+    "map": "1-n",
+    "record?": "0-1",
+    "record": "1-1",
+}
+
+
 def schema_dot(tables: dict[str, DataFrame]) -> str:
     """ER diagram of the flattened tables as Graphviz dot — the A31 analog
     (``demo/avroidl2dot.fsx``): one node per table listing its columns, one
-    edge per parent→child link labeled with the spawning field."""
+    edge per parent→child link labeled with the spawning field and its
+    cardinality (from the flatten provenance tags when ``tables`` is a
+    :class:`FlattenResult`; 1-n otherwise)."""
+    tags = getattr(tables, "tags", {})
     lines = ["digraph tables {", "  node [shape=record];"]
     for name, df in sorted(tables.items()):
         cols = "|".join(
@@ -256,9 +332,10 @@ def schema_dot(tables: dict[str, DataFrame]) -> str:
         if "." in name:
             parent = name.rsplit(".", 1)[0]
             fid = name.rsplit(".", 1)[1]
+            card = _CARDINALITY.get(tags.get(name, "array"), "1-n")
             lines.append(
                 f'  {parent.replace(".", "_")} -> {name.replace(".", "_")} '
-                f'[label="{fid[0].lower()}{fid[1:]} (1-n)"];'
+                f'[label="{fid[0].lower()}{fid[1:]} ({card})"];'
             )
     lines.append("}")
     return "\n".join(lines)

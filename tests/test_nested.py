@@ -103,3 +103,50 @@ def test_schema_dot(nested_df):
     assert dot.startswith("digraph tables {")
     assert 'Order -> Order_Tags [label="tags (1-n)"]' in dot
     assert "item: string" in dot
+
+
+def test_schema_dot_cardinality_glyphs(nested_df):
+    """A31 cardinality from provenance tags: array/map 1-n, nullable record
+    0-1 (the reference's NULLABLE vs ARRAY/MAP Transformation glyphs)."""
+    tables = flatten_table(nested_df, root_name="Order")
+    assert tables.tags == {
+        "Order.Tags": "array",
+        "Order.Address": "record?",
+        "Order.Props": "map",
+        "Order.Lines": "array",
+    }
+    dot = schema_dot(tables)
+    assert 'Order -> Order_Address [label="address (0-1)"]' in dot
+    assert 'Order -> Order_Props [label="props (1-n)"]' in dot
+
+
+def test_system_column_trio_propagates(nested_df):
+    """pj_pds/pj_dts propagate to every extension table (partition pruning +
+    lineage extend to nested outputs); pj_sha is root-only like the
+    reference's payload hash."""
+    tables = flatten_table(
+        nested_df,
+        root_name="Order",
+        uid_expr=F.xxhash64("id"),
+        pds_expr="date '2026-02-01'",
+        sha_expr="sha2(cast(id as string), 256)",
+        dts_expr="timestamp_ntz '2026-02-01 12:00:00'",
+    )
+    root = tables["Order"]
+    assert root.columns[:7] == [
+        "pj_uid", "pj_pid", "pj_fid", "pj_pos", "pj_pds", "pj_sha", "pj_dts",
+    ]
+    assert root.filter(F.col("pj_sha").isNull()).count() == 0
+    for child_name in ("Order.Tags", "Order.Lines", "Order.Props", "Order.Address"):
+        child = tables[child_name]
+        assert "pj_pds" in child.columns and "pj_dts" in child.columns
+        rows = child.collect()
+        assert all(str(r["pj_pds"]) == "2026-02-01" for r in rows)
+        assert all(r["pj_sha"] is None for r in rows)  # root-only sha
+    # the FK join keyed by (pds, pid) still holds
+    lines = tables["Order.Lines"]
+    joined = lines.join(
+        root.select(F.col("pj_uid").alias("uid"), "pj_pds", "id"),
+        (lines["pj_pid"] == F.col("uid")) & (lines["pj_pds"] == root["pj_pds"]),
+    )
+    assert joined.count() == 3
