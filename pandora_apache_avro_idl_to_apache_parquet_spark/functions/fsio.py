@@ -28,7 +28,6 @@ Atomicity model (two modes, picked per filesystem):
 
 from __future__ import annotations
 
-import io as _io
 import os
 import posixpath
 
@@ -127,14 +126,36 @@ class FsIO:
         self.write_bytes(tmp, data)
         self.fs.move(tmp, path)
 
-    def publish_parquet(self, table, path: str, attempt_tag: str, **write_kwargs) -> None:
+    def publish_parquet(self, table, path: str, attempt_tag: str,
+                        **write_kwargs) -> tuple[int, str]:
         """Publish a pyarrow Table as parquet at its final key (same
-        publication semantics as :meth:`publish_bytes`)."""
+        publication semantics as :meth:`publish_bytes`). Returns
+        ``(size, sha256_hex)`` so the caller can record file integrity
+        without anyone ever re-reading the file (the commit log builds its
+        ``add`` entries from these).
+
+        Serialization goes into a native ``pa.BufferOutputStream`` and the
+        store write is ONE native call. Routing parquet serialization through
+        a Python file object instead is 10-100x slower inside forked pyspark
+        workers (each C++→Python write callback fights the worker's GIL;
+        measured 86s vs 6.6s for 96x9.5MB files) — do not "optimize" this
+        back to a streaming tee. Memory cost is one serialized file held in
+        RAM, bounded by the chunker's rows/values caps."""
+        import hashlib
+
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        buf = _io.BytesIO()
-        pq.write_table(table, buf, **write_kwargs)
-        self.publish_bytes(path, buf.getvalue(), attempt_tag)
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink, **write_kwargs)
+        buf = sink.getvalue()
+        sha = hashlib.sha256(memoryview(buf)).hexdigest()
+        target = f"{path}.tmp-{attempt_tag}" if self.atomic_rename else path
+        with self.fs.open_output_stream(target) as f:
+            f.write(buf)
+        if self.atomic_rename:
+            self.fs.move(target, path)
+        return buf.size, sha
 
     def create_exclusive(self, path: str, data: bytes) -> bool:
         """Create ``path`` iff absent; False if it already exists.

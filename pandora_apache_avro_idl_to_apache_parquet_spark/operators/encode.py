@@ -5,7 +5,7 @@ inside a grouped-map UDF:
 
     scan -> part_id = pmod(xxhash64(source, doc_id), n_parts)   # salted spread
          -> anti-join against completed checkpoints              # resume
-         -> groupBy(part_id).applyInPandas(encode_partition)     # the only shuffle
+         -> groupBy(part_id).applyInArrow(encode_partition)      # the only shuffle
          -> chunk parquet files (payload columns) + checkpoint markers
          -> manifest = payload-free projection of the chunk files
 
@@ -97,37 +97,56 @@ def _chunk_boundaries(lengths: np.ndarray, max_rows: int, max_values: int) -> li
     return bounds
 
 
-def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
-                          chunk_values: int, pds: date, fail_parts=None) -> pd.DataFrame:
-    """Grouped-map kernel: one part_id's rows -> chunk parquet file + manifest."""
+def _chunk_arrow_schema() -> pa.Schema:
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(CHUNK_SCHEMA)
+
+
+def _encode_partition_arrow(table: pa.Table, io: FsIO, chunk_rows: int,
+                            chunk_values: int, pds: date, fail_parts=None) -> pa.Table:
+    """Grouped-map kernel: one part_id's rows -> chunk parquet file + manifest.
+
+    Arrow-native end-to-end (``applyInArrow``): the token list column's Arrow
+    (values, offsets) buffers ARE the engine's flattened representation, read
+    zero-copy — no pandas conversion, no per-row ndarray objects, no
+    re-concatenation. This is the "vectorized explode without blow-up" of
+    SURVEY.md §7 taken all the way to the exchange format.
+    """
     import time
 
+    import pyarrow.compute as pc
+
     t_start = time.perf_counter()
-    part_id = int(pdf["part_id"].iloc[0])
+    part_id = int(table.column("part_id")[0].as_py())
     if fail_parts and part_id in fail_parts:
         raise RuntimeError(f"injected failure for part {part_id}")
-    pdf = pdf.sort_values("doc_id", kind="mergesort", ignore_index=True)
 
-    lengths_all = pdf["n_tok"].to_numpy(dtype=np.int32)
-    tok_list = pdf["tokens"].to_list()
-    values_all = (np.concatenate(tok_list).astype(np.int32, copy=False)
-                  if len(tok_list) else np.zeros(0, np.int32))
-    actual = np.fromiter((len(t) for t in tok_list), dtype=np.int64, count=len(tok_list))
-    if not np.array_equal(actual, lengths_all.astype(np.int64)):
-        bad = int(np.flatnonzero(actual != lengths_all)[0])
-        raise ValueError(f"n_tok invariant violated at doc_id={pdf['doc_id'].iloc[bad]}")
-    cum = np.concatenate(([0], np.cumsum(lengths_all.astype(np.int64))))
+    # sort rows by doc_id (C++ stable sort): RLE-friendly doc_id prefixes +
+    # valid zone maps (doc_id_min/max) per chunk
+    table = table.take(pc.sort_indices(table, sort_keys=[("doc_id", "ascending")]))
+    tokens = table.column("tokens").combine_chunks()
+    offs = tokens.offsets.to_numpy().astype(np.int64, copy=False)
+    cum = offs - offs[0]
+    lengths_all = np.diff(cum).astype(np.int32)
+    values_all = tokens.flatten().to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    n_tok_col = table.column("n_tok").combine_chunks().to_numpy(zero_copy_only=False)
+    if not np.array_equal(n_tok_col.astype(np.int64), lengths_all.astype(np.int64)):
+        bad = int(np.flatnonzero(n_tok_col != lengths_all)[0])
+        raise ValueError(
+            f"n_tok invariant violated at doc_id={table.column('doc_id')[bad].as_py()}"
+        )
+    doc_arr = table.column("doc_id").combine_chunks()
+    src_arr = table.column("source").combine_chunks()
 
     t_kernel0 = time.perf_counter()
     rows: list[dict] = []
     for seq, (lo, hi) in enumerate(_chunk_boundaries(lengths_all, chunk_rows, chunk_values)):
-        doc_ids = pdf["doc_id"].iloc[lo:hi]
-        sources = pdf["source"].iloc[lo:hi]
         lengths = lengths_all[lo:hi]
         values = values_all[cum[lo]:cum[hi]]
 
-        d_len, d_blob = C.strings_to_blob(doc_ids)
-        s_len, s_blob = C.strings_to_blob(sources)
+        d_len, d_blob = C.strings_to_blob(doc_arr.slice(lo, hi - lo))
+        s_len, s_blob = C.strings_to_blob(src_arr.slice(lo, hi - lo))
         payloads = {
             "doc_id": (select_str_codec(d_len, d_blob), len(d_blob) + 4 * len(d_len)),
             "source": (select_str_codec(s_len, s_blob), len(s_blob) + 4 * len(s_len)),
@@ -143,8 +162,8 @@ def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
             "row_hi": hi,
             "n_rows": hi - lo,
             "n_values": int(cum[hi] - cum[lo]),
-            "doc_id_min": doc_ids.iloc[0],
-            "doc_id_max": doc_ids.iloc[-1],
+            "doc_id_min": doc_arr[lo].as_py(),
+            "doc_id_max": doc_arr[hi - 1].as_py(),
             "sha": sha,
             "pds": pds,
         }
@@ -157,8 +176,8 @@ def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
         rows.append(row)
     kernel_sec = time.perf_counter() - t_kernel0
 
-    cols = [f.name for f in CHUNK_SCHEMA.fields]
-    out = pd.DataFrame(rows, columns=cols)
+    chunk_schema = _chunk_arrow_schema()
+    out = pa.Table.from_pylist(rows, schema=chunk_schema)
 
     # publish chunk file, then checkpoint marker (all through FsIO: atomic
     # rename locally, write-once keys on object stores — see fsio.py)
@@ -166,11 +185,11 @@ def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
     io.makedirs(data_dir)
     io.makedirs(ckpt_dir)
     tag = uuid.uuid4().hex[:8]
-    table = pa.Table.from_pandas(out, preserve_index=False)
+    file_name = f"part-{part_id:05d}.parquet"
     t_write0 = time.perf_counter()
-    io.publish_parquet(
-        table,
-        posixpath.join(data_dir, f"part-{part_id:05d}.parquet"),
+    file_size, file_sha = io.publish_parquet(
+        out,
+        posixpath.join(data_dir, file_name),
         attempt_tag=tag,
         compression={f"{c}_payload": "NONE" for c in CHUNK_COLUMNS} | {"__default__": "SNAPPY"},
     )
@@ -179,13 +198,19 @@ def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
     stats = {
         "part_id": part_id,
         "n_chunks": len(rows),
-        "n_rows": int(len(pdf)),
-        "n_values": int(cum[-1]),
-        "enc_bytes": int(out[[f"{c}_enc_bytes" for c in CHUNK_COLUMNS]].to_numpy().sum()) if len(out) else 0,
-        "raw_bytes": int(out[[f"{c}_raw_bytes" for c in CHUNK_COLUMNS]].to_numpy().sum()) if len(out) else 0,
+        "n_rows": int(table.num_rows),
+        "n_values": int(cum[-1]) if len(cum) else 0,
+        "enc_bytes": sum(r[f"{c}_enc_bytes"] for r in rows for c in CHUNK_COLUMNS),
+        "raw_bytes": sum(r[f"{c}_raw_bytes"] for r in rows for c in CHUNK_COLUMNS),
         "kernel_sec": round(kernel_sec, 4),
         "write_sec": round(write_sec, 4),
         "total_sec": round(time.perf_counter() - t_start, 4),
+        # file integrity recorded at write time so the commit log never
+        # re-reads data files driver-side — at 100 TB a driver sha pass over
+        # every chunk file would be the serial bottleneck
+        "file_name": file_name,
+        "file_size": file_size,
+        "file_sha256": file_sha,
         "status": "done",
     }
     io.publish_bytes(
@@ -194,7 +219,7 @@ def _encode_partition_pdf(pdf: pd.DataFrame, io: FsIO, chunk_rows: int,
         attempt_tag=tag,
     )
 
-    return out.drop(columns=[f"{c}_payload" for c in CHUNK_COLUMNS])
+    return out.drop_columns([f"{c}_payload" for c in CHUNK_COLUMNS])
 
 
 def with_part_id(df: DataFrame, n_parts: int) -> DataFrame:
@@ -232,14 +257,70 @@ def encode_tokens(df: DataFrame, out_dir: str, n_parts: int = 64,
 
     manifest_struct = StructType([f for f in CHUNK_SCHEMA.fields if not f.name.endswith("_payload")])
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_partition_pdf(pdf, io, chunk_rows, chunk_values, pds,
-                                     fail_parts=fail_parts)
+    def kernel(table: pa.Table) -> pa.Table:
+        return _encode_partition_arrow(table, io, chunk_rows, chunk_values, pds,
+                                       fail_parts=fail_parts)
 
-    result = keyed.groupBy("part_id").applyInPandas(kernel, schema=manifest_struct)
+    result = keyed.groupBy("part_id").applyInArrow(kernel, schema=manifest_struct)
     # force execution with a no-file action: the manifest of record is the
     # chunk files themselves, and writing (then overwriting) an attempt
     # manifest would churn deletes — expensive on discard-mounted filesystems
+    result.write.format("noop").mode("overwrite").save()
+    write_commit_log(out_dir, pds, io)
+    return read_manifest(spark, out_dir, io)
+
+
+def encode_tokens_scan(df: DataFrame, out_dir: str,
+                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                       chunk_values: int = DEFAULT_CHUNK_VALUES,
+                       pds: date | None = None,
+                       fail_parts: set[int] | None = None,
+                       io: FsIO | None = None) -> DataFrame:
+    """Map-only encode: each *scan partition* is an encode unit — the plan is
+    scan → ``mapInArrow`` → files, with **no shuffle at all**.
+
+    For a curated Iceberg/parquet token table the input files already spread
+    the corpus (the common case at 10^12-sequence scale), so paying a full
+    shuffle of every token byte — plus the JVM-side sort and row↔Arrow serde
+    the grouped-map path implies — buys nothing. This mode removes that
+    entire cost; :func:`encode_tokens` (salted shuffle) remains the path for
+    skewed or hot-keyed sources, exactly as the north rule's "explicit salted
+    repartitioning for skewed sources" prescribes.
+
+    Resume: partition ids are the encode identity. Spark's file-split
+    planning is deterministic for a static input + fixed reader conf, so a
+    restart maps rows to the same partition ids; partitions with a checkpoint
+    marker short-circuit (their input is re-scanned but neither re-encoded
+    nor re-written — idempotent, not free; the shuffle mode's anti-join
+    semantics, minus the shuffle).
+    """
+    spark = df.sparkSession
+    pds = pds or date(2026, 1, 1)
+    io = _io(out_dir, io)
+    done = set(completed_parts(out_dir, io))
+
+    from pyspark.sql.types import StructType
+
+    manifest_struct = StructType([f for f in CHUNK_SCHEMA.fields if not f.name.endswith("_payload")])
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid in done:
+            return
+        collected = list(batches)
+        if not collected or sum(b.num_rows for b in collected) == 0:
+            return
+        table = pa.Table.from_batches(collected)
+        table = table.append_column(
+            "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
+        )
+        yield from _encode_partition_arrow(
+            table, io, chunk_rows, chunk_values, pds, fail_parts=fail_parts
+        ).to_batches()
+
+    result = df.mapInArrow(gen, schema=manifest_struct)
     result.write.format("noop").mode("overwrite").save()
     write_commit_log(out_dir, pds, io)
     return read_manifest(spark, out_dir, io)
@@ -285,6 +366,18 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None) -> str | N
                     committed.add(entry["add"]["path"])
         return committed, indices
 
+    def _marker_index() -> dict[str, dict]:
+        """file_name -> integrity info from the checkpoint markers (written
+        executor-side, hashed in flight), so commit never re-reads data."""
+        idx: dict[str, dict] = {}
+        ckpt = io.join("_checkpoints")
+        for f in io.listdir(ckpt):
+            if f.startswith("part-") and f.endswith(".json"):
+                st = json.loads(io.read_text(posixpath.join(ckpt, f)))
+                if "file_name" in st:
+                    idx[st["file_name"]] = st
+        return idx
+
     def _build_payload(committed: set[str]) -> str | None:
         new_files = sorted(
             f for f in io.listdir(data_dir) if f.endswith(".parquet") and f not in committed
@@ -305,15 +398,21 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None) -> str | N
         ]
         import hashlib
 
+        markers = _marker_index()
         for f in new_files:
             path = posixpath.join(data_dir, f)
-            sha = hashlib.sha256(io.read_bytes(path)).hexdigest()
+            info = markers.get(f)
+            if info is not None:
+                size, sha = info["file_size"], info["file_sha256"]
+            else:  # foreign/legacy file without a marker: hash it once here
+                data = io.read_bytes(path)
+                size, sha = len(data), hashlib.sha256(data).hexdigest()
             lines.append(
                 json.dumps(
                     {
                         "add": {
                             "path": f,
-                            "size": io.size(path),
+                            "size": size,
                             "sha256": sha,
                             "partitionValues": {"pds": pds.isoformat()},
                             "dataChange": True,

@@ -215,6 +215,68 @@ def ivf_assign(emb: DataFrame, n_cells: int = 8) -> DataFrame:
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: every corpus vector is assigned to its nearest coarse cell
+    (map-side argmax, as :func:`ivf_assign`), each query probes its
+    ``n_probe`` best cells, and only vectors in probed cells are scored —
+    the classic inverted-file search. Recall < 1 by construction (governed by
+    ``n_probe``); the candidate join is a cell equi-join against the
+    broadcast (query, probe_cell) list, and ranking goes through the same
+    bounded partial top-k path as the exact variant. Ties break on the lower
+    cell / neighbor id everywhere so the SQL oracle reproduces results
+    exactly."""
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("ce"))
+        .agg(F.collect_list(F.struct("cell", "ce")).alias("cs"))
+    )
+    cell_scores = (
+        f"transform(cs, c -> struct(-round({cosine_expr('embedding', 'c.ce')}, 4) as ns, "
+        f"c.cell as cell))"
+    )
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            # array_min on (ns=-score, cell): best score first, lowest cell on ties
+            F.expr(f"array_min({cell_scores})").alias("best"),
+        )
+        .select("vec_id", "embedding", F.col("best.cell").alias("cell"))
+    )
+    probes = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .join(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q"),
+            F.explode(
+                F.expr(
+                    f"transform(slice(array_sort({cell_scores}), 1, {n_probe}), s -> s.cell)"
+                )
+            ).alias("probe_cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(cosine_expr("q", "embedding")), 4).alias("score"),
+        )
+    )
+    return _final_topk(_partial_topk(scored, k), k)
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

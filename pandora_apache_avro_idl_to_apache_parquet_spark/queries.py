@@ -49,7 +49,35 @@ _WORDS = "filter(split(text, ' '), w -> w <> '')"
 _DUCK_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
 
 
+def _staged_tokens_path(sf_dir: str) -> str | None:
+    base = os.environ.get("PANDORA_STAGED_TOKENS_DIR")
+    if not base:
+        return None
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    return os.path.join(base, key)
+
+
+def stage_derived_tokens(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the derived token table once per sf_dir under
+    ``$PANDORA_STAGED_TOKENS_DIR`` so benchmark timings measure the operators,
+    not the md5 oracle-parity derivation re-run per query. Content is
+    identical to the lazy derivation, so oracle parity is unaffected."""
+    d = _staged_tokens_path(sf_dir)
+    if d is None:
+        raise RuntimeError("PANDORA_STAGED_TOKENS_DIR not set")
+    if not os.path.isdir(d):
+        _derive_tokens(spark, sf_dir).write.mode("overwrite").parquet(d)
+    return d
+
+
 def derived_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _staged_tokens_path(sf_dir)
+    if staged and os.path.isdir(staged):
+        return spark.read.parquet(staged)
+    return _derive_tokens(spark, sf_dir)
+
+
+def _derive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.expr("source || '-' || lpad(cast(doc_id as string), 12, '0')").alias("doc_id"),
@@ -86,7 +114,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v3"  # bump to bust the /tmp encode cache on payload-affecting changes
+_FORMAT_TAG = "v4"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -216,6 +244,41 @@ SELECT count(*)::BIGINT AS n_rows, sum(n_tok)::BIGINT AS n_values,
        sum(coalesce(list_sum(tokens), 0))::BIGINT AS token_sum,
        max(list_max(tokens)) AS max_token
 FROM toks
+"""
+
+
+def q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective decode (point lookup): fetch five specific documents through
+    the manifest's doc_id_min/doc_id_max zone map — chunks outside the range
+    are pruned at the parquet scan, their payloads never read
+    (``operators/decode.py:lookup_docs``)."""
+    from .operators.decode import lookup_docs
+
+    out = _encode_dir(spark, sf_dir)
+    ids = [
+        r["doc_id"]
+        for r in derived_tokens(spark, sf_dir)
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    ]
+    return (
+        lookup_docs(spark, out, ids)
+        .select(
+            "doc_id",
+            "n_tok",
+            F.expr("aggregate(tokens, 0L, (a, t) -> a + t)").alias("token_sum"),
+            "source",
+        )
+        .orderBy("doc_id")
+    )
+
+
+O_DOC_LOOKUP = f"""
+WITH {DUCK_TOKS}
+SELECT doc_id, n_tok, coalesce(list_sum(tokens), 0)::BIGINT AS token_sum, source
+FROM toks ORDER BY doc_id LIMIT 5
 """
 
 
@@ -844,6 +907,43 @@ SELECT vec_id, cell, cell_score FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_cells=8, n_probe=2
+    )
+
+
+def _o_ann_ivf_topk() -> str:
+    cos = _duck_cos("e.embedding", "c.ce")
+    qcos = _duck_cos("p.qe", "a.embedding")
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cell, embedding AS ce FROM embeddings ORDER BY vec_id LIMIT 8
+), scored_cells AS (
+  SELECT e.vec_id, e.embedding, c.cell, round({cos}, 4) AS s
+  FROM embeddings e, c
+), asg AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM scored_cells) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 10
+), probes AS (
+  SELECT query_id, qe, cell FROM (
+    SELECT q.query_id, q.qe, sc.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY sc.s DESC, sc.cell) AS rn
+    FROM q JOIN scored_cells sc ON sc.vec_id = q.query_id) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, round({qcos}, 4) AS score
+  FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)::INTEGER AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -1124,6 +1224,7 @@ QUERIES: dict[str, tuple] = {
     "dict_cardinality": (q_dict_cardinality, O_DICT_CARDINALITY),
     "values_only_stats": (q_values_only_stats, O_VALUES_ONLY_STATS),
     "typed_roundtrip": (q_typed_roundtrip, O_TYPED_ROUNDTRIP),
+    "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),
     "q3_top_revenue": (q_q3_top_revenue, O_Q3),
@@ -1148,6 +1249,7 @@ QUERIES: dict[str, tuple] = {
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, O_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh_topk, _o_ann_lsh()),
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF),
+    "ann_ivf_topk": (q_ann_ivf_topk, _o_ann_ivf_topk()),
     # text analysis
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_langid": (q_text_langid, _o_text_langid()),

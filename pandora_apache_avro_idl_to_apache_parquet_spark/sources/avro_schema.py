@@ -256,6 +256,38 @@ def conform(df, struct: T.StructType):
     )
 
 
+def as_union(df, col: str, union_type: T.StructType):
+    """Place a statically-typed column into its matching branch of a general
+    union struct (``type0…typeN``, as produced by :func:`avsc_to_struct` for
+    multi-branch unions) — the Spark expression of the reference's runtime
+    union dispatch (A17, ``popuUnion`` ``Parquet.fs:1041-1193``): the value's
+    branch is set, every other branch is null. In Spark the "runtime type
+    reflection" (A18) collapses to a schema lookup because column types are
+    static; heterogeneous sources each call ``as_union`` with their own type
+    and then ``unionByName`` into one union-typed table."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType
+    matches = [f.name for f in union_type.fields if f.dataType == dt]
+    if not matches:
+        raise ValueError(
+            f"column {col!r} of type {dt.simpleString()} matches no union branch "
+            f"in {union_type.simpleString()}"
+        )
+    branch = matches[0]
+    return df.withColumn(
+        col,
+        F.struct(
+            *[
+                (F.col(col) if f.name == branch else F.lit(None).cast(f.dataType)).alias(
+                    f.name
+                )
+                for f in union_type.fields
+            ]
+        ),
+    )
+
+
 def schema_markdown(info: AvroSchemaInfo) -> str:
     """Golden-testable view: the flattened extension-table schemas this
     struct produces, in the shape of the reference's ``test/tab/<Name>.md``

@@ -48,8 +48,8 @@ def main() -> None:
             "ONE Exchange total (hashpartitioning on part_id); the grouped-map\n"
             "kernel (FlatMapGroupsInPandas) sits directly on it — no second\n"
             "shuffle, no sort exchange, no collect.",
-            with_part_id(src, 4).groupBy("part_id").applyInPandas(
-                lambda pdf: pdf.head(0), schema="part_id int"
+            with_part_id(src, 4).groupBy("part_id").applyInArrow(
+                lambda t: t.slice(0, 0).select(["part_id"]), schema="part_id int"
             ),
         ),
         (
@@ -69,6 +69,51 @@ def main() -> None:
             "ReadSchema carries only lengths/values payloads; the string\n"
             "payload columns are pruned at the parquet scan.",
             decode_values_only(spark, out),
+        ),
+    ]
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators import (
+        dedup,
+        flatten,
+        similarity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = synthesize_tokens(spark, 500, seed=5)
+    sections += [
+        (
+            "ANN brute-force top-k (bounded partial top-k, no Window)",
+            "* No Window node: scoring is map-only against the broadcast query\n"
+            "set, MapInPandas keeps ≤ queries·k rows per partition, and the\n"
+            "final exact top-k is a collect_list/array_sort/slice aggregate.",
+            similarity.brute_force_topk(emb, n_queries=5, k=3),
+        ),
+        (
+            "IVF assign (map-side argmax over one broadcast centroid row)",
+            "* No Window, no per-vector hash shuffle: the argmax cell is an\n"
+            "array_max over a transform of the broadcast centroid array.",
+            similarity.ivf_assign(emb, n_cells=4),
+        ),
+        (
+            "Embedding near-pairs (banded sign-LSH candidates + exact verify)",
+            "* No CartesianProduct / NestedLoop join: candidates come from a\n"
+            "(table, code) bucket equi-join with an oversized-bucket cap, and\n"
+            "only candidates pay the exact cosine.",
+            similarity.embedding_near_pairs(emb, threshold=0.45, n_tables=4, planes=6),
+        ),
+        (
+            "Token offsets (two-phase bucketed prefix sum)",
+            "* No SinglePartition exchange: per-bucket totals fold into\n"
+            "broadcast base offsets; the running sum is partitioned by bucket.",
+            flatten.token_offsets(toks),
+        ),
+        (
+            "SimHash (map-side aggregate, shuffle-free)",
+            "* No Exchange before the output: the fingerprint is one aggregate\n"
+            "over the per-word hash array per row.",
+            dedup.with_simhash(docs).select("doc_id", "simhash"),
         ),
     ]
     parts = [HEADER]

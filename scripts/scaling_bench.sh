@@ -88,6 +88,15 @@ table = "\n".join(
 eff_table = "\n".join(
     f"| {n} → {m} cores (N → 4N) | {effs[(n, m)]:.3f} |" for n, m in pairs
 )
+attrib_table = "\n".join(
+    f"| local[{c}] | {j.get('group_sec_sum', '-')} | {j.get('kernel_sec_sum', '-')} "
+    f"| {j.get('arrow_sec_sum', '-')} | {j.get('write_sec_sum', '-')} "
+    f"| {round(j.get('kernel_sec_sum', 0) / max(j.get('group_sec_sum', 1), 1e-9), 2)} |"
+    for c, j in zip(cores, runs)
+)
+k1 = runs[0].get("kernel_sec_sum")
+k32 = runs[-1].get("kernel_sec_sum")
+kernel_inflation = round(k32 / k1, 2) if k1 and k32 else None
 md = f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 North rule: throughput scaling efficiency >= 0.8 going from N to 4N executors.
@@ -107,6 +116,23 @@ N → 4N efficiencies along the curve ((tp_4N / tp_N) / 4):
 
 **Headline N→4N scaling efficiency (local[{best_pair[0]}]→local[{best_pair[1]}]):
 {best_eff:.3f}** (target >= 0.8)
+
+Per-stage attribution (summed over the 96 grouped-map partitions of the best
+run; kernel = pure numpy codec time, arrow = Arrow exchange + pandas assembly,
+write = chunk-file publication — from the checkpoint markers each partition
+emits):
+
+| config | group total s | kernel s | arrow s | write s | kernel share |
+|---|---|---|---|---|---|
+{attrib_table}
+
+Kernel-seconds inflation local[1]→local[32]: **{kernel_inflation}×** for the
+same work. CPU-seconds spent inside the numpy kernels growing with thread
+count (while the plan, partition count and data are identical) is the
+signature of memory-bandwidth / host contention — the per-partition kernels
+share nothing and allocate independently — not of a serialization point in
+the plan; a Spark-side bottleneck would instead show kernel-seconds flat and
+wall time growing.
 
 The full curve shows the engine scales with cores until the single VM's
 memory-bandwidth / virtualization ceiling (~{max(tps.values()):,} tokens/sec
@@ -131,6 +157,13 @@ Methodology caveats:
   shuffle cleanup at JVM exit) issue TRIM that poisons subsequent runs with
   kernel time.
 """
+# preserve historical addendum sections (pinned-CPU control, 10x point)
+import os
+if os.path.exists("BENCH/BASELINE.md"):
+    old = open("BENCH/BASELINE.md").read()
+    i = old.find("## Addendum")
+    if i != -1:
+        md += "\n" + old[i:]
 open("BENCH/BASELINE.md", "w").write(md)
 print(md)
 EOF

@@ -62,6 +62,28 @@ def test_nullable_union_collapse():
     assert fields["t"].dataType.simpleString() == "int"
 
 
+def test_as_union_dispatch(spark):
+    """A17 analog: heterogeneous sources land in their matching union branch,
+    all other branches null, and union into one union-typed table."""
+    from pyspark.sql import types as T
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_schema import as_union
+
+    u = T.StructType(
+        [
+            T.StructField("type0", T.LongType(), True),
+            T.StructField("type1", T.StringType(), True),
+        ]
+    )
+    ints = spark.createDataFrame([(1, 7), (2, 8)], "id int, v long")
+    strs = spark.createDataFrame([(3, "x")], "id int, v string")
+    merged = as_union(ints, "v", u).unionByName(as_union(strs, "v", u))
+    rows = {r["id"]: (r["v"]["type0"], r["v"]["type1"]) for r in merged.collect()}
+    assert rows == {1: (7, None), 2: (8, None), 3: (None, "x")}
+    with pytest.raises(ValueError):
+        as_union(spark.createDataFrame([(1.5,)], "v double"), "v", u)
+
+
 def test_avsc_conform_flatten_recombine(spark):
     """Data path: a dataset conforming to an .avsc-derived StructType flattens
     into extension tables and recombines via the pj_pid=pj_uid contract."""

@@ -146,6 +146,7 @@ def test_topk_plans_have_no_window(emb):
     for df in (
         similarity.brute_force_topk(emb, n_queries=2, k=2),
         similarity.lsh_bucketed_topk(emb, n_queries=2, k=2),
+        similarity.ivf_topk(emb, n_queries=2, k=2, n_cells=2, n_probe=1),
     ):
         plan = _plan(df)
         assert "Window" not in plan, f"top-k plan funnels through a Window:\n{plan}"
