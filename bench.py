@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "tokens_explode",
     "token_stats_by_source",
     "dict_cardinality",
+    "table_encode_roundtrip",
+    "table_selective_stats",
     "q1_pricing_summary",
     "q3_top_revenue",
     "window_running_total",

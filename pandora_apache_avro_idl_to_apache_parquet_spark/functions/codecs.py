@@ -522,6 +522,42 @@ def blob_to_strings(lengths: np.ndarray, blob: bytes):
     )
 
 
+def bytes_to_blob(arr) -> tuple[np.ndarray, bytes]:
+    """Variable-length byte column (pyarrow string OR binary array, no nulls)
+    -> (lengths, blob). The string/FSST codec family operates on raw byte
+    streams, so BinaryType columns ride the same lane as strings — the
+    reference's BYTES physical type (``Parquet.fs:59, 563-566``)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type == pa.string():
+        return strings_to_blob(arr)
+    if arr.type != pa.binary():
+        arr = arr.cast(pa.binary())
+    if arr.null_count:
+        raise ValueError("null values must be stripped before blob extraction")
+    n = len(arr)
+    raw_offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                             count=n + 1 + arr.offset)[arr.offset:]
+    data = arr.buffers()[2]
+    blob = data.to_pybytes()[raw_offs[0] : raw_offs[-1]] if data is not None else b""
+    lengths = np.diff(raw_offs - raw_offs[0]).astype(np.int32)
+    return lengths, blob
+
+
+def blob_to_binary(lengths: np.ndarray, blob: bytes):
+    """(lengths, blob) -> pyarrow BinaryArray (inverse of bytes_to_blob)."""
+    import pyarrow as pa
+
+    offs = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offs[1:])
+    return pa.Array.from_buffers(
+        pa.binary(), len(lengths),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)],
+    )
+
+
 def _enc_str_plain(lengths: np.ndarray, blob: bytes) -> bytes:
     lb = encode_int32(lengths, FOR)
     return struct.pack("<Q", len(lb)) + lb + blob

@@ -329,7 +329,8 @@ def encode_tokens_scan(df: DataFrame, out_dir: str,
 PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 1, "payloadFormat": 2}
 
 
-def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None) -> str | None:
+def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
+                     schema_json: str | None = None) -> str | None:
     """Numbered-JSONL commit log — the A28/A29 analog of the reference's
     ``_delta_log`` writer (``/root/reference/.../Pandora/Databricks/
     DeltaLake.fs:176-444``): a ``_log/<%020d>.json`` file holding one
@@ -389,7 +390,7 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None) -> str | N
             json.dumps(
                 {
                     "metaData": {
-                        "schemaString": CHUNK_SCHEMA.json(),
+                        "schemaString": schema_json or CHUNK_SCHEMA.json(),
                         "partitionColumns": ["pds"],
                         "format": {"provider": "parquet"},
                     }

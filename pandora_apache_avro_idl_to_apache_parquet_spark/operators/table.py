@@ -1,0 +1,514 @@
+"""Generic table encode/decode: ANY flat DataFrame -> per-column codec'd chunks.
+
+The token pipeline (``encode.py``) is specialized to the north rule's fixed
+``(doc_id, tokens, n_tok, source)`` shape. This module is the schema-driven
+generalization the reference's design implies: its flattener emits one flat
+extension table per nested record/array/map
+(``/root/reference/.../Pandora/Apache/Parquet.fs:444-467, 880-946``), and each
+such table's columns span the full Avro physical-type set — BOOLEAN, INT, LONG,
+FLOAT, DOUBLE, BYTES, STRING, DATE, DECIMAL, TIMESTAMP_MS, TIME_MS
+(``Parquet.fs:52-110``, mappings ``:534-621``). ``encode_table`` accepts any
+DataFrame whose columns land in those types (run
+:func:`..operators.nested.flatten_table` first for nested data — exactly the
+reference's flatten-then-store contract) and writes per-column, per-chunk
+auto-selected codec payloads; ``decode_table`` reproduces the input
+bit-identically, nulls included.
+
+Physical design (mirrors the token pipeline, so every scale property carries
+over):
+
+* one salted shuffle (``part_id = pmod(xxhash64(*key_cols), n_parts)``) into a
+  grouped-map Arrow kernel — or none in scan mode;
+* each partition sorts by the key columns (zone maps ``key_min``/``key_max``
+  per chunk), slices into ``chunk_rows`` chunks, and encodes every column
+  independently with the sampled cost model (``plans/cost.py``);
+* lane mapping: int8/16/32, date32 and bool ride the int32 codec family;
+  int64, timestamp and decimal(<=18) unscaled ride int64; float32/float64 ride
+  the same kernels as bit patterns; string/binary ride the FSST/dict string
+  family. Every payload stays self-describing (``functions/codecs.py``).
+* nulls: a per-column validity stream (int32 0/1, RLE-crushed by the cost
+  model) plus a dense payload of the non-null values — Parquet's
+  definition-level idea re-expressed in the engine's own codec family;
+* chunk files carry one top-level column per (source column x
+  {codec,nulls,raw,enc,valid,payload}) so BOTH the manifest scan and selective
+  decode get parquet column pruning (read 2 of 40 columns -> scan 2 of 40);
+* checkpoints, resume, FsIO publication, and the numbered-JSONL commit log are
+  shared with the token pipeline (``encode.py``) — the ``_schema.json``
+  sidecar plays the reference's Delta ``metaData.schemaString`` role
+  (``DeltaLake.fs:176-444``) so a reader needs nothing but the output dir.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+import uuid
+from dataclasses import dataclass
+from datetime import date
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..functions import codecs as C
+from ..functions.fsio import FsIO
+from ..functions.hashing import klondike, sha256
+from ..plans.cost import select_int_codec, select_str_codec, select_typed_codec
+from .encode import _io, completed_parts, write_commit_log
+
+DEFAULT_CHUNK_ROWS = 65536
+
+# logical tags: recorded per column in chunk files + sidecar; decode needs
+# nothing else. Grouped by codec lane.
+_I32_LOGICALS = {"byte", "short", "int", "date", "bool"}
+_I64_LOGICALS = {"long", "timestamp", "timestamp_ntz"}
+_STR_LOGICALS = {"string", "binary"}
+
+
+def _logical_of(dt: T.DataType) -> str:
+    if isinstance(dt, T.ByteType):
+        return "byte"
+    if isinstance(dt, T.ShortType):
+        return "short"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp_ntz"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        if dt.precision > 18:
+            raise ValueError(
+                f"decimal precision {dt.precision} > 18 exceeds the int64 unscaled lane"
+            )
+        return f"decimal({dt.precision},{dt.scale})"
+    raise ValueError(
+        f"unsupported column type {dt.simpleString()} — nested types must be "
+        "flattened to extension tables first (operators.nested.flatten_table)"
+    )
+
+
+@dataclass
+class TableSpec:
+    """Source schema + key columns, serialized to the ``_schema.json`` sidecar."""
+
+    schema: T.StructType
+    key_cols: list[str]
+
+    @property
+    def logicals(self) -> dict[str, str]:
+        return {f.name: _logical_of(f.dataType) for f in self.schema.fields}
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {"schema": self.schema.jsonValue(), "key": self.key_cols,
+             "logical": self.logicals}
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "TableSpec":
+        d = json.loads(s)
+        return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"])
+
+
+def _meta_fields() -> list[T.StructField]:
+    return [
+        T.StructField("part_id", T.IntegerType(), False),
+        T.StructField("chunk_seq", T.IntegerType(), False),
+        T.StructField("chunk_id", T.StringType(), False),
+        T.StructField("row_lo", T.LongType(), False),
+        T.StructField("row_hi", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("key_min", T.StringType(), False),
+        T.StructField("key_max", T.StringType(), False),
+        T.StructField("sha", T.BinaryType(), False),
+        T.StructField("pds", T.DateType(), False),
+    ]
+
+
+def chunk_schema_for(spec: TableSpec) -> T.StructType:
+    """Chunk-file schema: meta columns + 6 top-level columns per source column
+    (top-level so parquet prunes both manifest scans and selective decodes)."""
+    fields = _meta_fields()
+    for f in spec.schema.fields:
+        fields += [
+            T.StructField(f"{f.name}__codec", T.StringType(), False),
+            T.StructField(f"{f.name}__nulls", T.LongType(), False),
+            T.StructField(f"{f.name}__raw", T.LongType(), False),
+            T.StructField(f"{f.name}__enc", T.LongType(), False),
+            T.StructField(f"{f.name}__valid", T.BinaryType(), True),
+            T.StructField(f"{f.name}__payload", T.BinaryType(), False),
+        ]
+    return T.StructType(fields)
+
+
+# ------------------------------------------------------------ column kernels
+
+
+def _decimal_lo_words(arr: pa.Array) -> np.ndarray:
+    """Dense decimal128 array -> int64 unscaled values (vectorized buffer
+    view; precision <= 18 guarantees the high word is sign extension)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=2 * (arr.offset + n))[2 * arr.offset:]
+    lo, hi = raw[0::2], raw[1::2]
+    if not np.array_equal(hi, lo >> 63):
+        raise ValueError("decimal values overflow the int64 unscaled lane")
+    return np.ascontiguousarray(lo)
+
+
+def _int64_to_decimal(v: np.ndarray, ptype: pa.DataType,
+                      validity: pa.Buffer | None) -> pa.Array:
+    pairs = np.empty((len(v), 2), np.int64)
+    pairs[:, 0] = v
+    pairs[:, 1] = v >> 63
+    return pa.Array.from_buffers(
+        ptype, len(v), [validity, pa.py_buffer(pairs.tobytes())]
+    )
+
+
+def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, int, int]:
+    """One column chunk -> (valid_payload | None, payload, n_nulls, raw_bytes).
+
+    ``raw_bytes`` is the uncompressed lane footprint (lane width x rows, or
+    blob + offsets for byte lanes) — the denominator of the compression ratio.
+    """
+    n = len(arr)
+    n_nulls = arr.null_count
+    if n_nulls:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        valid_payload = select_int_codec(valid.astype(np.int32))
+        dense = arr.drop_null()
+    else:
+        valid_payload = None
+        dense = arr
+
+    if logical in _STR_LOGICALS:
+        lengths, blob = C.bytes_to_blob(dense)
+        payload = select_str_codec(lengths, blob)
+        raw = len(blob) + 4 * n
+    elif logical in _I32_LOGICALS:
+        vals = dense.cast(pa.int32()).to_numpy(zero_copy_only=False)
+        payload = select_int_codec(np.ascontiguousarray(vals, dtype=np.int32))
+        raw = 4 * n
+    elif logical in _I64_LOGICALS:
+        vals = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        payload = select_typed_codec(np.ascontiguousarray(vals, dtype=np.int64))
+        raw = 8 * n
+    elif logical.startswith("decimal"):
+        payload = select_typed_codec(_decimal_lo_words(dense))
+        raw = 8 * n
+    elif logical == "float":
+        vals = dense.to_numpy(zero_copy_only=False)
+        payload = select_typed_codec(np.ascontiguousarray(vals, dtype=np.float32))
+        raw = 4 * n
+    elif logical == "double":
+        vals = dense.to_numpy(zero_copy_only=False)
+        payload = select_typed_codec(np.ascontiguousarray(vals, dtype=np.float64))
+        raw = 8 * n
+    else:
+        raise ValueError(f"unknown logical type {logical!r}")
+    return valid_payload, payload, n_nulls, raw
+
+
+def _validity_buffer(mask: np.ndarray) -> pa.Buffer:
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
+                   n: int, target: pa.DataType) -> pa.Array:
+    """Inverse of :func:`_encode_column`: rebuild the arrow column (validity
+    included) at its original type."""
+    if valid_payload is not None:
+        mask = C.decode_int32(valid_payload).astype(bool)
+        validity = _validity_buffer(mask)
+    else:
+        mask = None
+        validity = None
+
+    if logical in _STR_LOGICALS:
+        lengths, blob = C.decode_strings(payload)
+        if mask is not None:
+            full_len = np.zeros(n, dtype=np.int32)
+            full_len[mask] = lengths
+            lengths = full_len  # nulls contribute 0 bytes: blob unchanged
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offs[1:])
+        arrow_type = pa.string() if logical == "string" else pa.binary()
+        arr = pa.Array.from_buffers(
+            arrow_type, n, [validity, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)]
+        )
+        return arr if arr.type == target else arr.cast(target)
+
+    if logical.startswith("decimal"):
+        dense = C.decode_typed(payload)
+        if mask is not None:
+            full = np.zeros(n, dtype=np.int64)
+            full[mask] = dense
+            dense = full
+        return _int64_to_decimal(dense, target, validity)
+
+    dense = C.decode_typed(payload)
+    if mask is not None:
+        full = np.zeros(n, dtype=dense.dtype)
+        full[mask] = dense
+        dense = full
+    lane_type = {
+        np.dtype(np.int32): pa.int32(),
+        np.dtype(np.int64): pa.int64(),
+        np.dtype(np.float32): pa.float32(),
+        np.dtype(np.float64): pa.float64(),
+    }[dense.dtype]
+    arr = pa.Array.from_buffers(lane_type, n, [validity, pa.py_buffer(dense.tobytes())])
+    return arr if arr.type == target else arr.cast(target)
+
+
+# ------------------------------------------------------------- encode driver
+
+
+def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
+                            chunk_rows: int, pds: date,
+                            fail_parts=None) -> pa.Table:
+    """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
+    checkpoint marker (same publication contract as the token kernel)."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    part_id = int(table.column("part_id")[0].as_py())
+    if fail_parts and part_id in fail_parts:
+        raise RuntimeError(f"injected failure for part {part_id}")
+
+    table = table.take(
+        pc.sort_indices(table, sort_keys=[(k, "ascending") for k in spec.key_cols])
+    )
+    n = table.num_rows
+    logicals = spec.logicals
+    key0 = table.column(spec.key_cols[0])
+
+    rows: list[dict] = []
+    payload_cols = [f.name for f in spec.schema.fields]
+    for seq, lo in enumerate(range(0, n, chunk_rows)):
+        hi = min(lo + chunk_rows, n)
+        row: dict = {
+            "part_id": part_id,
+            "chunk_seq": seq,
+            "row_lo": lo,
+            "row_hi": hi,
+            "n_rows": hi - lo,
+            "key_min": str(key0[lo].as_py()),
+            "key_max": str(key0[hi - 1].as_py()),
+            "pds": pds,
+        }
+        hasher_parts = []
+        for name in payload_cols:
+            arr = table.column(name).slice(lo, hi - lo).combine_chunks()
+            valid_payload, payload, n_nulls, raw = _encode_column(arr, logicals[name])
+            row[f"{name}__codec"] = C.payload_codec_name(payload)
+            row[f"{name}__nulls"] = n_nulls
+            row[f"{name}__raw"] = raw
+            row[f"{name}__enc"] = len(payload) + (len(valid_payload) if valid_payload else 0)
+            row[f"{name}__valid"] = valid_payload
+            row[f"{name}__payload"] = payload
+            hasher_parts.append(payload)
+            if valid_payload:
+                hasher_parts.append(valid_payload)
+        sha = sha256(b"".join(hasher_parts))
+        row["sha"] = sha
+        row["chunk_id"] = klondike(f"{part_id}:{seq}:".encode() + sha)
+        rows.append(row)
+
+    chunk_schema = to_arrow_schema(chunk_schema_for(spec))
+    out = pa.Table.from_pylist(rows, schema=chunk_schema)
+
+    data_dir, ckpt_dir = io.join("data"), io.join("_checkpoints")
+    io.makedirs(data_dir)
+    io.makedirs(ckpt_dir)
+    tag = uuid.uuid4().hex[:8]
+    file_name = f"part-{part_id:05d}.parquet"
+    file_size, file_sha = io.publish_parquet(
+        out,
+        posixpath.join(data_dir, file_name),
+        attempt_tag=tag,
+        compression={f"{c}__payload": "NONE" for c in payload_cols}
+        | {f"{c}__valid": "NONE" for c in payload_cols}
+        | {"__default__": "SNAPPY"},
+    )
+    stats = {
+        "part_id": part_id,
+        "n_chunks": len(rows),
+        "n_rows": n,
+        "enc_bytes": sum(r[f"{c}__enc"] for r in rows for c in payload_cols),
+        "raw_bytes": sum(r[f"{c}__raw"] for r in rows for c in payload_cols),
+        "file_name": file_name,
+        "file_size": file_size,
+        "file_sha256": file_sha,
+        "status": "done",
+    }
+    io.publish_bytes(
+        posixpath.join(ckpt_dir, f"part-{part_id:05d}.json"),
+        json.dumps(stats).encode(),
+        attempt_tag=tag,
+    )
+    return out.drop_columns(
+        [f"{c}__payload" for c in payload_cols] + [f"{c}__valid" for c in payload_cols]
+    )
+
+
+def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
+                 n_parts: int = 64, chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                 pds: date | None = None,
+                 fail_parts: set[int] | None = None,
+                 io: FsIO | None = None) -> DataFrame:
+    """Encode any supported-typed DataFrame; returns the manifest (long form).
+
+    Same plan as :func:`..operators.encode.encode_tokens`: salted shuffle on
+    ``xxhash64(*key_cols)``, anti-join completed checkpoints (resume), one
+    grouped-map Arrow kernel, commit log at the end. ``key_cols`` provide the
+    salt, the intra-chunk sort order, and the ``key_min/key_max`` zone maps.
+    """
+    spark = df.sparkSession
+    pds = pds or date(2026, 1, 1)
+    io = _io(out_dir, io)
+    if "part_id" in df.columns:
+        raise ValueError("'part_id' is a reserved column name")
+    spec = TableSpec(schema=df.schema, key_cols=list(key_cols))
+    for k in key_cols:
+        if k not in df.columns:
+            raise ValueError(f"key column {k!r} not in DataFrame")
+
+    io.makedirs(io.base)
+    sidecar = io.join("_schema.json")
+    if not io.exists(sidecar):
+        io.publish_bytes(sidecar, spec.to_json().encode(), attempt_tag=uuid.uuid4().hex[:8])
+
+    keyed = df.withColumn(
+        "part_id", F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
+    )
+    done = completed_parts(out_dir, io)
+    if done:
+        done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
+        keyed = keyed.join(F.broadcast(done_df), "part_id", "left_anti")
+
+    full = chunk_schema_for(spec)
+    manifest_struct = T.StructType(
+        [f for f in full.fields
+         if not (f.name.endswith("__payload") or f.name.endswith("__valid"))]
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        return _encode_table_partition(table, io, spec, chunk_rows, pds,
+                                       fail_parts=fail_parts)
+
+    result = keyed.groupBy("part_id").applyInArrow(kernel, schema=manifest_struct)
+    result.write.format("noop").mode("overwrite").save()
+    write_commit_log(out_dir, pds, io, schema_json=full.json())
+    return read_table_manifest(spark, out_dir, io)
+
+
+# ------------------------------------------------------------- decode driver
+
+
+def read_table_spec(out_dir: str, io: FsIO | None = None) -> TableSpec:
+    io = _io(out_dir, io)
+    return TableSpec.from_json(io.read_text(io.join("_schema.json")))
+
+
+def read_table_chunks(spark: SparkSession, out_dir: str,
+                      io: FsIO | None = None) -> DataFrame:
+    io = _io(out_dir, io)
+    d = io.join("data")
+    if not any(f.endswith(".parquet") for f in io.listdir(d)):
+        return spark.createDataFrame([], chunk_schema_for(read_table_spec(out_dir, io)))
+    return spark.read.parquet(out_dir.rstrip("/") + "/data")
+
+
+def read_table_manifest(spark: SparkSession, out_dir: str,
+                        io: FsIO | None = None) -> DataFrame:
+    """Long-form manifest: one row per (chunk, column) with codec/size/null
+    stats. Only meta + small stat columns are referenced, so the parquet scan
+    never touches payload bytes (top-level column pruning)."""
+    spec = read_table_spec(out_dir, io)
+    chunks = read_table_chunks(spark, out_dir, io)
+    meta = [f.name for f in _meta_fields() if f.name != "sha"]
+    per_col = [
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.lit(spec.logicals[f.name]).alias("logical"),
+            F.col(f"{f.name}__codec").alias("codec"),
+            F.col(f"{f.name}__nulls").alias("n_nulls"),
+            F.col(f"{f.name}__raw").alias("raw_bytes"),
+            F.col(f"{f.name}__enc").alias("enc_bytes"),
+        )
+        for f in spec.schema.fields
+    ]
+    return (
+        chunks.select(*meta, F.explode(F.array(*per_col)).alias("c"))
+        .select(*meta, "c.*")
+    )
+
+
+def decode_table(spark: SparkSession, out_dir: str,
+                 columns: list[str] | None = None,
+                 io: FsIO | None = None) -> DataFrame:
+    """Decode chunk files back to the source table, bit-identically.
+
+    ``columns`` selects a subset — only those payload/validity columns are
+    read (parquet column pruning at the chunk scan) and decoded; the plan is a
+    shuffle-free ``mapInArrow`` either way, mirroring ``decode.decode_tokens``.
+    """
+    spec = read_table_spec(out_dir, io)
+    logicals = spec.logicals
+    fields = [f for f in spec.schema.fields if columns is None or f.name in columns]
+    if columns is not None:
+        missing = set(columns) - {f.name for f in fields}
+        if missing:
+            raise ValueError(f"columns not in encoded table: {sorted(missing)}")
+        fields.sort(key=lambda f: columns.index(f.name))
+    out_struct = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in fields]
+    )
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_out = to_arrow_schema(out_struct)
+    names = [f.name for f in fields]
+    select_cols = ["n_rows"]
+    for name in names:
+        select_cols += [f"{name}__valid", f"{name}__payload"]
+
+    def gen(it):
+        for batch in it:
+            cols = {c: batch.column(i) for i, c in enumerate(batch.schema.names)}
+            for i in range(batch.num_rows):  # iterates CHUNKS, not rows
+                n = int(cols["n_rows"][i].as_py())
+                arrays = []
+                for name in names:
+                    vp = cols[f"{name}__valid"][i].as_py()
+                    pl = cols[f"{name}__payload"][i].as_py()
+                    arrays.append(
+                        _decode_column(vp, pl, logicals[name], n,
+                                       arrow_out.field(name).type)
+                    )
+                yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+    chunks = read_table_chunks(spark, out_dir, io).select(*select_cols)
+    return chunks.mapInArrow(gen, schema=out_struct)

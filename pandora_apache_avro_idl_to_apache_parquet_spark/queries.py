@@ -332,6 +332,136 @@ FROM events
 """
 
 
+# ----------------------------------------------- generic table encode (A9+)
+# The schema-driven generalization of the encode engine (operators/table.py):
+# ANY flat table — here a lineitem projection spanning long/int/double/string/
+# timestamp/date/bool plus a nullable column — is per-column chunk-encoded
+# with auto-selected codecs and decoded bit-identically. Three queries share
+# one encode run per sf_dir (cached like _encode_dir).
+
+
+def _table_encode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_quantity") > 25).alias("bulky"),
+        F.expr("nullif(l_returnflag, 'N')").alias("flag_n"),
+    )
+
+
+_TABLE_ENCODE_PARTS = 8
+
+
+def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
+    from .operators.encode import completed_parts
+    from .operators.table import encode_table
+
+    key = hashlib.md5(
+        f"tbl:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
+    if sorted(completed_parts(out)) != list(range(_TABLE_ENCODE_PARTS)):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(
+            _table_encode_input(spark, sf_dir), out,
+            key_cols=["l_orderkey", "l_linenumber"],
+            n_parts=_TABLE_ENCODE_PARTS,
+        )
+    return out
+
+
+def q_table_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode_table → decode_table over every supported dtype lane; the final
+    projection converts timestamp/date to engine-neutral forms (epoch micros /
+    ISO string) so the DuckDB identity oracle hash-compares exactly."""
+    from .operators.table import decode_table
+
+    out = _table_encode_dir(spark, sf_dir)
+    dec = decode_table(spark, out)
+    return dec.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', l_shipdate)"
+        ).alias("ship_us"),
+        F.date_format("ship_date", "yyyy-MM-dd").alias("ship_day"),
+        "bulky",
+        "flag_n",
+    )
+
+
+O_TABLE_ENCODE_ROUNDTRIP = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_returnflag, l_linestatus,
+       date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS ship_us,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
+       l_quantity > 25 AS bulky,
+       nullif(l_returnflag, 'N') AS flag_n
+FROM lineitem
+"""
+
+
+def q_table_selective_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective decode: only 2 of 10 encoded columns' payloads are read
+    (parquet top-level column pruning) and decoded, then aggregated."""
+    from .operators.table import decode_table
+
+    out = _table_encode_dir(spark, sf_dir)
+    dec = decode_table(spark, out, columns=["l_returnflag", "l_quantity"])
+    return dec.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+O_TABLE_SELECTIVE_STATS = """
+SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_table_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column manifest rollup (row/null counts) verified against an engine
+    that never saw the encoder — null accounting must agree with SQL."""
+    from .operators.table import read_table_manifest
+
+    out = _table_encode_dir(spark, sf_dir)
+    return (
+        read_table_manifest(spark, out)
+        .groupBy(F.col("column").alias("col_name"))
+        .agg(
+            F.sum("n_rows").alias("total_rows"),
+            F.sum("n_nulls").alias("total_nulls"),
+        )
+    )
+
+
+O_TABLE_MANIFEST_STATS = """
+WITH cols(col_name) AS (
+  SELECT unnest(['l_orderkey','l_linenumber','l_quantity','l_extendedprice',
+                 'l_returnflag','l_linestatus','l_shipdate','ship_date',
+                 'bulky','flag_n'])
+)
+SELECT col_name,
+       (SELECT count(*) FROM lineitem)::BIGINT AS total_rows,
+       CASE WHEN col_name = 'flag_n'
+            THEN (SELECT count(*) FILTER (WHERE l_returnflag = 'N') FROM lineitem)
+            ELSE 0 END::BIGINT AS total_nulls
+FROM cols
+"""
+
+
 # ------------------------------------------------------ relational coverage
 
 
@@ -1224,6 +1354,9 @@ QUERIES: dict[str, tuple] = {
     "dict_cardinality": (q_dict_cardinality, O_DICT_CARDINALITY),
     "values_only_stats": (q_values_only_stats, O_VALUES_ONLY_STATS),
     "typed_roundtrip": (q_typed_roundtrip, O_TYPED_ROUNDTRIP),
+    "table_encode_roundtrip": (q_table_encode_roundtrip, O_TABLE_ENCODE_ROUNDTRIP),
+    "table_selective_stats": (q_table_selective_stats, O_TABLE_SELECTIVE_STATS),
+    "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),

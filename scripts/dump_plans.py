@@ -72,6 +72,37 @@ def main() -> None:
         ),
     ]
 
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        decode_table,
+        encode_table,
+        read_table_manifest,
+    )
+
+    tbl_out = tempfile.mkdtemp(prefix="plans_tbl_")
+    import shutil as _sh
+
+    _sh.rmtree(tbl_out)
+    typed = spark.range(200).selectExpr(
+        "id", "cast(id % 7 as int) AS grp", "cast(id as string) AS name",
+        "cast(id * 1.5 as double) AS score",
+        "timestamp_ntz'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+    )
+    encode_table(typed, tbl_out, key_cols=["id"], n_parts=4)
+    sections += [
+        (
+            "Generic table decode, selective (chunk scan → mapInArrow)",
+            "* No Exchange; ReadSchema carries only the requested columns'\n"
+            "payload/validity bytes (top-level per-column chunk columns), so\n"
+            "decoding 2 of 5 columns scans 2 of 5 payload streams.",
+            decode_table(spark, tbl_out, columns=["grp", "id"]),
+        ),
+        (
+            "Generic table manifest (payload-pruned long-form stats)",
+            "ReadSchema excludes every `__payload`/`__valid` binary column.",
+            read_table_manifest(spark, tbl_out),
+        ),
+    ]
+
     from pandora_apache_avro_idl_to_apache_parquet_spark.operators import (
         dedup,
         flatten,
