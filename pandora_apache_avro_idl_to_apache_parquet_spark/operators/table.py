@@ -127,7 +127,11 @@ class TableSpec:
         return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"])
 
 
-def _meta_fields() -> list[T.StructField]:
+def _meta_fields(spec: "TableSpec") -> list[T.StructField]:
+    # key_min/key_max carry the FIRST key column's own type, so zone-map
+    # range predicates compare in key semantics (a stringified "100" < "99"
+    # would break numeric pruning) and push down into the parquet scan
+    key_type = spec.schema[spec.key_cols[0]].dataType
     return [
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("chunk_seq", T.IntegerType(), False),
@@ -135,8 +139,8 @@ def _meta_fields() -> list[T.StructField]:
         T.StructField("row_lo", T.LongType(), False),
         T.StructField("row_hi", T.LongType(), False),
         T.StructField("n_rows", T.LongType(), False),
-        T.StructField("key_min", T.StringType(), False),
-        T.StructField("key_max", T.StringType(), False),
+        T.StructField("key_min", key_type, False),
+        T.StructField("key_max", key_type, False),
         T.StructField("sha", T.BinaryType(), False),
         T.StructField("pds", T.DateType(), False),
     ]
@@ -145,7 +149,7 @@ def _meta_fields() -> list[T.StructField]:
 def chunk_schema_for(spec: TableSpec) -> T.StructType:
     """Chunk-file schema: meta columns + 6 top-level columns per source column
     (top-level so parquet prunes both manifest scans and selective decodes)."""
-    fields = _meta_fields()
+    fields = _meta_fields(spec)
     for f in spec.schema.fields:
         fields += [
             T.StructField(f"{f.name}__codec", T.StringType(), False),
@@ -303,6 +307,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     n = table.num_rows
     logicals = spec.logicals
     key0 = table.column(spec.key_cols[0])
+    if key0.null_count:
+        raise ValueError(f"key column {spec.key_cols[0]!r} contains nulls")
 
     rows: list[dict] = []
     payload_cols = [f.name for f in spec.schema.fields]
@@ -314,8 +320,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
             "row_lo": lo,
             "row_hi": hi,
             "n_rows": hi - lo,
-            "key_min": str(key0[lo].as_py()),
-            "key_max": str(key0[hi - 1].as_py()),
+            "key_min": key0[lo].as_py(),
+            "key_max": key0[hi - 1].as_py(),
             "pds": pds,
         }
         hasher_parts = []
@@ -448,7 +454,7 @@ def read_table_manifest(spark: SparkSession, out_dir: str,
     never touches payload bytes (top-level column pruning)."""
     spec = read_table_spec(out_dir, io)
     chunks = read_table_chunks(spark, out_dir, io)
-    meta = [f.name for f in _meta_fields() if f.name != "sha"]
+    meta = [f.name for f in _meta_fields(spec) if f.name != "sha"]
     per_col = [
         F.struct(
             F.lit(f.name).alias("column"),
@@ -468,12 +474,16 @@ def read_table_manifest(spark: SparkSession, out_dir: str,
 
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
-                 io: FsIO | None = None) -> DataFrame:
+                 io: FsIO | None = None,
+                 chunk_filter=None) -> DataFrame:
     """Decode chunk files back to the source table, bit-identically.
 
     ``columns`` selects a subset — only those payload/validity columns are
     read (parquet column pruning at the chunk scan) and decoded; the plan is a
     shuffle-free ``mapInArrow`` either way, mirroring ``decode.decode_tokens``.
+    ``chunk_filter`` (a Column over the chunk meta fields, e.g. a
+    ``key_min``/``key_max`` zone-map predicate) prunes whole chunks at the
+    parquet scan before any payload is read.
     """
     spec = read_table_spec(out_dir, io)
     logicals = spec.logicals
@@ -510,5 +520,28 @@ def decode_table(spark: SparkSession, out_dir: str,
                     )
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
-    chunks = read_table_chunks(spark, out_dir, io).select(*select_cols)
-    return chunks.mapInArrow(gen, schema=out_struct)
+    chunks = read_table_chunks(spark, out_dir, io)
+    if chunk_filter is not None:
+        chunks = chunks.filter(chunk_filter)
+    return chunks.select(*select_cols).mapInArrow(gen, schema=out_struct)
+
+
+def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,
+                     columns: list[str] | None = None,
+                     io: FsIO | None = None) -> DataFrame:
+    """Selective decode of rows whose FIRST key column lies in ``[lo, hi]``.
+
+    Chunk pruning via the typed ``key_min``/``key_max`` zone map: rows inside
+    a chunk are key-sorted (the encode kernel sorts before slicing), so a
+    chunk can overlap the range only if ``key_max >= lo AND key_min <= hi``.
+    The predicate lands in the parquet scan (``PushedFilters``), payloads of
+    pruned chunks are never read, and only surviving chunks are decoded —
+    ``decode.lookup_docs``'s point-lookup idea generalized to any key type.
+    """
+    spec = read_table_spec(out_dir, io)
+    k0 = spec.key_cols[0]
+    if columns is not None and k0 not in columns:
+        columns = [k0] + list(columns)
+    pruned = (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") <= F.lit(hi))
+    dec = decode_table(spark, out_dir, columns=columns, io=io, chunk_filter=pruned)
+    return dec.filter(F.col(k0).between(F.lit(lo), F.lit(hi)))

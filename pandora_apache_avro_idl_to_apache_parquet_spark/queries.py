@@ -363,7 +363,7 @@ def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import encode_table
 
     key = hashlib.md5(
-        f"tbl:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl2:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
     if sorted(completed_parts(out)) != list(range(_TABLE_ENCODE_PARTS)):
@@ -445,6 +445,25 @@ def q_table_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nulls").alias("total_nulls"),
         )
     )
+
+
+def q_table_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map-pruned range scan: chunks whose typed key_min/key_max zone map
+    excludes [5000, 6000] are pruned at the parquet scan (PushedFilters);
+    only surviving chunks' payloads are decoded."""
+    from .operators.table import lookup_key_range
+
+    out = _table_encode_dir(spark, sf_dir)
+    return lookup_key_range(
+        spark, out, 5000, 6000,
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+    )
+
+
+O_TABLE_LOOKUP_RANGE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 6000
+"""
 
 
 O_TABLE_MANIFEST_STATS = """
@@ -1357,6 +1376,7 @@ QUERIES: dict[str, tuple] = {
     "table_encode_roundtrip": (q_table_encode_roundtrip, O_TABLE_ENCODE_ROUNDTRIP),
     "table_selective_stats": (q_table_selective_stats, O_TABLE_SELECTIVE_STATS),
     "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
+    "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),

@@ -228,6 +228,53 @@ def test_flattened_avro_table_encodes(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_lookup_key_range_typed_zone_maps(spark):
+    """Typed key_min/key_max: numeric range pruning must compare as numbers
+    (stringified zone maps would order '100' < '99' and prune wrong chunks),
+    the predicate must reach the parquet scan, and boundary rows must be
+    exact at chunk edges."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        lookup_key_range,
+        read_table_chunks,
+    )
+
+    df = spark.range(0, 3000).selectExpr(
+        "id AS k", "cast(id % 97 as int) AS v", "cast(id as string) AS s"
+    )
+    out = tempfile.mkdtemp(prefix="tbl_range_")
+    shutil.rmtree(out)
+    try:
+        encode_table(df, out, key_cols=["k"], n_parts=3, chunk_rows=200)
+        # zone-map columns carry the key's own type
+        chunks = read_table_chunks(spark, out)
+        assert dict(chunks.dtypes)["key_min"] == "bigint"
+        # 90..1105 spans chunk boundaries in every partition
+        got = lookup_key_range(spark, out, 90, 1105).toPandas().sort_values(
+            "k", ignore_index=True)
+        exp = df.filter("k between 90 and 1105").toPandas().sort_values(
+            "k", ignore_index=True)
+        pd.testing.assert_frame_equal(exp, got[exp.columns], check_exact=True)
+        # the zone-map predicate is pushed into the parquet scan
+        plan = lookup_key_range(spark, out, 90, 1105)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "PushedFilters" in plan
+        pushed = plan[plan.index("PushedFilters"):].splitlines()[0]
+        assert "key_max" in pushed and "key_min" in pushed
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_null_key_rejected(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k int")
+    out = tempfile.mkdtemp(prefix="tbl_nullkey_")
+    shutil.rmtree(out)
+    try:
+        with pytest.raises(Exception, match="contains nulls"):
+            encode_table(df, out, key_cols=["k"], n_parts=1)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_sidecar_spec_roundtrip(spark):
     df = spark.createDataFrame(_all_type_rows()[:10], ALL_TYPES)
     out = tempfile.mkdtemp(prefix="tbl_spec_")
