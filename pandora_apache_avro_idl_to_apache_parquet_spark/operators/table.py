@@ -156,6 +156,10 @@ def chunk_schema_for(spec: TableSpec) -> T.StructType:
             T.StructField(f"{f.name}__nulls", T.LongType(), False),
             T.StructField(f"{f.name}__raw", T.LongType(), False),
             T.StructField(f"{f.name}__enc", T.LongType(), False),
+            # per-column typed zone map (None when the chunk is all-null):
+            # lets chunk_filter prune on ANY column, not just the sort key
+            T.StructField(f"{f.name}__min", f.dataType, True),
+            T.StructField(f"{f.name}__max", f.dataType, True),
             T.StructField(f"{f.name}__valid", T.BinaryType(), True),
             T.StructField(f"{f.name}__payload", T.BinaryType(), False),
         ]
@@ -231,6 +235,20 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
     else:
         raise ValueError(f"unknown logical type {logical!r}")
     return valid_payload, payload, n_nulls, raw
+
+
+def _min_max(arr: pa.Array):
+    """(min, max) of the non-null values, or (None, None) when empty/all-null
+    or the type has no min_max kernel."""
+    import pyarrow.compute as pc
+
+    if arr.null_count == len(arr):
+        return None, None
+    try:
+        mm = pc.min_max(arr)
+    except pa.ArrowNotImplementedError:
+        return None, None
+    return mm["min"].as_py(), mm["max"].as_py()
 
 
 def _validity_buffer(mask: np.ndarray) -> pa.Buffer:
@@ -332,6 +350,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
             row[f"{name}__nulls"] = n_nulls
             row[f"{name}__raw"] = raw
             row[f"{name}__enc"] = len(payload) + (len(valid_payload) if valid_payload else 0)
+            row[f"{name}__min"], row[f"{name}__max"] = _min_max(arr)
             row[f"{name}__valid"] = valid_payload
             row[f"{name}__payload"] = payload
             hasher_parts.append(payload)
@@ -430,6 +449,62 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
     return read_table_manifest(spark, out_dir, io)
 
 
+def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
+                      chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                      pds: date | None = None,
+                      fail_parts: set[int] | None = None,
+                      io: FsIO | None = None) -> DataFrame:
+    """Map-only generic encode: each *scan partition* is the encode unit —
+    scan → ``mapInArrow`` → chunk files, **no shuffle at all** (the table
+    analog of :func:`..operators.encode.encode_tokens_scan`, with the same
+    resume-by-deterministic-partition-id contract). Use for curated inputs
+    whose files already spread the data; :func:`encode_table` (salted
+    shuffle) remains the path for skewed or hot-keyed sources."""
+    spark = df.sparkSession
+    pds = pds or date(2026, 1, 1)
+    io = _io(out_dir, io)
+    if "part_id" in df.columns:
+        raise ValueError("'part_id' is a reserved column name")
+    spec = TableSpec(schema=df.schema, key_cols=list(key_cols))
+    for k in key_cols:
+        if k not in df.columns:
+            raise ValueError(f"key column {k!r} not in DataFrame")
+
+    io.makedirs(io.base)
+    sidecar = io.join("_schema.json")
+    if not io.exists(sidecar):
+        io.publish_bytes(sidecar, spec.to_json().encode(), attempt_tag=uuid.uuid4().hex[:8])
+    done = set(completed_parts(out_dir, io))
+
+    full = chunk_schema_for(spec)
+    manifest_struct = T.StructType(
+        [f for f in full.fields
+         if not (f.name.endswith("__payload") or f.name.endswith("__valid"))]
+    )
+
+    def gen(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid in done:
+            return
+        collected = list(batches)
+        if not collected or sum(b.num_rows for b in collected) == 0:
+            return
+        table = pa.Table.from_batches(collected)
+        table = table.append_column(
+            "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
+        )
+        yield from _encode_table_partition(
+            table, io, spec, chunk_rows, pds, fail_parts=fail_parts
+        ).to_batches()
+
+    result = df.mapInArrow(gen, schema=manifest_struct)
+    result.write.format("noop").mode("overwrite").save()
+    write_commit_log(out_dir, pds, io, schema_json=full.json())
+    return read_table_manifest(spark, out_dir, io)
+
+
 # ------------------------------------------------------------- decode driver
 
 
@@ -455,6 +530,15 @@ def read_table_manifest(spark: SparkSession, out_dir: str,
     spec = read_table_spec(out_dir, io)
     chunks = read_table_chunks(spark, out_dir, io)
     meta = [f.name for f in _meta_fields(spec) if f.name != "sha"]
+    def _stat(name: str, which: str):
+        # typed per column in the chunk files; stringified here so the long
+        # form has one homogeneous struct type across columns. Binary stats
+        # hex-encode (a raw cast would produce invalid UTF-8 strings).
+        col = F.col(f"{name}__{which}")
+        if spec.logicals[name] == "binary":
+            return F.hex(col).alias(f"{which}_value")
+        return col.cast("string").alias(f"{which}_value")
+
     per_col = [
         F.struct(
             F.lit(f.name).alias("column"),
@@ -463,6 +547,8 @@ def read_table_manifest(spark: SparkSession, out_dir: str,
             F.col(f"{f.name}__nulls").alias("n_nulls"),
             F.col(f"{f.name}__raw").alias("raw_bytes"),
             F.col(f"{f.name}__enc").alias("enc_bytes"),
+            _stat(f.name, "min"),
+            _stat(f.name, "max"),
         )
         for f in spec.schema.fields
     ]
@@ -545,3 +631,13 @@ def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,
     pruned = (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") <= F.lit(hi))
     dec = decode_table(spark, out_dir, columns=columns, io=io, chunk_filter=pruned)
     return dec.filter(F.col(k0).between(F.lit(lo), F.lit(hi)))
+
+
+def column_range_filter(name: str, lo, hi):
+    """Chunk-filter Column pruning on ANY encoded column's typed zone map:
+    a chunk can hold a value in ``[lo, hi]`` only if its min/max overlap the
+    range (all-null chunks have NULL stats and are pruned by null semantics).
+    Pass to :func:`decode_table` as ``chunk_filter``; combine with ``&``/``|``
+    for conjunctive predicates. The caller applies the residual row filter
+    after decode (zone maps prune chunks, not rows)."""
+    return (F.col(f"{name}__max") >= F.lit(lo)) & (F.col(f"{name}__min") <= F.lit(hi))

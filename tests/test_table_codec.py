@@ -264,6 +264,70 @@ def test_lookup_key_range_typed_zone_maps(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_column_zone_maps_prune_any_column(spark):
+    """Per-column typed min/max: pruning on a NON-key column via
+    column_range_filter skips chunks whose stats exclude the range, and the
+    pruned decode + residual filter returns exactly the right rows."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        column_range_filter,
+        read_table_chunks,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import decode_table
+
+    # v correlates with k, so k-sorted chunks have narrow v ranges -> prunable
+    df = spark.range(0, 2000).selectExpr(
+        "id AS k", "id * 10 + cast(id % 3 as long) AS v",
+        "cast(id % 5 as int) AS tag"
+    )
+    out = tempfile.mkdtemp(prefix="tbl_colzm_")
+    shutil.rmtree(out)
+    try:
+        encode_table(df, out, key_cols=["k"], n_parts=2, chunk_rows=100)
+        chunks = read_table_chunks(spark, out)
+        assert dict(chunks.dtypes)["v__min"] == "bigint"
+        n_chunks = chunks.count()
+        n_hit = chunks.filter(column_range_filter("v", 5000, 5400)).count()
+        assert 0 < n_hit < n_chunks  # pruning actually skipped chunks
+        dec = decode_table(
+            spark, out, columns=["k", "v"],
+            chunk_filter=column_range_filter("v", 5000, 5400),
+        ).filter("v between 5000 and 5400")
+        exp = df.select("k", "v").filter("v between 5000 and 5400").toPandas()
+        got = dec.toPandas()
+        pd.testing.assert_frame_equal(
+            exp.sort_values("k", ignore_index=True),
+            got.sort_values("k", ignore_index=True),
+            check_exact=True,
+        )
+        # manifest long form stringifies the typed stats
+        man = read_table_manifest(spark, out).toPandas()
+        vman = man[man["column"] == "v"]
+        assert (vman["min_value"].astype("int64") <= vman["max_value"].astype("int64")).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_scan_mode_shuffle_free_roundtrip(spark):
+    """Map-only encode: no Exchange in the plan, same decode contract."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table_scan,
+    )
+
+    df = spark.createDataFrame(_all_type_rows(), ALL_TYPES).repartition(3)
+    out = tempfile.mkdtemp(prefix="tbl_scan_")
+    shutil.rmtree(out)
+    try:
+        src = df.cache()
+        src.count()
+        encode_table_scan(src, out, key_cols=["id"], chunk_rows=128)
+        a = src.toPandas().sort_values("id", ignore_index=True)
+        b = decode_table(spark, out).toPandas().sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+        src.unpersist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_null_key_rejected(spark):
     df = spark.createDataFrame([(1,), (None,)], "k int")
     out = tempfile.mkdtemp(prefix="tbl_nullkey_")
