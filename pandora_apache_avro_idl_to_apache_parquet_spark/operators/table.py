@@ -311,10 +311,13 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                             fail_parts=None) -> pa.Table:
     """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
     checkpoint marker (same publication contract as the token kernel)."""
+    import time
+
     import pyarrow.compute as pc
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
+    t_start = time.perf_counter()
     part_id = int(table.column("part_id")[0].as_py())
     if fail_parts and part_id in fail_parts:
         raise RuntimeError(f"injected failure for part {part_id}")
@@ -328,6 +331,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     if key0.null_count:
         raise ValueError(f"key column {spec.key_cols[0]!r} contains nulls")
 
+    t_kernel0 = time.perf_counter()
     rows: list[dict] = []
     payload_cols = [f.name for f in spec.schema.fields]
     for seq, lo in enumerate(range(0, n, chunk_rows)):
@@ -361,6 +365,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         row["chunk_id"] = klondike(f"{part_id}:{seq}:".encode() + sha)
         rows.append(row)
 
+    kernel_sec = time.perf_counter() - t_kernel0
+
     chunk_schema = to_arrow_schema(chunk_schema_for(spec))
     out = pa.Table.from_pylist(rows, schema=chunk_schema)
 
@@ -369,6 +375,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     io.makedirs(ckpt_dir)
     tag = uuid.uuid4().hex[:8]
     file_name = f"part-{part_id:05d}.parquet"
+    t_write0 = time.perf_counter()
     file_size, file_sha = io.publish_parquet(
         out,
         posixpath.join(data_dir, file_name),
@@ -383,6 +390,9 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         "n_rows": n,
         "enc_bytes": sum(r[f"{c}__enc"] for r in rows for c in payload_cols),
         "raw_bytes": sum(r[f"{c}__raw"] for r in rows for c in payload_cols),
+        "kernel_sec": round(kernel_sec, 4),
+        "write_sec": round(time.perf_counter() - t_write0, 4),
+        "total_sec": round(time.perf_counter() - t_start, 4),
         "file_name": file_name,
         "file_size": file_size,
         "file_sha256": file_sha,

@@ -60,6 +60,32 @@ def encode_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str,
     return writer.start()
 
 
+def encode_table_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str,
+                        key_cols: list[str], n_parts: int = 64,
+                        available_now: bool = False):
+    """Generic-table analog of :func:`encode_stream`: every micro-batch runs
+    :func:`..operators.table.encode_table` into ``out_dir/batch=<id>`` —
+    same batch-scoped checkpoint isolation, same idempotent-replay contract,
+    for ANY supported flat schema (the stream's schema is recorded per batch
+    dir in its ``_schema.json`` sidecar)."""
+    from ..operators.table import encode_table
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        encode_table(batch_df, os.path.join(out_dir, f"batch={batch_id}"),
+                     key_cols=key_cols, n_parts=n_parts)
+
+    writer = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def token_window_counts(stream: DataFrame, window: str = "1 hour",
                         watermark: str = "2 hours",
                         ts_col: str = "event_time") -> DataFrame:

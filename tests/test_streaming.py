@@ -45,6 +45,47 @@ def test_encode_stream_available_now(spark, tmp_path):
     df.unpersist()
 
 
+def test_encode_table_stream_available_now(spark, tmp_path):
+    """Generic-table streaming encode: typed micro-batches (long/double/
+    string/timestamp/nullable) land as per-batch encoded dirs that decode
+    back to exactly the union of the drops."""
+    import pandas as pd
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import decode_table
+    from pandora_apache_avro_idl_to_apache_parquet_spark.streaming.pipeline import (
+        encode_table_stream,
+    )
+
+    src_dir = str(tmp_path / "tdrops")
+    out_dir = str(tmp_path / "tenc")
+    ckpt = str(tmp_path / "tckpt")
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "cast(id % 9 as double) AS v",
+        "concat('s', id % 4) AS s",
+        "timestamp_ntz'2026-01-01' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "nullif(cast(id % 3 as int), 0) AS maybe",
+    ).cache()
+    df.filter("k % 2 = 0").write.parquet(src_dir)
+    df.filter("k % 2 = 1").write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1).parquet(src_dir)
+    q = encode_table_stream(stream, out_dir, ckpt, key_cols=["k"],
+                            n_parts=2, available_now=True)
+    q.awaitTermination(120)
+
+    batches = decoded_batches_dir(out_dir)
+    assert batches, "no batch outputs written"
+    decoded = None
+    for b in batches:
+        d = decode_table(spark, b)
+        decoded = d if decoded is None else decoded.union(d)
+    a = df.toPandas().sort_values("k", ignore_index=True)
+    b = decoded.toPandas().sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+    df.unpersist()
+
+
 def test_token_window_counts_batch_semantics(spark):
     # windowed agg is testable in batch mode (same plan, no trigger)
     df = synthesize_tokens(spark, 200, seed=7).withColumn(
