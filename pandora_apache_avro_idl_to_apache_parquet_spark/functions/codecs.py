@@ -36,6 +36,8 @@ RLE = 3
 DICT = 4
 GROUPED = 5
 DELTA = 6
+ALP = 7
+GCD = 8
 STR_PLAIN = 10
 STR_DICT = 11
 STR_FSST = 12
@@ -57,6 +59,8 @@ CODEC_NAMES = {
     DICT: "dict",
     GROUPED: "grouped",
     DELTA: "delta",
+    ALP: "alp",
+    GCD: "gcd",
     STR_PLAIN: "plain",
     STR_DICT: "dict",
     STR_FSST: "fsst",
@@ -429,10 +433,39 @@ def _dec_delta_i64(body: bytes, n: int) -> np.ndarray:
     return out.view(np.int64).copy()
 
 
+def _enc_gcd_i64(a: np.ndarray) -> bytes | None:
+    """GCD frame-of-reference: quantized int64 streams (epoch timestamps at
+    day/second/ms granularity, money in micros, anything on a stride) carry a
+    large common divisor in (a - min); dividing it out shrinks the bit width
+    by log2(g). Layout: base i64, g i64, FOR-packed (a-base)/g. Inapplicable
+    when g <= 1 (plain FOR already optimal) — the per-chunk candidate search
+    then simply skips it."""
+    if len(a) == 0:
+        return None
+    base = int(a.min())
+    resid = a.view(np.uint64) - _u64(base)
+    nz = resid[resid != 0]
+    if len(nz) == 0:
+        return None  # constant stream: RLE/FOR cover it
+    g = int(np.gcd.reduce(nz))
+    if g <= 1:
+        return None
+    q = (resid // np.uint64(g)).view(np.int64)
+    return struct.pack("<qq", base, g) + _enc_for_i64(q)
+
+
+def _dec_gcd_i64(body: bytes, n: int) -> np.ndarray:
+    base, g = struct.unpack_from("<qq", body, 0)
+    q = _dec_for_i64(body[16:], n).view(np.uint64)
+    return (q * _u64(g) + _u64(base)).view(np.int64).copy()
+
+
 _INT64_ENC = {PLAIN: _enc_plain_i64, BITPACK: _enc_bitpack_i64, FOR: _enc_for_i64,
-              RLE: _enc_rle_i64, DICT: _enc_dict_i64, DELTA: _enc_delta_i64}
+              RLE: _enc_rle_i64, DICT: _enc_dict_i64, DELTA: _enc_delta_i64,
+              GCD: _enc_gcd_i64}
 _INT64_DEC = {PLAIN: _dec_plain_i64, BITPACK: _dec_bitpack_i64, FOR: _dec_for_i64,
-              RLE: _dec_rle_i64, DICT: _dec_dict_i64, DELTA: _dec_delta_i64}
+              RLE: _dec_rle_i64, DICT: _dec_dict_i64, DELTA: _dec_delta_i64,
+              GCD: _dec_gcd_i64}
 
 
 def encode_int64(a: np.ndarray, codec: int) -> bytes | None:
@@ -450,10 +483,60 @@ def decode_int64(buf: bytes) -> np.ndarray:
     return np.asarray(_INT64_DEC[codec](buf[off:], n), dtype=np.int64)
 
 
+# ----------------------------------------------------- ALP (decimal floats)
+# Most real-world float columns are decimals in disguise (prices, rates,
+# sensor readings): v = k / 10^e for small e. ALP (Afroozeh & Boncz,
+# "ALP: Adaptive Lossless floating-Point compression", SIGMOD 2024; DuckDB's
+# float codec) encodes round(v * 10^e) through the integer codec family when
+# that round-trips bit-exactly. This implementation searches the smallest
+# working exponent per chunk and verifies bit-identity with the EXACT decode
+# expression (ints.astype(f) / f(10^e)), so -0.0, NaN, inf, or any value the
+# scheme cannot represent simply makes the codec inapplicable for the chunk
+# (the cost model then falls back to the bit-pattern codecs) — correctness
+# never depends on float semantics.
+
+_ALP_MAX_E = {4: 14, 8: 18}  # itemsize -> max exponent tried
+_ALP_BOUND = {4: float(1 << 24), 8: float(1 << 53)}  # exact-int range
+
+
+def _enc_alp(a: np.ndarray) -> bytes | None:
+    """Codec body for a float32/float64 array, or None if inapplicable."""
+    f = a.dtype.type
+    if len(a) == 0:
+        nested = encode_typed(np.zeros(0, np.int32 if a.itemsize == 4 else np.int64), PLAIN)
+        return struct.pack("<BQ", 0, len(nested)) + nested
+    if not np.isfinite(a).all():
+        return None
+    bound = _ALP_BOUND[a.itemsize]
+    bits = a.view(np.int32 if a.itemsize == 4 else np.int64)
+    for e in range(_ALP_MAX_E[a.itemsize] + 1):
+        scale = 10.0 ** e
+        scaled = np.round(a.astype(np.float64) * scale)
+        if np.abs(scaled).max() > bound:
+            return None  # larger e only grows further
+        ints = scaled.astype(np.int64)
+        recon = (ints.astype(np.float64) / scale).astype(a.dtype)
+        if np.array_equal(recon.view(bits.dtype), bits):
+            lane = ints.astype(np.int32) if a.itemsize == 4 else ints
+            from ..plans.cost import select_typed_codec
+
+            nested = select_typed_codec(lane)
+            return struct.pack("<BQ", e, len(nested)) + nested
+    return None
+
+
+def _dec_alp(body: bytes, dtype: int) -> np.ndarray:
+    e, nlen = struct.unpack_from("<BQ", body, 0)
+    ints = decode_typed(body[9 : 9 + nlen])
+    out64 = ints.astype(np.float64) / (10.0 ** e)
+    return out64.astype(np.float32) if dtype == DT_FLOAT32 else out64
+
+
 # ------------------------------------------------------- generic typed API
 # Floats ride the int kernels as raw bit patterns (views, zero-copy): DICT /
 # RLE / FOR work on any bit pattern, NaN payloads and -0.0 round-trip
-# bit-identically because equality never touches float semantics.
+# bit-identically because equality never touches float semantics. ALP is the
+# exception: it re-expresses decimal-valued floats as scaled integers.
 
 def encode_typed(a: np.ndarray, codec: int) -> bytes | None:
     """Encode a 1-D numpy array of int32/int64/float32/float64 with the given
@@ -464,9 +547,15 @@ def encode_typed(a: np.ndarray, codec: int) -> bytes | None:
     if a.dtype == np.int64:
         return encode_int64(a, codec)
     if a.dtype == np.float32:
+        if codec == ALP:
+            body = _enc_alp(a)
+            return None if body is None else _header(ALP, DT_FLOAT32, len(a)) + body
         body = _INT_ENC[codec](a.view(np.int32))
         return None if body is None else _header(codec, DT_FLOAT32, len(a)) + body
     if a.dtype == np.float64:
+        if codec == ALP:
+            body = _enc_alp(a)
+            return None if body is None else _header(ALP, DT_FLOAT64, len(a)) + body
         body = _INT64_ENC[codec](a.view(np.int64))
         return None if body is None else _header(codec, DT_FLOAT64, len(a)) + body
     raise ValueError(f"unsupported dtype {a.dtype}")
@@ -475,6 +564,10 @@ def encode_typed(a: np.ndarray, codec: int) -> bytes | None:
 def decode_typed(buf: bytes) -> np.ndarray:
     """Inverse of :func:`encode_typed`: dtype comes from the header."""
     codec, dtype, n, off = _read_header(buf)
+    if codec == ALP:
+        if dtype not in (DT_FLOAT32, DT_FLOAT64):
+            raise ValueError("ALP payload must be float-typed")
+        return _dec_alp(buf[off:], dtype)
     if dtype == DT_INT32:
         return np.asarray(_INT_DEC[codec](buf[off:], n), dtype=np.int32)
     if dtype == DT_INT64:

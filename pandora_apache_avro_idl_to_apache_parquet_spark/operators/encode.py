@@ -192,6 +192,12 @@ def _encode_partition_arrow(table: pa.Table, io: FsIO, chunk_rows: int,
         posixpath.join(data_dir, file_name),
         attempt_tag=tag,
         compression={f"{c}_payload": "NONE" for c in CHUNK_COLUMNS} | {"__default__": "SNAPPY"},
+        # no parquet statistics/dictionary for payload bytes: binary min/max
+        # stats would embed payload prefixes in the footer (measured ~40 KB
+        # per file of pure overhead) and every payload is unique; stats stay
+        # on the small columns Spark actually filters on (zone maps, meta)
+        use_dictionary=False,
+        write_statistics=[c for c in MANIFEST_COLUMNS if c != "sha"],
     )
     write_sec = time.perf_counter() - t_write0
 

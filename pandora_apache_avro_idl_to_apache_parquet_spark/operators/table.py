@@ -383,6 +383,13 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         compression={f"{c}__payload": "NONE" for c in payload_cols}
         | {f"{c}__valid": "NONE" for c in payload_cols}
         | {"__default__": "SNAPPY"},
+        # see encode.py: parquet stats on binary payloads are pure footer
+        # bloat; keep stats only on the prunable/meta columns
+        use_dictionary=False,
+        write_statistics=[
+            f.name for f in chunk_schema_for(spec).fields
+            if not f.name.endswith(("__payload", "__valid")) and f.name != "sha"
+        ],
     )
     stats = {
         "part_id": part_id,

@@ -61,7 +61,17 @@ def select_typed_codec(a: np.ndarray, sample: int = SAMPLE_VALUES) -> bytes:
     s = a[: min(n, sample)]
     scale = n / len(s)
     best_codec, best_est = C.PLAIN, float(width) * n
-    for codec in (C.BITPACK, C.FOR, C.RLE, C.DICT, C.DELTA):
+    candidates = (C.BITPACK, C.FOR, C.RLE, C.DICT, C.DELTA)
+    if a.dtype == np.int64:
+        # GCD-FOR: quantized streams (timestamps at coarse granularity,
+        # strided ids) divide out their common stride before bit-packing
+        candidates += (C.GCD,)
+    if a.dtype in (np.float32, np.float64):
+        # ALP: decimal-valued floats as scaled ints (sampled like the rest;
+        # a chunk whose tail defeats the sampled exponent encodes to None
+        # below and falls back to PLAIN via the guard)
+        candidates += (C.ALP,)
+    for codec in candidates:
         enc = C.encode_typed(s, codec)
         if enc is None:
             continue

@@ -114,7 +114,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v4"  # bump to bust the /tmp encode cache on payload-affecting changes
+_FORMAT_TAG = "v5"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -363,7 +363,7 @@ def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import encode_table
 
     key = hashlib.md5(
-        f"tbl3:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl4:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
     if sorted(completed_parts(out)) != list(range(_TABLE_ENCODE_PARTS)):

@@ -11,6 +11,7 @@ from pandora_apache_avro_idl_to_apache_parquet_spark.functions import codecs as 
 from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import (
     select_int_codec,
     select_str_codec,
+    select_typed_codec,
 )
 
 RNG = np.random.default_rng(42)
@@ -61,6 +62,46 @@ def test_selection_picks_expected_winners():
     assert C.payload_codec_name(select_int_codec(INT_CASES["small_range"])) == "bitpack"
     assert C.payload_codec_name(select_int_codec(INT_CASES["narrow_band"])) == "for"
     assert C.payload_codec_name(select_int_codec(INT_CASES["zipf"])) == "dict"
+
+
+def test_gcd_codec_quantized_streams():
+    """GCD-FOR: day-granular epoch micros divide out their 86.4e9 stride."""
+    rng = np.random.default_rng(3)
+    ts = rng.integers(18000, 20500, 5000) * 86_400_000_000
+    enc = C.encode_typed(ts, C.GCD)
+    assert enc is not None
+    assert np.array_equal(C.decode_typed(enc), ts)
+    assert len(enc) < len(C.encode_typed(ts, C.FOR))
+    sel = select_typed_codec(ts)
+    assert C.payload_codec_name(sel) == "gcd"
+    # inapplicable: stride 1 and constant streams
+    assert C.encode_typed(np.arange(100, dtype=np.int64), C.GCD) is None
+    assert C.encode_typed(np.full(50, 7, dtype=np.int64), C.GCD) is None
+    # int64 extremes stay exact when applicable
+    ext = np.array([-(2**62), 2**62, 0], dtype=np.int64)
+    e = C.encode_typed(ext, C.GCD)
+    if e is not None:
+        assert np.array_equal(C.decode_typed(e), ext)
+
+
+def test_alp_codec_decimal_doubles():
+    """ALP: decimal-valued doubles as scaled ints, bit-identical; specials
+    make the codec inapplicable, never wrong."""
+    rng = np.random.default_rng(5)
+    prices = np.round(rng.uniform(1, 100000, 5000), 2)
+    enc = C.encode_typed(prices, C.ALP)
+    assert enc is not None
+    assert np.array_equal(C.decode_typed(enc).view(np.int64), prices.view(np.int64))
+    assert len(enc) < 0.5 * 8 * len(prices)
+    assert C.payload_codec_name(select_typed_codec(prices)) == "alp"
+    # -0.0 / NaN / inf chunks bail to the bit-pattern family
+    for bad in (-0.0, float("nan"), float("inf")):
+        a = np.array([1.25, bad, 2.5], dtype=np.float64)
+        assert C.encode_typed(a, C.ALP) is None
+        out = C.decode_typed(select_typed_codec(a))
+        assert np.array_equal(out.view(np.int64), a.view(np.int64))
+    # full-precision randoms: inapplicable
+    assert C.encode_typed(rng.standard_normal(256), C.ALP) is None
 
 
 STR_CASES = {

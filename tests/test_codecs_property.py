@@ -152,6 +152,52 @@ def test_float_typed_roundtrip_bit_identical(data, dtype):
     assert np.array_equal(a.view(ib), out.view(ib))
 
 
+@st.composite
+def decimal_float_arrays(draw, dtype):
+    """Floats that are exact decimals k/10^e — the ALP sweet spot — mixed
+    with occasional specials so applicability flips per array."""
+    e = draw(st.integers(min_value=0, max_value=4 if dtype == np.float32 else 6))
+    kmax = (1 << 20) if dtype == np.float32 else (1 << 40)
+    n = draw(st.integers(min_value=0, max_value=300))
+    ks = draw(st.lists(st.integers(min_value=-kmax, max_value=kmax),
+                       min_size=n, max_size=n))
+    a = (np.array(ks, dtype=np.float64) / 10.0 ** e).astype(dtype)
+    if draw(st.booleans()) and n:
+        a[draw(st.integers(min_value=0, max_value=n - 1))] = draw(
+            st.sampled_from([np.nan, np.inf, -0.0]))
+    return a
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.data(), dtype=st.sampled_from([np.float32, np.float64]))
+def test_alp_decimal_floats_bit_identical(data, dtype):
+    """ALP path: decimal-valued float chunks round-trip bit-for-bit through
+    select_typed_codec whether ALP applies (pure decimals) or bails
+    (specials / overflow) — applicability must never cost correctness."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import select_typed_codec
+
+    a = data.draw(decimal_float_arrays(dtype))
+    enc = select_typed_codec(a)
+    out = C.decode_typed(enc)
+    assert out.dtype == a.dtype
+    ib = np.int32 if dtype == np.float32 else np.int64
+    assert np.array_equal(a.view(ib), out.view(ib))
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data(), dtype=st.sampled_from([np.float32, np.float64]))
+def test_alp_direct_applicability(data, dtype):
+    """encode_typed(.., ALP) either returns a bit-identical payload or None;
+    never a wrong answer."""
+    a = data.draw(decimal_float_arrays(dtype))
+    enc = C.encode_typed(a, C.ALP)
+    if enc is None:
+        return
+    out = C.decode_typed(enc)
+    ib = np.int32 if dtype == np.float32 else np.int64
+    assert np.array_equal(a.view(ib), out.view(ib))
+
+
 @settings(max_examples=40, deadline=None)
 @given(a=int64_arrays())
 def test_select_typed_int64_roundtrip_and_bounded(a):

@@ -339,6 +339,37 @@ def test_null_key_rejected(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_table_size_beats_parquet_snappy(spark):
+    """Size gate for the generic path: the encoded chunk files (ALP for
+    decimal doubles, GCD for quantized timestamps, dict/delta/bitpack for the
+    rest, payload columns free of parquet stats/dictionary bloat) must beat
+    a Parquet+Snappy write of the same lineitem projection."""
+    import glob
+    import os
+
+    proj = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    base_dir = tempfile.mkdtemp(prefix="tbl_szbase_")
+    out = tempfile.mkdtemp(prefix="tbl_szenc_")
+    shutil.rmtree(out)
+    try:
+        proj.write.mode("overwrite").option("compression", "snappy").parquet(base_dir)
+        base = sum(os.path.getsize(f) for f in glob.glob(base_dir + "/*.parquet"))
+        encode_table(proj, out, key_cols=["l_orderkey", "l_linenumber"], n_parts=8)
+        enc = sum(os.path.getsize(f) for f in glob.glob(out + "/data/*.parquet"))
+        assert enc < base, f"encoded {enc} >= parquet+snappy {base}"
+        # the decimal-double and quantized-timestamp lanes engaged
+        man = read_table_manifest(spark, out).toPandas()
+        codecs_by_col = man.groupby("column")["codec"].agg(set)
+        assert codecs_by_col["l_extendedprice"] == {"alp"}
+        assert codecs_by_col["l_quantity"] == {"alp"}
+        assert "gcd" in codecs_by_col["l_shipdate"]
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_union_data_flatten_encode_roundtrip(spark):
     """A8/A17 end-to-end WITH DATA: heterogeneous sources dispatch into a
     general-union struct (as_union), the union column flattens to a child
