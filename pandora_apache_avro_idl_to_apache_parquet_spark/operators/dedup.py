@@ -271,3 +271,68 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
         .select("doc_a", "doc_b", "common", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Near-dup clusters: undirected edges -> ``(doc_id, component_id)`` where
+    ``component_id`` is the MIN doc id reachable from ``doc_id`` — the
+    canonical-representative contract every dedup pipeline needs after pair
+    generation (keep ``doc_id == component_id``, drop the rest).
+
+    Iterative min-label propagation: each round replaces every node's label
+    with the min over itself and its neighbours' labels, converging in
+    graph-diameter rounds to the unique fixpoint (so the result is
+    deterministic regardless of execution order — oracle-able against a
+    recursive-CTE transitive closure).
+
+    Scale notes (100 TB story): each round is ONE shuffle join keyed on node
+    id over the *edge* set — never materializes the transitive closure, whose
+    quadratic blow-up is the naive formulation's killer. Near-dup graphs have
+    tiny diameters (clusters are quasi-cliques from banded LSH), so rounds
+    stay in single digits; per-round results are cached and the previous
+    iteration unpersisted to keep lineage and storage bounded. Raises if
+    ``max_iters`` rounds don't converge rather than returning a wrong
+    (pre-fixpoint) answer.
+    """
+    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    edges = fwd.union(rev).distinct().cache()
+
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .cache()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy("a")
+                .agg(F.min("component_id").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels.doc_id == nbr.a, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                    ).alias("component_id"),
+                )
+                .cache()
+            )
+            changed = (
+                labels.alias("o")
+                .join(new_labels.alias("n"), "doc_id")
+                .filter(F.col("o.component_id") != F.col("n.component_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select("doc_id", "component_id")
+        raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+    finally:
+        edges.unpersist()

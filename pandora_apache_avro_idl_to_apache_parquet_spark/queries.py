@@ -875,6 +875,33 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: MinHash-LSH candidate pairs -> connected components
+    (iterative min-label propagation, one node-keyed shuffle join per round).
+    The oracle computes the same fixpoint as a recursive-CTE transitive
+    closure — min reachable doc id — which is unique, so the iterative Spark
+    algorithm and the set-based SQL must agree exactly."""
+    pairs = dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.connected_components(pairs)
+
+
+def _o_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_o_dedup_minhash()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc_id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.doc_id
+)
+SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedup.with_simhash(_t(spark, sf_dir, "documents"))
@@ -1395,6 +1422,7 @@ QUERIES: dict[str, tuple] = {
     # dedup
     "dedup_exact": (q_dedup_exact, O_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _o_dedup_minhash()),
+    "dedup_clusters": (q_dedup_clusters, _o_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _o_dedup_embedding_cosine()),

@@ -287,3 +287,46 @@ def test_ngram_df_cap_drops_boilerplate_shingle(spark):
         dedup.ngram_jaccard_pairs(boiler, k=3, threshold=0.01, df_cap=100).count()
         == 20 * 19 // 2
     )
+
+
+def test_connected_components_min_label(spark):
+    """Chain, separate clique, and self-contained pair converge to the min
+    reachable id; convergence needs diameter rounds (chain of 5 forces >1)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # chain d1-d2-d3-d4-d5 (diameter 4)
+            ("d2", "d1"), ("d2", "d3"), ("d3", "d4"), ("d5", "d4"),
+            # triangle
+            ("x1", "x2"), ("x2", "x3"), ("x1", "x3"),
+            # isolated pair
+            ("z9", "z8"),
+        ],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        "d1": "d1", "d2": "d1", "d3": "d1", "d4": "d1", "d5": "d1",
+        "x1": "x1", "x2": "x1", "x3": "x1",
+        "z8": "z8", "z9": "z8",
+    }
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(6)], "doc_a string, doc_b string"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iters=1)
