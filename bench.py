@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dict_cardinality",
     "table_encode_roundtrip",
     "table_selective_stats",
+    "table_q1",
     "q1_pricing_summary",
     "q3_top_revenue",
     "window_running_total",

@@ -346,6 +346,8 @@ def _table_encode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
+        "l_discount",
+        "l_tax",
         "l_returnflag",
         "l_linestatus",
         "l_shipdate",
@@ -363,7 +365,7 @@ def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import encode_table
 
     key = hashlib.md5(
-        f"tbl4:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl5:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
     if sorted(completed_parts(out)) != list(range(_TABLE_ENCODE_PARTS)):
@@ -389,6 +391,8 @@ def q_table_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_quantity",
         "l_extendedprice",
+        "l_discount",
+        "l_tax",
         "l_returnflag",
         "l_linestatus",
         F.expr(
@@ -402,7 +406,7 @@ def q_table_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 O_TABLE_ENCODE_ROUNDTRIP = """
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-       l_returnflag, l_linestatus,
+       l_discount, l_tax, l_returnflag, l_linestatus,
        date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS ship_us,
        CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
        l_quantity > 25 AS bulky,
@@ -447,6 +451,36 @@ def q_table_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 served FROM THE ENCODED STORE: selective decode of the 7
+    needed columns (of 12 encoded — the other payload streams are pruned at
+    the parquet scan) feeding the same aggregation as q1_pricing_summary.
+    The oracle runs Q1 on the raw table, so any decode error, null slip or
+    dtype drift surfaces as a hash mismatch — the 'user can run every query
+    on the encoded store' claim, verified."""
+    from .operators.table import decode_table
+
+    out = _table_encode_dir(spark, sf_dir)
+    dec = decode_table(
+        spark, out,
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "ship_date"],
+    )
+    return (
+        dec.filter(F.col("ship_date") <= F.lit("1998-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_table_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned range scan: chunks whose typed key_min/key_max zone map
     excludes [5000, 6000] are pruned at the parquet scan (PushedFilters);
@@ -469,8 +503,8 @@ FROM lineitem WHERE l_orderkey BETWEEN 5000 AND 6000
 O_TABLE_MANIFEST_STATS = """
 WITH cols(col_name) AS (
   SELECT unnest(['l_orderkey','l_linenumber','l_quantity','l_extendedprice',
-                 'l_returnflag','l_linestatus','l_shipdate','ship_date',
-                 'bulky','flag_n'])
+                 'l_discount','l_tax','l_returnflag','l_linestatus',
+                 'l_shipdate','ship_date','bulky','flag_n'])
 )
 SELECT col_name,
        (SELECT count(*) FROM lineitem)::BIGINT AS total_rows,
@@ -1404,6 +1438,7 @@ QUERIES: dict[str, tuple] = {
     "table_selective_stats": (q_table_selective_stats, O_TABLE_SELECTIVE_STATS),
     "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
+    "table_q1": (q_table_q1, O_Q1),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),
