@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "window_running_total",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
