@@ -56,7 +56,7 @@ from ..functions import codecs as C
 from ..functions.fsio import FsIO
 from ..functions.hashing import klondike, sha256
 from ..plans.cost import select_int_codec, select_str_codec, select_typed_codec
-from .encode import _io, completed_parts, write_commit_log
+from .encode import _io, write_commit_log
 
 DEFAULT_CHUNK_ROWS = 65536
 
@@ -133,6 +133,7 @@ def _meta_fields(spec: "TableSpec") -> list[T.StructField]:
     # would break numeric pruning) and push down into the parquet scan
     key_type = spec.schema[spec.key_cols[0]].dataType
     return [
+        T.StructField("run", T.StringType(), False),
         T.StructField("part_id", T.IntegerType(), False),
         T.StructField("chunk_seq", T.IntegerType(), False),
         T.StructField("chunk_id", T.StringType(), False),
@@ -164,6 +165,52 @@ def chunk_schema_for(spec: TableSpec) -> T.StructType:
             T.StructField(f"{f.name}__payload", T.BinaryType(), False),
         ]
     return T.StructType(fields)
+
+
+def _prepare_spec(io: FsIO, df_schema: T.StructType,
+                  key_cols: list[str]) -> TableSpec:
+    """Create or evolve the ``_schema.json`` sidecar (append-only schema
+    evolution, the reference's Delta ``metaData`` schema-evolve contract,
+    ``DeltaLake.fs:176-444``): new columns may be ADDED if nullable; existing
+    columns must keep name+type; key columns are immutable. Old chunk files
+    simply lack the new columns' payloads and decode as nulls."""
+    new_spec = TableSpec(schema=df_schema, key_cols=list(key_cols))
+    new_spec.logicals  # validates every column type is supported
+    sidecar = io.join("_schema.json")
+    if not io.exists(sidecar):
+        io.makedirs(io.base)
+        io.publish_bytes(sidecar, new_spec.to_json().encode(),
+                         attempt_tag=uuid.uuid4().hex[:8])
+        return new_spec
+
+    old = TableSpec.from_json(io.read_text(sidecar))
+    if old.key_cols != list(key_cols):
+        raise ValueError(
+            f"key columns are immutable: encoded with {old.key_cols}, got {list(key_cols)}"
+        )
+    old_fields = {f.name: f for f in old.schema.fields}
+    new_fields = {f.name: f for f in df_schema.fields}
+    missing = [n for n in old_fields if n not in new_fields]
+    if missing:
+        raise ValueError(f"schema evolution is append-only; missing columns {missing}")
+    for name, f in old_fields.items():
+        if new_fields[name].dataType != f.dataType:
+            raise ValueError(
+                f"column {name!r} type change "
+                f"{f.dataType.simpleString()} -> {new_fields[name].dataType.simpleString()}"
+            )
+    added = [f for f in df_schema.fields if f.name not in old_fields]
+    if not added:
+        return old
+    bad = [f.name for f in added if not f.nullable]
+    if bad:
+        raise ValueError(f"new columns must be nullable (old chunks decode them as null): {bad}")
+    merged = TableSpec(
+        schema=T.StructType(list(old.schema.fields) + added), key_cols=list(key_cols)
+    )
+    io.publish_bytes(sidecar, merged.to_json().encode(),
+                     attempt_tag=uuid.uuid4().hex[:8])
+    return merged
 
 
 # ------------------------------------------------------------ column kernels
@@ -308,9 +355,11 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
 
 def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                             chunk_rows: int, pds: date,
-                            fail_parts=None) -> pa.Table:
+                            fail_parts=None, run: str = "r0") -> pa.Table:
     """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
-    checkpoint marker (same publication contract as the token kernel)."""
+    checkpoint marker (same publication contract as the token kernel).
+    ``run`` namespaces files/markers so append runs into one table dir never
+    collide with earlier runs' parts."""
     import time
 
     import pyarrow.compute as pc
@@ -337,6 +386,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     for seq, lo in enumerate(range(0, n, chunk_rows)):
         hi = min(lo + chunk_rows, n)
         row: dict = {
+            "run": run,
             "part_id": part_id,
             "chunk_seq": seq,
             "row_lo": lo,
@@ -362,7 +412,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                 hasher_parts.append(valid_payload)
         sha = sha256(b"".join(hasher_parts))
         row["sha"] = sha
-        row["chunk_id"] = klondike(f"{part_id}:{seq}:".encode() + sha)
+        row["chunk_id"] = klondike(f"{run}:{part_id}:{seq}:".encode() + sha)
         rows.append(row)
 
     kernel_sec = time.perf_counter() - t_kernel0
@@ -374,7 +424,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     io.makedirs(data_dir)
     io.makedirs(ckpt_dir)
     tag = uuid.uuid4().hex[:8]
-    file_name = f"part-{part_id:05d}.parquet"
+    file_name = f"part-{run}-{part_id:05d}.parquet"
     t_write0 = time.perf_counter()
     file_size, file_sha = io.publish_parquet(
         out,
@@ -392,6 +442,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         ],
     )
     stats = {
+        "run": run,
         "part_id": part_id,
         "n_chunks": len(rows),
         "n_rows": n,
@@ -406,7 +457,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         "status": "done",
     }
     io.publish_bytes(
-        posixpath.join(ckpt_dir, f"part-{part_id:05d}.json"),
+        posixpath.join(ckpt_dir, f"part-{run}-{part_id:05d}.json"),
         json.dumps(stats).encode(),
         attempt_tag=tag,
     )
@@ -415,37 +466,52 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     )
 
 
+def completed_table_parts(out_dir: str, run: str = "r0",
+                          io: FsIO | None = None) -> list[int]:
+    """Part ids of ``run`` with a checkpoint marker (the resume identity —
+    per run, so append runs into one dir never mask each other)."""
+    io = _io(out_dir, io)
+    d = io.join("_checkpoints")
+    prefix = f"part-{run}-"
+    return sorted(
+        int(f[len(prefix):-len(".json")])
+        for f in io.listdir(d)
+        if f.startswith(prefix) and f.endswith(".json")
+    )
+
+
 def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
                  n_parts: int = 64, chunk_rows: int = DEFAULT_CHUNK_ROWS,
                  pds: date | None = None,
                  fail_parts: set[int] | None = None,
-                 io: FsIO | None = None) -> DataFrame:
+                 io: FsIO | None = None,
+                 run: str = "r0") -> DataFrame:
     """Encode any supported-typed DataFrame; returns the manifest (long form).
 
     Same plan as :func:`..operators.encode.encode_tokens`: salted shuffle on
     ``xxhash64(*key_cols)``, anti-join completed checkpoints (resume), one
     grouped-map Arrow kernel, commit log at the end. ``key_cols`` provide the
     salt, the intra-chunk sort order, and the ``key_min/key_max`` zone maps.
+
+    ``run`` is the append identity: a second load into the same dir uses a
+    new run id (its files/markers are namespaced ``part-<run>-``), and may
+    carry an evolved schema — appended columns must be nullable; earlier
+    runs' chunks decode them as null (:func:`_prepare_spec`).
     """
     spark = df.sparkSession
     pds = pds or date(2026, 1, 1)
     io = _io(out_dir, io)
     if "part_id" in df.columns:
         raise ValueError("'part_id' is a reserved column name")
-    spec = TableSpec(schema=df.schema, key_cols=list(key_cols))
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-
-    io.makedirs(io.base)
-    sidecar = io.join("_schema.json")
-    if not io.exists(sidecar):
-        io.publish_bytes(sidecar, spec.to_json().encode(), attempt_tag=uuid.uuid4().hex[:8])
+    spec = _prepare_spec(io, df.schema, list(key_cols))
 
     keyed = df.withColumn(
         "part_id", F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
     )
-    done = completed_parts(out_dir, io)
+    done = completed_table_parts(out_dir, run, io)
     if done:
         done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
         keyed = keyed.join(F.broadcast(done_df), "part_id", "left_anti")
@@ -458,7 +524,7 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
 
     def kernel(table: pa.Table) -> pa.Table:
         return _encode_table_partition(table, io, spec, chunk_rows, pds,
-                                       fail_parts=fail_parts)
+                                       fail_parts=fail_parts, run=run)
 
     result = keyed.groupBy("part_id").applyInArrow(kernel, schema=manifest_struct)
     result.write.format("noop").mode("overwrite").save()
@@ -470,7 +536,8 @@ def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
                       pds: date | None = None,
                       fail_parts: set[int] | None = None,
-                      io: FsIO | None = None) -> DataFrame:
+                      io: FsIO | None = None,
+                      run: str = "r0") -> DataFrame:
     """Map-only generic encode: each *scan partition* is the encode unit —
     scan → ``mapInArrow`` → chunk files, **no shuffle at all** (the table
     analog of :func:`..operators.encode.encode_tokens_scan`, with the same
@@ -482,16 +549,11 @@ def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
     io = _io(out_dir, io)
     if "part_id" in df.columns:
         raise ValueError("'part_id' is a reserved column name")
-    spec = TableSpec(schema=df.schema, key_cols=list(key_cols))
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-
-    io.makedirs(io.base)
-    sidecar = io.join("_schema.json")
-    if not io.exists(sidecar):
-        io.publish_bytes(sidecar, spec.to_json().encode(), attempt_tag=uuid.uuid4().hex[:8])
-    done = set(completed_parts(out_dir, io))
+    spec = _prepare_spec(io, df.schema, list(key_cols))
+    done = set(completed_table_parts(out_dir, run, io))
 
     full = chunk_schema_for(spec)
     manifest_struct = T.StructType(
@@ -513,7 +575,7 @@ def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
             "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
         )
         yield from _encode_table_partition(
-            table, io, spec, chunk_rows, pds, fail_parts=fail_parts
+            table, io, spec, chunk_rows, pds, fail_parts=fail_parts, run=run
         ).to_batches()
 
     result = df.mapInArrow(gen, schema=manifest_struct)
@@ -532,11 +594,17 @@ def read_table_spec(out_dir: str, io: FsIO | None = None) -> TableSpec:
 
 def read_table_chunks(spark: SparkSession, out_dir: str,
                       io: FsIO | None = None) -> DataFrame:
+    """Chunk-file scan under the sidecar's CURRENT chunk schema (passed
+    explicitly, not footer-sampled): chunk files written before a schema
+    evolution simply lack the new columns' stat/payload columns and surface
+    them as nulls — no mergeSchema footer pass over every file."""
     io = _io(out_dir, io)
+    schema = chunk_schema_for(read_table_spec(out_dir, io))
     d = io.join("data")
     if not any(f.endswith(".parquet") for f in io.listdir(d)):
-        return spark.createDataFrame([], chunk_schema_for(read_table_spec(out_dir, io)))
-    return spark.read.parquet(out_dir.rstrip("/") + "/data")
+        return spark.createDataFrame([], schema)
+    relaxed = T.StructType([T.StructField(f.name, f.dataType, True) for f in schema.fields])
+    return spark.read.schema(relaxed).parquet(out_dir.rstrip("/") + "/data")
 
 
 def read_table_manifest(spark: SparkSession, out_dir: str,
@@ -617,6 +685,11 @@ def decode_table(spark: SparkSession, out_dir: str,
                 for name in names:
                     vp = cols[f"{name}__valid"][i].as_py()
                     pl = cols[f"{name}__payload"][i].as_py()
+                    if pl is None:
+                        # chunk predates this column (schema evolution):
+                        # it decodes as all-null
+                        arrays.append(pa.nulls(n, arrow_out.field(name).type))
+                        continue
                     arrays.append(
                         _decode_column(vp, pl, logicals[name], n,
                                        arrow_out.field(name).type)

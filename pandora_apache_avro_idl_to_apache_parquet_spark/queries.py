@@ -361,14 +361,13 @@ _TABLE_ENCODE_PARTS = 8
 
 
 def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
-    from .operators.encode import completed_parts
-    from .operators.table import encode_table
+    from .operators.table import completed_table_parts, encode_table
 
     key = hashlib.md5(
-        f"tbl5:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl6:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
-    if sorted(completed_parts(out)) != list(range(_TABLE_ENCODE_PARTS)):
+    if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
         shutil.rmtree(out, ignore_errors=True)
         encode_table(
             _table_encode_input(spark, sf_dir), out,

@@ -19,10 +19,10 @@ from pyspark.sql import functions as F, types as T
 
 from pandora_apache_avro_idl_to_apache_parquet_spark.functions.fsio import object_store_like_io
 from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import (
-    completed_parts,
     read_commit_log,
 )
 from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+    completed_table_parts,
     decode_table,
     encode_table,
     read_table_manifest,
@@ -148,10 +148,10 @@ def test_resume_after_injected_failure(spark):
     try:
         with pytest.raises(Exception):
             encode_table(df, out, key_cols=["id"], n_parts=4, fail_parts={2})
-        done_first = completed_parts(out)
+        done_first = completed_table_parts(out)
         assert 2 not in done_first and len(done_first) < 4
         encode_table(df, out, key_cols=["id"], n_parts=4)
-        assert completed_parts(out) == [0, 1, 2, 3]
+        assert completed_table_parts(out) == [0, 1, 2, 3]
         a = df.toPandas().sort_values("id", ignore_index=True)
         b = decode_table(spark, out).toPandas().sort_values("id", ignore_index=True)
         pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
@@ -335,6 +335,69 @@ def test_null_key_rejected(spark):
     try:
         with pytest.raises(Exception, match="contains nulls"):
             encode_table(df, out, key_cols=["k"], n_parts=1)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_append_runs_and_schema_evolution(spark):
+    """Append-only schema evolution across runs (the reference's Delta
+    metaData schema-evolve contract): run r1 appends rows AND a new nullable
+    column into the same dir; r0's chunks decode the new column as null;
+    evolution guards reject type changes, drops, non-nullable adds, and key
+    changes."""
+    from pyspark.sql import types as T
+
+    v1 = spark.createDataFrame(
+        [(k, f"s{k}") for k in range(100)], "k long, s string")
+    v2 = spark.createDataFrame(
+        [(100 + k, f"t{k}", float(k)) for k in range(50)],
+        T.StructType([
+            T.StructField("k", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+        ]),
+    )
+    out = tempfile.mkdtemp(prefix="tbl_evo_")
+    shutil.rmtree(out)
+    try:
+        encode_table(v1, out, key_cols=["k"], n_parts=2, run="r0")
+        encode_table(v2, out, key_cols=["k"], n_parts=2, run="r1")
+        assert completed_table_parts(out, "r0") == [0, 1]
+        assert completed_table_parts(out, "r1") == [0, 1]
+        spec = read_table_spec(out)
+        assert [f.name for f in spec.schema.fields] == ["k", "s", "score"]
+
+        dec = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        assert len(dec) == 150
+        assert dec[dec["k"] < 100]["score"].isna().all()
+        got_new = dec[dec["k"] >= 100].reset_index(drop=True)
+        exp_new = v2.toPandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(exp_new, got_new[exp_new.columns], check_exact=True)
+        # manifest distinguishes the runs; r0 rows have null stats for score
+        man = read_table_manifest(spark, out).toPandas()
+        assert set(man["run"]) == {"r0", "r1"}
+        r0_score = man[(man["run"] == "r0") & (man["column"] == "score")]
+        assert r0_score["codec"].isna().all()
+
+        # guards
+        with pytest.raises(ValueError, match="type change"):
+            encode_table(
+                spark.createDataFrame([(1, 2, 1.0)], "k long, s int, score double"),
+                out, key_cols=["k"], run="r2")
+        with pytest.raises(ValueError, match="append-only"):
+            encode_table(spark.createDataFrame([(1,)], "k long"),
+                         out, key_cols=["k"], run="r2")
+        with pytest.raises(ValueError, match="immutable"):
+            encode_table(v1, out, key_cols=["s"], run="r2")
+        nn = T.StructType([
+            T.StructField("k", T.LongType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("extra", T.LongType(), False),
+        ])
+        with pytest.raises(ValueError, match="nullable"):
+            encode_table(spark.createDataFrame([(1, "a", 1.0, 2)], nn),
+                         out, key_cols=["k"], run="r2")
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
