@@ -361,7 +361,9 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
     io.makedirs(log_dir)
 
     def _scan_log() -> tuple[set[str], list[int]]:
-        committed: set[str] = set()
+        # "referenced" = ever added OR removed: neither may be re-added
+        # (a removed file's data lives on in its compaction target)
+        referenced: set[str] = set()
         indices: list[int] = []
         for f in io.listdir(log_dir):
             if not f.endswith(".json"):
@@ -370,8 +372,10 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
             for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
                 entry = json.loads(line)
                 if "add" in entry:
-                    committed.add(entry["add"]["path"])
-        return committed, indices
+                    referenced.add(entry["add"]["path"])
+                if "remove" in entry:
+                    referenced.add(entry["remove"]["path"])
+        return referenced, indices
 
     def _marker_index() -> dict[str, dict]:
         """file_name -> integrity info from the checkpoint markers (written
@@ -385,9 +389,16 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
                     idx[st["file_name"]] = st
         return idx
 
-    def _build_payload(committed: set[str]) -> str | None:
+    def _build_payload(referenced: set[str]) -> str | None:
+        # marker-gated adds: only files whose writer completed its checkpoint
+        # marker are committed. A crash between file publish and marker
+        # leaves an orphan that is never added (and never read — readers are
+        # log-gated, see committed_files) until the part's re-encode
+        # overwrites it; vacuum() reclaims anything unreferenced.
+        markers = _marker_index()
         new_files = sorted(
-            f for f in io.listdir(data_dir) if f.endswith(".parquet") and f not in committed
+            f for f in io.listdir(data_dir)
+            if f.endswith(".parquet") and f not in referenced and f in markers
         )
         if not new_files:
             return None
@@ -403,24 +414,16 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
                 }
             ),
         ]
-        import hashlib
-
-        markers = _marker_index()
         for f in new_files:
             path = posixpath.join(data_dir, f)
-            info = markers.get(f)
-            if info is not None:
-                size, sha = info["file_size"], info["file_sha256"]
-            else:  # foreign/legacy file without a marker: hash it once here
-                data = io.read_bytes(path)
-                size, sha = len(data), hashlib.sha256(data).hexdigest()
+            info = markers[f]
             lines.append(
                 json.dumps(
                     {
                         "add": {
                             "path": f,
-                            "size": size,
-                            "sha256": sha,
+                            "size": info["file_size"],
+                            "sha256": info["file_sha256"],
                             "partitionValues": {"pds": pds.isoformat()},
                             "dataChange": True,
                             "modificationTime": io.mtime_ms(path),
@@ -430,8 +433,8 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
             )
         return "\n".join(lines) + "\n"
 
-    committed, indices = _scan_log()
-    payload = _build_payload(committed)
+    referenced, indices = _scan_log()
+    payload = _build_payload(referenced)
     if payload is None:
         return None
     idx = (max(indices) + 1) if indices else 0
@@ -442,8 +445,8 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
         # a concurrent committer won this index: re-read the log so files
         # it committed are dropped from our payload (exactly-once — the
         # 'only files not yet referenced' invariant), then try next index
-        committed, indices = _scan_log()
-        payload = _build_payload(committed)
+        referenced, indices = _scan_log()
+        payload = _build_payload(referenced)
         if payload is None:
             return None
         idx = max(idx + 1, (max(indices) + 1) if indices else 0)
@@ -463,18 +466,86 @@ def read_commit_log(out_dir: str, io: FsIO | None = None) -> list[dict]:
     return entries
 
 
+def committed_files(out_dir: str, io: FsIO | None = None) -> list[str] | None:
+    """Live data-file basenames per the commit log (adds minus removes), or
+    None when no log exists (pre-commit state: directory listing governs).
+    This is what makes readers log-gated: half-published crash leftovers and
+    compacted-away files are invisible."""
+    io = _io(out_dir, io)
+    if not io.isdir(io.join("_log")):
+        return None
+    live: set[str] = set()
+    for entry in read_commit_log(out_dir, io):
+        if "add" in entry:
+            live.add(entry["add"]["path"])
+        if "remove" in entry:
+            live.discard(entry["remove"]["path"])
+    return sorted(live)
+
+
+def append_log_entry(out_dir: str, lines: list[dict], io: FsIO | None = None) -> str:
+    """Append one numbered log file holding ``lines`` (e.g. compaction's
+    add+remove set) with the same optimistic exclusive-create index protocol
+    as :func:`write_commit_log`."""
+    io = _io(out_dir, io)
+    log_dir = io.join("_log")
+    io.makedirs(log_dir)
+    payload = "\n".join(json.dumps(e) for e in lines) + "\n"
+    indices = [int(f[:-5]) for f in io.listdir(log_dir) if f.endswith(".json")]
+    idx = (max(indices) + 1) if indices else 0
+    while True:
+        target = posixpath.join(log_dir, f"{idx:020d}.json")
+        if io.create_exclusive(target, payload.encode()):
+            return target
+        idx += 1
+
+
+def vacuum(out_dir: str, io: FsIO | None = None,
+           min_age_sec: float = 0.0) -> list[str]:
+    """Delete data files the commit log does not reference as live (orphans
+    from crashes between publish and commit, and compacted-away sources).
+    New readers are safe because every read resolves files through
+    :func:`committed_files`; ``min_age_sec`` is the retention window for
+    IN-FLIGHT readers — a plan that listed files before the compaction commit
+    still reads the old ones, so production runs should pass a retention
+    covering their longest reader (the same reason Delta's VACUUM defaults to
+    7 days). Returns the deleted basenames; no-op when no log exists."""
+    import time
+
+    io = _io(out_dir, io)
+    live = committed_files(out_dir, io)
+    if live is None:
+        return []
+    data_dir = io.join("data")
+    now_ms = time.time() * 1000
+    doomed = [
+        f for f in io.listdir(data_dir)
+        if f.endswith(".parquet") and f not in set(live)
+        and now_ms - io.mtime_ms(posixpath.join(data_dir, f)) >= min_age_sec * 1000
+    ]
+    for f in doomed:
+        io.fs.delete_file(posixpath.join(data_dir, f))
+    return doomed
+
+
 def read_manifest(spark: SparkSession, out_dir: str, io: FsIO | None = None) -> DataFrame:
     """Manifest = payload-free projection of chunk files (column-pruned scan)."""
     return read_chunks(spark, out_dir, io).select(*MANIFEST_COLUMNS)
 
 
 def read_chunks(spark: SparkSession, out_dir: str, io: FsIO | None = None) -> DataFrame:
-    """Chunk-file scan. The DataFrame read itself goes through Spark's own
-    Hadoop connectors (pass URIs for cluster stores); FsIO only answers the
-    cheap existence probe so empty inputs yield an empty typed frame."""
+    """Log-gated chunk-file scan: when a commit log exists, exactly the files
+    it references as live are read (half-published crash leftovers and
+    compacted-away files are invisible); directory listing is the fallback
+    for pre-commit state. The DataFrame read itself goes through Spark's own
+    Hadoop connectors (pass URIs for cluster stores)."""
     io = _io(out_dir, io)
     d = io.join("data")
-    if not any(f.endswith(".parquet") for f in io.listdir(d)):
+    live = committed_files(out_dir, io)
+    if live is None:
+        live = [f for f in io.listdir(d) if f.endswith(".parquet")]
+    if not live:
         # empty input produced no chunk files: empty frame with the chunk schema
         return spark.createDataFrame([], CHUNK_SCHEMA)
-    return spark.read.parquet(out_dir.rstrip("/") + "/data")
+    base = out_dir.rstrip("/") + "/data/"
+    return spark.read.parquet(*[base + f for f in live])

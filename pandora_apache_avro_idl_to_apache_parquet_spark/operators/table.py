@@ -584,6 +584,114 @@ def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
     return read_table_manifest(spark, out_dir, io)
 
 
+def compact_table(out_dir: str, io: FsIO | None = None,
+                  max_group_bytes: int = 128 << 20) -> dict:
+    """Merge committed chunk files into fewer, larger files (the
+    many-small-appends antidote — object-store listings and scan planning
+    degrade with file count long before data size hurts).
+
+    Chunk ROWS are moved verbatim (payloads untouched — compaction is pure
+    file regrouping, no re-encode); files are greedily grouped under
+    ``max_group_bytes``. The swap is committed as ONE log entry holding the
+    new ``add``s and the old ``remove``s, so log-gated readers switch
+    atomically; old files stay on disk (still referenced by nothing) until
+    :func:`..operators.encode.vacuum` reclaims them. Pre-evolution files
+    promote to the current chunk schema during the merge (missing payload
+    cells become null — exactly what decode already expects).
+
+    Driver-side merge by design: the files being compacted are SMALL (that
+    is the problem being fixed); each group is bounded by ``max_group_bytes``
+    and streamed through one pyarrow read+write.
+    """
+    import pyarrow.parquet as pq
+
+    from .encode import append_log_entry, committed_files, read_commit_log
+
+    io = _io(out_dir, io)
+    spec = read_table_spec(out_dir, io)
+    live = committed_files(out_dir, io)
+    if live is None:
+        raise ValueError("compact_table requires a committed table (no _log found)")
+    sizes = {
+        e["add"]["path"]: e["add"]["size"]
+        for e in read_commit_log(out_dir, io)
+        if "add" in e
+    }
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in live:
+        fsize = sizes.get(f, 0)
+        if cur and cur_bytes + fsize > max_group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(f)
+        cur_bytes += fsize
+    if cur:
+        groups.append(cur)
+    if all(len(g) <= 1 for g in groups):
+        return {"files_before": len(live), "files_after": len(live), "log": None}
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    chunk_schema = chunk_schema_for(spec)
+    arrow_schema = to_arrow_schema(
+        T.StructType([T.StructField(f.name, f.dataType, True) for f in chunk_schema.fields])
+    )
+    payload_cols = [f.name for f in spec.schema.fields]
+    data_dir = io.join("data")
+    tag = uuid.uuid4().hex[:8]
+    entries: list[dict] = [
+        {"metaData": {"schemaString": chunk_schema.json(),
+                      "partitionColumns": ["pds"], "format": {"provider": "parquet"}}}
+    ]
+    new_files = 0
+    for i, group in enumerate(groups):
+        if len(group) <= 1:
+            continue  # singleton stays as-is (still live, not removed)
+        tables = [
+            pq.read_table(io.open_input_file(posixpath.join(data_dir, f)))
+            for f in group
+        ]
+        merged = _promote_to(tables, arrow_schema)
+        name = f"part-compact{tag}-{i:05d}.parquet"
+        size, sha = io.publish_parquet(
+            merged,
+            posixpath.join(data_dir, name),
+            attempt_tag=tag,
+            compression={f"{c}__payload": "NONE" for c in payload_cols}
+            | {f"{c}__valid": "NONE" for c in payload_cols}
+            | {"__default__": "SNAPPY"},
+            use_dictionary=False,
+            write_statistics=[
+                f.name for f in chunk_schema.fields
+                if not f.name.endswith(("__payload", "__valid")) and f.name != "sha"
+            ],
+        )
+        new_files += 1
+        entries.append({"add": {"path": name, "size": size, "sha256": sha,
+                                "dataChange": False}})
+        entries += [{"remove": {"path": f, "dataChange": False}} for f in group]
+    log = append_log_entry(out_dir, entries, io)
+    after = len(committed_files(out_dir, io))
+    return {"files_before": len(live), "files_after": after, "log": log}
+
+
+def _promote_to(tables: list[pa.Table], arrow_schema: pa.Schema) -> pa.Table:
+    """Concat chunk tables onto the current chunk schema: columns a file
+    predates (schema evolution) fill with nulls."""
+    normed = []
+    for t in tables:
+        cols = []
+        for field in arrow_schema:
+            if field.name in t.column_names:
+                cols.append(t.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, field.type))
+        normed.append(pa.Table.from_arrays(cols, schema=arrow_schema))
+    return pa.concat_tables(normed)
+
+
 # ------------------------------------------------------------- decode driver
 
 
@@ -594,17 +702,25 @@ def read_table_spec(out_dir: str, io: FsIO | None = None) -> TableSpec:
 
 def read_table_chunks(spark: SparkSession, out_dir: str,
                       io: FsIO | None = None) -> DataFrame:
-    """Chunk-file scan under the sidecar's CURRENT chunk schema (passed
-    explicitly, not footer-sampled): chunk files written before a schema
-    evolution simply lack the new columns' stat/payload columns and surface
-    them as nulls — no mergeSchema footer pass over every file."""
+    """Log-gated chunk-file scan under the sidecar's CURRENT chunk schema
+    (passed explicitly, not footer-sampled): the commit log's live file set
+    governs what is read (orphans/compacted files invisible; directory
+    fallback pre-commit), and chunk files written before a schema evolution
+    simply lack the new columns' stat/payload columns and surface them as
+    nulls — no mergeSchema footer pass over every file."""
+    from .encode import committed_files
+
     io = _io(out_dir, io)
     schema = chunk_schema_for(read_table_spec(out_dir, io))
     d = io.join("data")
-    if not any(f.endswith(".parquet") for f in io.listdir(d)):
+    live = committed_files(out_dir, io)
+    if live is None:
+        live = [f for f in io.listdir(d) if f.endswith(".parquet")]
+    if not live:
         return spark.createDataFrame([], schema)
     relaxed = T.StructType([T.StructField(f.name, f.dataType, True) for f in schema.fields])
-    return spark.read.schema(relaxed).parquet(out_dir.rstrip("/") + "/data")
+    base = out_dir.rstrip("/") + "/data/"
+    return spark.read.schema(relaxed).parquet(*[base + f for f in live])
 
 
 def read_table_manifest(spark: SparkSession, out_dir: str,

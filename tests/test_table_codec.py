@@ -402,6 +402,85 @@ def test_append_runs_and_schema_evolution(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_compaction_and_log_gated_reads(spark):
+    """compact_table merges small append-run files behind ONE atomic log
+    entry; decode is identical before/after; vacuum reclaims the removed
+    files; stray (never-committed) parquet files in data/ are invisible to
+    log-gated readers."""
+    import glob
+    import os
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import (
+        read_commit_log,
+        vacuum,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import compact_table
+
+    out = tempfile.mkdtemp(prefix="tbl_compact_")
+    shutil.rmtree(out)
+    try:
+        for r in range(3):
+            df = spark.range(r * 100, (r + 1) * 100).selectExpr(
+                "id AS k", "cast(id % 7 as int) AS v")
+            encode_table(df, out, key_cols=["k"], n_parts=2, run=f"r{r}")
+        before = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        n_files_before = len(glob.glob(out + "/data/*.parquet"))
+        assert n_files_before == 6
+
+        res = compact_table(out)
+        assert res["files_after"] < res["files_before"] == 6
+        after = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(before, after, check_exact=True)
+        # removed files still on disk until vacuum, but invisible to readers
+        assert len(glob.glob(out + "/data/*.parquet")) > res["files_after"]
+        removed = vacuum(out)
+        assert len(removed) == 6
+        assert len(glob.glob(out + "/data/*.parquet")) == res["files_after"]
+        again = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(before, again, check_exact=True)
+        entries = read_commit_log(out)
+        assert sum(1 for e in entries if "remove" in e) == 6
+
+        # orphan injection: a stray file no log entry references is ignored
+        stray = os.path.join(out, "data", "part-stray-99999.parquet")
+        shutil.copyfile(glob.glob(out + "/data/*.parquet")[0], stray)
+        still = decode_table(spark, out).toPandas()
+        assert len(still) == len(before)
+        # retention window: a young orphan survives, then gets reclaimed
+        assert vacuum(out, min_age_sec=3600) == []
+        assert vacuum(out) == ["part-stray-99999.parquet"]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_compaction_preserves_evolved_schema(spark):
+    """Pre-evolution files promote to the current chunk schema during the
+    merge; old rows' evolved columns stay null after compaction."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import vacuum
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import compact_table
+
+    out = tempfile.mkdtemp(prefix="tbl_compact_evo_")
+    shutil.rmtree(out)
+    try:
+        v1 = spark.createDataFrame([(k, f"s{k}") for k in range(80)], "k long, s string")
+        from pyspark.sql import types as T
+        v2 = spark.createDataFrame(
+            [(100 + k, f"t{k}", float(k)) for k in range(40)],
+            T.StructType([T.StructField("k", T.LongType(), True),
+                          T.StructField("s", T.StringType(), True),
+                          T.StructField("score", T.DoubleType(), True)]))
+        encode_table(v1, out, key_cols=["k"], n_parts=2, run="r0")
+        encode_table(v2, out, key_cols=["k"], n_parts=2, run="r1")
+        before = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        compact_table(out)
+        vacuum(out)
+        after = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
+        pd.testing.assert_frame_equal(before, after, check_exact=True)
+        assert after[after["k"] < 100]["score"].isna().all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_table_size_beats_parquet_snappy(spark):
     """Size gate for the generic path: the encoded chunk files (ALP for
     decimal doubles, GCD for quantized timestamps, dict/delta/bitpack for the
