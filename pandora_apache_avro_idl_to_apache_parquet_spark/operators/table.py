@@ -35,7 +35,12 @@ over):
 * checkpoints, resume, FsIO publication, and the numbered-JSONL commit log are
   shared with the token pipeline (``encode.py``) — the ``_schema.json``
   sidecar plays the reference's Delta ``metaData.schemaString`` role
-  (``DeltaLake.fs:176-444``) so a reader needs nothing but the output dir.
+  (``DeltaLake.fs:176-444``) so a reader needs nothing but the output dir;
+* table lifecycle: loads are run-namespaced appends (``run=``) with
+  append-only schema evolution; reads are log-gated (the commit log's live
+  file set, never a directory glob); ``compact_table`` merges small append
+  files behind one atomic add+remove log entry and ``encode.vacuum``
+  reclaims unreferenced files after a retention window.
 """
 
 from __future__ import annotations
