@@ -466,21 +466,42 @@ def read_commit_log(out_dir: str, io: FsIO | None = None) -> list[dict]:
     return entries
 
 
-def committed_files(out_dir: str, io: FsIO | None = None) -> list[str] | None:
+def committed_files(out_dir: str, io: FsIO | None = None,
+                    as_of: int | None = None) -> list[str] | None:
     """Live data-file basenames per the commit log (adds minus removes), or
     None when no log exists (pre-commit state: directory listing governs).
     This is what makes readers log-gated: half-published crash leftovers and
-    compacted-away files are invisible."""
+    compacted-away files are invisible.
+
+    ``as_of`` replays only log files with index <= ``as_of`` — time travel:
+    the table exactly as some earlier commit left it (files removed *later*,
+    e.g. by compaction, are still present at that version until vacuumed,
+    which is why vacuum's retention window also bounds how far back
+    time-travel reads stay valid)."""
     io = _io(out_dir, io)
-    if not io.isdir(io.join("_log")):
+    log_dir = io.join("_log")
+    if not io.isdir(log_dir):
         return None
     live: set[str] = set()
-    for entry in read_commit_log(out_dir, io):
-        if "add" in entry:
-            live.add(entry["add"]["path"])
-        if "remove" in entry:
-            live.discard(entry["remove"]["path"])
+    for f in sorted(io.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        if as_of is not None and int(f[:-5]) > as_of:
+            break
+        for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+            entry = json.loads(line)
+            if "add" in entry:
+                live.add(entry["add"]["path"])
+            if "remove" in entry:
+                live.discard(entry["remove"]["path"])
     return sorted(live)
+
+
+def log_versions(out_dir: str, io: FsIO | None = None) -> list[int]:
+    """Committed log indices, in order (the time-travel axis)."""
+    io = _io(out_dir, io)
+    d = io.join("_log")
+    return sorted(int(f[:-5]) for f in io.listdir(d) if f.endswith(".json"))
 
 
 def append_log_entry(out_dir: str, lines: list[dict], io: FsIO | None = None) -> str:

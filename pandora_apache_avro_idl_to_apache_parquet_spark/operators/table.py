@@ -706,7 +706,8 @@ def read_table_spec(out_dir: str, io: FsIO | None = None) -> TableSpec:
 
 
 def read_table_chunks(spark: SparkSession, out_dir: str,
-                      io: FsIO | None = None) -> DataFrame:
+                      io: FsIO | None = None,
+                      as_of: int | None = None) -> DataFrame:
     """Log-gated chunk-file scan under the sidecar's CURRENT chunk schema
     (passed explicitly, not footer-sampled): the commit log's live file set
     governs what is read (orphans/compacted files invisible; directory
@@ -718,7 +719,7 @@ def read_table_chunks(spark: SparkSession, out_dir: str,
     io = _io(out_dir, io)
     schema = chunk_schema_for(read_table_spec(out_dir, io))
     d = io.join("data")
-    live = committed_files(out_dir, io)
+    live = committed_files(out_dir, io, as_of=as_of)
     if live is None:
         live = [f for f in io.listdir(d) if f.endswith(".parquet")]
     if not live:
@@ -767,7 +768,8 @@ def read_table_manifest(spark: SparkSession, out_dir: str,
 def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  io: FsIO | None = None,
-                 chunk_filter=None) -> DataFrame:
+                 chunk_filter=None,
+                 as_of: int | None = None) -> DataFrame:
     """Decode chunk files back to the source table, bit-identically.
 
     ``columns`` selects a subset — only those payload/validity columns are
@@ -775,7 +777,10 @@ def decode_table(spark: SparkSession, out_dir: str,
     shuffle-free ``mapInArrow`` either way, mirroring ``decode.decode_tokens``.
     ``chunk_filter`` (a Column over the chunk meta fields, e.g. a
     ``key_min``/``key_max`` zone-map predicate) prunes whole chunks at the
-    parquet scan before any payload is read.
+    parquet scan before any payload is read. ``as_of`` time-travels to the
+    table as of that commit-log index (appends/compactions after it are
+    invisible; schema-on-read under the CURRENT sidecar schema, so columns
+    added later decode as null at old versions).
     """
     spec = read_table_spec(out_dir, io)
     logicals = spec.logicals
@@ -817,7 +822,7 @@ def decode_table(spark: SparkSession, out_dir: str,
                     )
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
-    chunks = read_table_chunks(spark, out_dir, io)
+    chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
     if chunk_filter is not None:
         chunks = chunks.filter(chunk_filter)
     return chunks.select(*select_cols).mapInArrow(gen, schema=out_struct)

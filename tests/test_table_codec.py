@@ -453,6 +453,39 @@ def test_compaction_and_log_gated_reads(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_time_travel_reads(spark):
+    """as_of replays the commit log up to an index: each append run is a
+    version; a later compaction's file swap is invisible at old versions
+    (until vacuum passes its retention)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import log_versions
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import compact_table
+
+    out = tempfile.mkdtemp(prefix="tbl_tt_")
+    shutil.rmtree(out)
+    try:
+        for r in range(3):
+            df = spark.range(r * 100, (r + 1) * 100).selectExpr(
+                "id AS k", "cast(id % 5 as int) AS v")
+            encode_table(df, out, key_cols=["k"], n_parts=2, run=f"r{r}")
+        versions = log_versions(out)
+        assert len(versions) == 3
+        # version i holds exactly runs 0..i
+        for i, ver in enumerate(versions):
+            n = decode_table(spark, out, as_of=ver).count()
+            assert n == (i + 1) * 100
+        compact_table(out)
+        v_compact = log_versions(out)[-1]
+        # current and pre-compaction views agree on content
+        cur = decode_table(spark, out, as_of=v_compact).toPandas().sort_values(
+            "k", ignore_index=True)
+        old = decode_table(spark, out, as_of=versions[-1]).toPandas().sort_values(
+            "k", ignore_index=True)
+        pd.testing.assert_frame_equal(cur, old, check_exact=True)
+        assert decode_table(spark, out, as_of=versions[0]).count() == 100
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_compaction_preserves_evolved_schema(spark):
     """Pre-evolution files promote to the current chunk schema during the
     merge; old rows' evolved columns stay null after compaction."""
