@@ -828,6 +828,20 @@ def decode_table(spark: SparkSession, out_dir: str,
     return chunks.select(*select_cols).mapInArrow(gen, schema=out_struct)
 
 
+def register_table_views(spark: SparkSession, out_dir: str, name: str,
+                         io: FsIO | None = None,
+                         as_of: int | None = None) -> None:
+    """Expose an encoded table to ``spark.sql``: temp views ``<name>``
+    (decoded rows — Catalyst sees a normal relation, so joins/aggregations/
+    window functions over the encoded store are plain SQL) and
+    ``<name>_manifest`` (long-form chunk/codec/zone-map stats). Column
+    pruning still applies end-to-end when the SQL touches a subset: pass
+    ``columns`` via :func:`decode_table` for hot paths, or keep the view for
+    ad-hoc exploration."""
+    decode_table(spark, out_dir, io=io, as_of=as_of).createOrReplaceTempView(name)
+    read_table_manifest(spark, out_dir, io).createOrReplaceTempView(f"{name}_manifest")
+
+
 def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,
                      columns: list[str] | None = None,
                      io: FsIO | None = None) -> DataFrame:

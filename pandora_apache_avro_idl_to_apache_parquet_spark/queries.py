@@ -480,6 +480,32 @@ def q_table_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql over the encoded store: the registered view is a normal
+    Catalyst relation, so plain SQL aggregates run against codec'd chunks;
+    the oracle runs the same SQL on the raw table."""
+    from .operators.table import register_table_views
+
+    out = _table_encode_dir(spark, sf_dir)
+    register_table_views(spark, out, "encoded_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus, count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM encoded_lineitem GROUP BY l_linestatus
+        """
+    )
+
+
+O_TABLE_SQL_AGG = """
+SELECT l_linestatus, count(*)::BIGINT AS n,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       round(avg(l_discount), 6) AS avg_disc
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 def q_table_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned range scan: chunks whose typed key_min/key_max zone map
     excludes [5000, 6000] are pruned at the parquet scan (PushedFilters);
@@ -1438,6 +1464,7 @@ QUERIES: dict[str, tuple] = {
     "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "table_q1": (q_table_q1, O_Q1),
+    "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),

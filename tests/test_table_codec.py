@@ -584,6 +584,41 @@ def test_union_data_flatten_encode_roundtrip(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_sql_views_over_encoded_table(spark):
+    """spark.sql over the encoded store: register views and run plain SQL
+    (aggregation + manifest introspection) against them."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        register_table_views,
+    )
+
+    df = spark.range(0, 500).selectExpr(
+        "id AS k", "cast(id % 7 as int) AS v", "concat('g', id % 3) AS grp")
+    out = tempfile.mkdtemp(prefix="tbl_sql_")
+    shutil.rmtree(out)
+    try:
+        encode_table(df, out, key_cols=["k"], n_parts=2)
+        register_table_views(spark, out, "enc_tbl")
+        got = {
+            r["grp"]: (r["n"], r["sv"])
+            for r in spark.sql(
+                "SELECT grp, count(*) AS n, sum(v) AS sv FROM enc_tbl "
+                "GROUP BY grp ORDER BY grp").collect()
+        }
+        exp = {
+            r["grp"]: (r["n"], r["sv"])
+            for r in df.groupBy("grp").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")).collect()
+        }
+        assert got == exp
+        man = spark.sql(
+            "SELECT count(DISTINCT column) AS c FROM enc_tbl_manifest").first()
+        assert man["c"] == 3
+    finally:
+        spark.catalog.dropTempView("enc_tbl")
+        spark.catalog.dropTempView("enc_tbl_manifest")
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_sidecar_spec_roundtrip(spark):
     df = spark.createDataFrame(_all_type_rows()[:10], ALL_TYPES)
     out = tempfile.mkdtemp(prefix="tbl_spec_")
