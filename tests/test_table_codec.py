@@ -328,6 +328,33 @@ def test_scan_mode_shuffle_free_roundtrip(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def test_scan_mode_resume_after_failure(spark):
+    """Scan-mode resume: partition ids are the encode identity; after an
+    injected failure the rerun short-circuits completed partitions and the
+    decode is exact."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table_scan,
+    )
+
+    df = spark.createDataFrame(_all_type_rows(), ALL_TYPES).repartition(4).cache()
+    df.count()
+    out = tempfile.mkdtemp(prefix="tbl_scanres_")
+    shutil.rmtree(out)
+    try:
+        with pytest.raises(Exception):
+            encode_table_scan(df, out, key_cols=["id"], fail_parts={1})
+        done = completed_table_parts(out)
+        assert 1 not in done and len(done) < 4
+        encode_table_scan(df, out, key_cols=["id"])
+        assert completed_table_parts(out) == [0, 1, 2, 3]
+        a = df.toPandas().sort_values("id", ignore_index=True)
+        b = decode_table(spark, out).toPandas().sort_values("id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+        df.unpersist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_null_key_rejected(spark):
     df = spark.createDataFrame([(1,), (None,)], "k int")
     out = tempfile.mkdtemp(prefix="tbl_nullkey_")
