@@ -103,6 +103,20 @@ def _logical_of(dt: T.DataType) -> str:
                 f"decimal precision {dt.precision} > 18 exceeds the int64 unscaled lane"
             )
         return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        elem = dt.elementType
+        if isinstance(elem, T.IntegerType):
+            return "array<int>"
+        if isinstance(elem, T.LongType):
+            return "array<long>"
+        if isinstance(elem, T.FloatType):
+            return "array<float>"
+        if isinstance(elem, T.DoubleType):
+            return "array<double>"
+        raise ValueError(
+            f"unsupported array element type {elem.simpleString()} — explode or "
+            "flatten to extension tables first (operators.nested.flatten_table)"
+        )
     raise ValueError(
         f"unsupported column type {dt.simpleString()} — nested types must be "
         "flattened to extension tables first (operators.nested.flatten_table)"
@@ -245,12 +259,26 @@ def _int64_to_decimal(v: np.ndarray, ptype: pa.DataType,
     )
 
 
-def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, int, int]:
-    """One column chunk -> (valid_payload | None, payload, n_nulls, raw_bytes).
+_ARRAY_LANES = {
+    "array<int>": (pa.int32(), np.int32, 4),
+    "array<long>": (pa.int64(), np.int64, 8),
+    "array<float>": (pa.float32(), np.float32, 4),
+    "array<double>": (pa.float64(), np.float64, 8),
+}
+
+
+def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, int, int, str]:
+    """One column chunk -> (valid_payload | None, payload, n_nulls, raw_bytes,
+    codec_name).
 
     ``raw_bytes`` is the uncompressed lane footprint (lane width x rows, or
     blob + offsets for byte lanes) — the denominator of the compression ratio.
+    Array lanes (the token pipeline's layout generalized) store a composite
+    payload: length-prefixed row-lengths stream + flattened element stream —
+    int32 elements ride the GROUPED adaptive cascade exactly like tokens.
     """
+    import struct as _struct
+
     n = len(arr)
     n_nulls = arr.null_count
     if n_nulls:
@@ -260,6 +288,29 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
     else:
         valid_payload = None
         dense = arr
+
+    if logical in _ARRAY_LANES:
+        import pyarrow.compute as pc
+
+        lane_pa, lane_np, width = _ARRAY_LANES[logical]
+        lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int32)
+        flat = dense.combine_chunks().flatten() if isinstance(dense, pa.ChunkedArray) else dense.flatten()
+        if flat.null_count:
+            raise ValueError("null elements inside array columns are not supported")
+        values = np.ascontiguousarray(
+            flat.cast(lane_pa).to_numpy(zero_copy_only=False), dtype=lane_np
+        )
+        lp = select_int_codec(lengths)
+        if lane_np is np.int32:
+            from ..plans.cost import encode_values
+
+            vp = encode_values(values, lengths)
+        else:
+            vp = select_typed_codec(values)
+        payload = _struct.pack("<Q", len(lp)) + lp + vp
+        name = f"{C.payload_codec_name(lp)}+{C.payload_codec_name(vp)}"
+        raw = 4 * n + width * len(values)
+        return valid_payload, payload, n_nulls, raw, name
 
     if logical in _STR_LOGICALS:
         lengths, blob = C.bytes_to_blob(dense)
@@ -286,7 +337,7 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
         raw = 8 * n
     else:
         raise ValueError(f"unknown logical type {logical!r}")
-    return valid_payload, payload, n_nulls, raw
+    return valid_payload, payload, n_nulls, raw, C.payload_codec_name(payload)
 
 
 def _min_max(arr: pa.Array):
@@ -298,8 +349,8 @@ def _min_max(arr: pa.Array):
         return None, None
     try:
         mm = pc.min_max(arr)
-    except pa.ArrowNotImplementedError:
-        return None, None
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return None, None  # e.g. list types have no min_max kernel
     return mm["min"].as_py(), mm["max"].as_py()
 
 
@@ -317,6 +368,33 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
     else:
         mask = None
         validity = None
+
+    if logical in _ARRAY_LANES:
+        import struct as _struct
+
+        lane_pa, lane_np, _w = _ARRAY_LANES[logical]
+        (llen,) = _struct.unpack_from("<Q", payload, 0)
+        lengths = C.decode_int32(payload[8 : 8 + llen])
+        vbuf = payload[8 + llen :]
+        if C.payload_codec_name(vbuf) == "grouped":
+            values = C.decode_int32_grouped(vbuf, lengths)
+        else:
+            values = C.decode_typed(vbuf)
+        if mask is not None:
+            full_len = np.zeros(n, dtype=np.int32)
+            full_len[mask] = lengths
+            lengths = full_len  # null rows contribute 0 elements
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offs[1:])
+        child = pa.Array.from_buffers(
+            lane_pa, len(values),
+            [None, pa.py_buffer(np.ascontiguousarray(values, dtype=lane_np).tobytes())],
+        )
+        arr = pa.Array.from_buffers(
+            pa.list_(lane_pa), n, [validity, pa.py_buffer(offs.tobytes())],
+            children=[child],
+        )
+        return arr if arr.type == target else arr.cast(target)
 
     if logical in _STR_LOGICALS:
         lengths, blob = C.decode_strings(payload)
@@ -404,8 +482,9 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
         hasher_parts = []
         for name in payload_cols:
             arr = table.column(name).slice(lo, hi - lo).combine_chunks()
-            valid_payload, payload, n_nulls, raw = _encode_column(arr, logicals[name])
-            row[f"{name}__codec"] = C.payload_codec_name(payload)
+            valid_payload, payload, n_nulls, raw, codec_name = _encode_column(
+                arr, logicals[name])
+            row[f"{name}__codec"] = codec_name
             row[f"{name}__nulls"] = n_nulls
             row[f"{name}__raw"] = raw
             row[f"{name}__enc"] = len(payload) + (len(valid_payload) if valid_payload else 0)

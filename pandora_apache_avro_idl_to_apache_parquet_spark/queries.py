@@ -480,6 +480,29 @@ def q_table_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-lane roundtrip: the embeddings table (array<float> column)
+    encodes through the generalized token layout — per-chunk lengths stream
+    + flattened element stream — and decodes bit-identically; the oracle is
+    the identity projection, so any element drift fails the hash."""
+    from .operators.table import completed_table_parts, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"emb1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_emb_{key}")
+    if completed_table_parts(out) != list(range(4)):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(_t(spark, sf_dir, "embeddings"), out,
+                     key_cols=["vec_id"], n_parts=4)
+    return decode_table(spark, out)
+
+
+O_TABLE_EMBEDDINGS_ROUNDTRIP = """
+SELECT vec_id, embedding, label FROM embeddings
+"""
+
+
 def q_table_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.sql over the encoded store: the registered view is a normal
     Catalyst relation, so plain SQL aggregates run against codec'd chunks;
@@ -1465,6 +1488,7 @@ QUERIES: dict[str, tuple] = {
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
+    "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),

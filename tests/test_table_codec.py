@@ -180,9 +180,12 @@ def test_object_store_io_end_to_end(spark):
 
 
 def test_unsupported_shapes_rejected(spark):
-    nested = spark.createDataFrame([(1, [1, 2])], "id int, xs array<int>")
+    nested = spark.createDataFrame([(1, {"a": 2})], "id int, m map<string,int>")
     with pytest.raises(ValueError, match="flatten"):
         encode_table(nested, "/tmp/never", key_cols=["id"])
+    structy = spark.createDataFrame([(1, (2, "x"))], "id int, s struct<a:int,b:string>")
+    with pytest.raises(ValueError, match="flatten"):
+        encode_table(structy, "/tmp/never", key_cols=["id"])
     wide_dec = spark.createDataFrame([(Decimal(1),)], "d decimal(28,2)")
     with pytest.raises(ValueError, match="precision"):
         encode_table(wide_dec, "/tmp/never", key_cols=["d"])
@@ -570,6 +573,44 @@ def test_table_size_beats_parquet_snappy(spark):
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_array_lanes_roundtrip(spark):
+    """Array columns (token-pipeline layout generalized): float embeddings
+    bit-exact, int arrays through the GROUPED cascade, null rows, empty
+    arrays; string-element arrays rejected with the flatten hint."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = tempfile.mkdtemp(prefix="tbl_arr_")
+    shutil.rmtree(out)
+    try:
+        encode_table(emb, out, key_cols=["vec_id"], n_parts=2, chunk_rows=100)
+        a = emb.toPandas().sort_values("vec_id", ignore_index=True)
+        b = decode_table(spark, out).toPandas().sort_values("vec_id", ignore_index=True)
+        a["embedding"] = a["embedding"].apply(tuple)
+        b = b[a.columns].copy()
+        b["embedding"] = b["embedding"].apply(tuple)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
+        man = read_table_manifest(spark, out).toPandas()
+        assert (man[man["column"] == "embedding"]["logical"] == "array<float>").all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    rows = [(1, [1, 2, 3], [1.5]), (2, None, None), (3, [], []),
+            (4, [0] * 50, [0.0] * 4), (5, list(range(1000)), [1e300, -0.0])]
+    df = spark.createDataFrame(rows, "k int, xs array<int>, ds array<double>")
+    out2 = tempfile.mkdtemp(prefix="tbl_arr2_")
+    shutil.rmtree(out2)
+    try:
+        encode_table(df, out2, key_cols=["k"], n_parts=1)
+        got = {r["k"]: (r["xs"], r["ds"]) for r in decode_table(spark, out2).collect()}
+        exp = {k: (xs, ds) for k, xs, ds in rows}
+        assert got == exp
+    finally:
+        shutil.rmtree(out2, ignore_errors=True)
+
+    with pytest.raises(ValueError, match="flatten"):
+        encode_table(spark.createDataFrame([(1, ["a"])], "k int, ws array<string>"),
+                     "/tmp/never", key_cols=["k"])
 
 
 def test_union_data_flatten_encode_roundtrip(spark):
