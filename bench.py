@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "table_encode_roundtrip",
     "table_selective_stats",
     "table_q1",
+    "table_embeddings_roundtrip",
     "q1_pricing_summary",
     "q3_top_revenue",
     "window_running_total",
