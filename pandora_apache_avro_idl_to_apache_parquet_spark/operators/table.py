@@ -113,6 +113,8 @@ def _logical_of(dt: T.DataType) -> str:
             return "array<float>"
         if isinstance(elem, T.DoubleType):
             return "array<double>"
+        if isinstance(elem, T.StringType):
+            return "array<string>"
         raise ValueError(
             f"unsupported array element type {elem.simpleString()} — explode or "
             "flatten to extension tables first (operators.nested.flatten_table)"
@@ -289,27 +291,33 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
         valid_payload = None
         dense = arr
 
-    if logical in _ARRAY_LANES:
+    if logical in _ARRAY_LANES or logical == "array<string>":
         import pyarrow.compute as pc
 
-        lane_pa, lane_np, width = _ARRAY_LANES[logical]
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int32)
         flat = dense.combine_chunks().flatten() if isinstance(dense, pa.ChunkedArray) else dense.flatten()
         if flat.null_count:
             raise ValueError("null elements inside array columns are not supported")
-        values = np.ascontiguousarray(
-            flat.cast(lane_pa).to_numpy(zero_copy_only=False), dtype=lane_np
-        )
         lp = select_int_codec(lengths)
-        if lane_np is np.int32:
-            from ..plans.cost import encode_values
-
-            vp = encode_values(values, lengths)
+        if logical == "array<string>":
+            # element stream is itself a string stream (elem-lengths + blob)
+            el, blob = C.bytes_to_blob(flat)
+            vp = select_str_codec(el, blob)
+            raw = 4 * n + 4 * len(el) + len(blob)
         else:
-            vp = select_typed_codec(values)
+            lane_pa, lane_np, width = _ARRAY_LANES[logical]
+            values = np.ascontiguousarray(
+                flat.cast(lane_pa).to_numpy(zero_copy_only=False), dtype=lane_np
+            )
+            if lane_np is np.int32:
+                from ..plans.cost import encode_values
+
+                vp = encode_values(values, lengths)
+            else:
+                vp = select_typed_codec(values)
+            raw = 4 * n + width * len(values)
         payload = _struct.pack("<Q", len(lp)) + lp + vp
         name = f"{C.payload_codec_name(lp)}+{C.payload_codec_name(vp)}"
-        raw = 4 * n + width * len(values)
         return valid_payload, payload, n_nulls, raw, name
 
     if logical in _STR_LOGICALS:
@@ -369,27 +377,32 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
         mask = None
         validity = None
 
-    if logical in _ARRAY_LANES:
+    if logical in _ARRAY_LANES or logical == "array<string>":
         import struct as _struct
 
-        lane_pa, lane_np, _w = _ARRAY_LANES[logical]
         (llen,) = _struct.unpack_from("<Q", payload, 0)
         lengths = C.decode_int32(payload[8 : 8 + llen])
         vbuf = payload[8 + llen :]
-        if C.payload_codec_name(vbuf) == "grouped":
-            values = C.decode_int32_grouped(vbuf, lengths)
+        if logical == "array<string>":
+            el, blob = C.decode_strings(vbuf)
+            child = C.blob_to_strings(el, blob)
+            lane_pa = pa.string()
         else:
-            values = C.decode_typed(vbuf)
+            lane_pa, lane_np, _w = _ARRAY_LANES[logical]
+            if C.payload_codec_name(vbuf) == "grouped":
+                values = C.decode_int32_grouped(vbuf, lengths)
+            else:
+                values = C.decode_typed(vbuf)
+            child = pa.Array.from_buffers(
+                lane_pa, len(values),
+                [None, pa.py_buffer(np.ascontiguousarray(values, dtype=lane_np).tobytes())],
+            )
         if mask is not None:
             full_len = np.zeros(n, dtype=np.int32)
             full_len[mask] = lengths
             lengths = full_len  # null rows contribute 0 elements
         offs = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(lengths, out=offs[1:])
-        child = pa.Array.from_buffers(
-            lane_pa, len(values),
-            [None, pa.py_buffer(np.ascontiguousarray(values, dtype=lane_np).tobytes())],
-        )
         arr = pa.Array.from_buffers(
             pa.list_(lane_pa), n, [validity, pa.py_buffer(offs.tobytes())],
             children=[child],

@@ -608,9 +608,18 @@ def test_array_lanes_roundtrip(spark):
     finally:
         shutil.rmtree(out2, ignore_errors=True)
 
-    with pytest.raises(ValueError, match="flatten"):
-        encode_table(spark.createDataFrame([(1, ["a"])], "k int, ws array<string>"),
-                     "/tmp/never", key_cols=["k"])
+    # string-element arrays: elements ride the FSST/dict string stream
+    srows = [(1, ["héllo", "wörld", ""]), (2, None), (3, []),
+             (4, ["dup"] * 30), (5, [f"w{i}" for i in range(200)])]
+    sdf = spark.createDataFrame(srows, "k int, ws array<string>")
+    out3 = tempfile.mkdtemp(prefix="tbl_arr3_")
+    shutil.rmtree(out3)
+    try:
+        encode_table(sdf, out3, key_cols=["k"], n_parts=1)
+        got = {r["k"]: r["ws"] for r in decode_table(spark, out3).collect()}
+        assert got == {k: ws for k, ws in srows}
+    finally:
+        shutil.rmtree(out3, ignore_errors=True)
 
 
 def test_union_data_flatten_encode_roundtrip(spark):
