@@ -503,6 +503,37 @@ SELECT vec_id, embedding, label FROM embeddings
 """
 
 
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as_of correctness gate: two append runs (even orderkeys, then odd)
+    into one encoded dir; reading as_of the FIRST commit must reproduce
+    exactly the even-key subset — the oracle is that subset in SQL, so a
+    version leak in either direction fails the row/hash compare."""
+    from .operators.encode import log_versions
+    from .operators.table import completed_table_parts, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tt1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tt_{key}")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    if (completed_table_parts(out, "even") != list(range(4))
+            or completed_table_parts(out, "odd") != list(range(4))):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(li.filter("l_orderkey % 2 = 0"), out,
+                     key_cols=["l_orderkey", "l_linenumber"], n_parts=4, run="even")
+        encode_table(li.filter("l_orderkey % 2 = 1"), out,
+                     key_cols=["l_orderkey", "l_linenumber"], n_parts=4, run="odd")
+    v0 = log_versions(out)[0]
+    return decode_table(spark, out, as_of=v0)
+
+
+O_TABLE_TIME_TRAVEL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey % 2 = 0
+"""
+
+
 def q_table_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.sql over the encoded store: the registered view is a normal
     Catalyst relation, so plain SQL aggregates run against codec'd chunks;
@@ -1489,6 +1520,7 @@ QUERIES: dict[str, tuple] = {
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
+    "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
     # relational coverage
     "q1_pricing_summary": (q_q1_pricing_summary, O_Q1),
