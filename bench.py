@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "table_selective_stats",
     "table_q1",
     "table_embeddings_roundtrip",
+    "table_time_travel",
+    "table_sql_agg",
+    "avro_flatten",
     "q1_pricing_summary",
     "q3_top_revenue",
     "window_running_total",
@@ -44,6 +47,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "text_quality",
     "multimodal_features",
 ]

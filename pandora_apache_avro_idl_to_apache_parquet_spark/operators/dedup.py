@@ -305,24 +305,33 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         .withColumn("component_id", F.col("doc_id"))
         .cache()
     )
+    # Lifecycle note: cached generations are unpersisted eagerly as they are
+    # superseded. localCheckpoint'ed generations are NOT CacheManager-managed
+    # (unpersist on them is a no-op by design — later cached generations'
+    # recompute paths are rooted at them); their blocks are ContextCleaner-
+    # reclaimed once unreferenced, i.e. when this function returns.
     try:
-        for _ in range(max_iters):
+        for it in range(max_iters):
             nbr = (
                 edges.join(labels, edges.b == labels.doc_id)
                 .groupBy("a")
                 .agg(F.min("component_id").alias("nbr_min"))
             )
-            new_labels = (
-                labels.join(nbr, labels.doc_id == nbr.a, "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component_id"),
-                        F.coalesce(F.col("nbr_min"), F.col("component_id")),
-                    ).alias("component_id"),
-                )
-                .cache()
+            new_labels = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
             )
+            if (it + 1) % 5 == 0:
+                # deep graphs (long paths) grow one join of lineage per round;
+                # a periodic localCheckpoint materializes AND truncates it, so
+                # an executor loss late in a 30-round run never replays the
+                # whole chain and the plan stays bounded
+                new_labels = new_labels.localCheckpoint()
+            else:
+                new_labels = new_labels.cache()
             changed = (
                 labels.alias("o")
                 .join(new_labels.alias("n"), "doc_id")
@@ -332,7 +341,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             labels.unpersist()
             labels = new_labels
             if changed == 0:
-                return labels.select("doc_id", "component_id")
+                # the caller gets a lineage-free, self-contained result; the
+                # last generation's cache is released (it was previously left
+                # cached forever — repeated calls leaked storage)
+                out = labels.select("doc_id", "component_id").localCheckpoint()
+                labels.unpersist()
+                return out
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     finally:
         edges.unpersist()

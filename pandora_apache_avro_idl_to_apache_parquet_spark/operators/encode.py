@@ -522,15 +522,19 @@ def append_log_entry(out_dir: str, lines: list[dict], io: FsIO | None = None) ->
 
 
 def vacuum(out_dir: str, io: FsIO | None = None,
-           min_age_sec: float = 0.0) -> list[str]:
+           min_age_sec: float = 7 * 24 * 3600.0) -> list[str]:
     """Delete data files the commit log does not reference as live (orphans
     from crashes between publish and commit, and compacted-away sources).
     New readers are safe because every read resolves files through
     :func:`committed_files`; ``min_age_sec`` is the retention window for
-    IN-FLIGHT readers — a plan that listed files before the compaction commit
-    still reads the old ones, so production runs should pass a retention
-    covering their longest reader (the same reason Delta's VACUUM defaults to
-    7 days). Returns the deleted basenames; no-op when no log exists."""
+    everyone ELSE in flight: readers whose plan listed files before a
+    compaction commit still read the old ones, and **writers publish data
+    files BEFORE their checkpoint marker and commit-log entry** — a
+    zero-retention vacuum racing an in-flight encode would reclaim
+    just-published files as "orphans". The default matches Delta's 7-day
+    VACUUM retention; pass a smaller window only when no encode or
+    long-running read can overlap (tests pass 0). Returns the deleted
+    basenames; no-op when no log exists."""
     import time
 
     io = _io(out_dir, io)

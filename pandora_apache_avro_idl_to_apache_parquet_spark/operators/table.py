@@ -822,12 +822,15 @@ def read_table_chunks(spark: SparkSession, out_dir: str,
 
 
 def read_table_manifest(spark: SparkSession, out_dir: str,
-                        io: FsIO | None = None) -> DataFrame:
+                        io: FsIO | None = None,
+                        as_of: int | None = None) -> DataFrame:
     """Long-form manifest: one row per (chunk, column) with codec/size/null
     stats. Only meta + small stat columns are referenced, so the parquet scan
-    never touches payload bytes (top-level column pruning)."""
+    never touches payload bytes (top-level column pruning). ``as_of`` scopes
+    the manifest to the live set at that commit-log index, so it always
+    describes the same version a time-traveled data read sees."""
     spec = read_table_spec(out_dir, io)
-    chunks = read_table_chunks(spark, out_dir, io)
+    chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
     meta = [f.name for f in _meta_fields(spec) if f.name != "sha"]
     def _stat(name: str, which: str):
         # typed per column in the chunk files; stringified here so the long
@@ -931,7 +934,9 @@ def register_table_views(spark: SparkSession, out_dir: str, name: str,
     ``columns`` via :func:`decode_table` for hot paths, or keep the view for
     ad-hoc exploration."""
     decode_table(spark, out_dir, io=io, as_of=as_of).createOrReplaceTempView(name)
-    read_table_manifest(spark, out_dir, io).createOrReplaceTempView(f"{name}_manifest")
+    read_table_manifest(spark, out_dir, io, as_of=as_of).createOrReplaceTempView(
+        f"{name}_manifest"
+    )
 
 
 def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,

@@ -483,8 +483,11 @@ def q_table_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_table_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-lane roundtrip: the embeddings table (array<float> column)
     encodes through the generalized token layout — per-chunk lengths stream
-    + flattened element stream — and decodes bit-identically; the oracle is
-    the identity projection, so any element drift fails the hash."""
+    + flattened element stream — and decodes bit-identically. The decoded
+    arrays are posexploded to ``(vec_id, pos, value, label)`` rows so the
+    compare canonicalizes scalar cells only (raw list cells are unhashable
+    in a pandas sort); element-level bit-exactness is preserved — the
+    float32→double cast is exact in both engines."""
     from .operators.table import completed_table_parts, decode_table, encode_table
 
     key = hashlib.md5(
@@ -495,11 +498,22 @@ def q_table_embeddings_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
         encode_table(_t(spark, sf_dir, "embeddings"), out,
                      key_cols=["vec_id"], n_parts=4)
-    return decode_table(spark, out)
+    dec = decode_table(spark, out)
+    return dec.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "value")
+    ).select(
+        "vec_id", "pos", F.col("value").cast("double").alias("value"), "label"
+    )
 
 
 O_TABLE_EMBEDDINGS_ROUNDTRIP = """
-SELECT vec_id, embedding, label FROM embeddings
+WITH idx AS (
+  SELECT vec_id, label, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+)
+SELECT vec_id, (i - 1)::INTEGER AS pos, embedding[i]::DOUBLE AS value, label
+FROM idx
 """
 
 
@@ -639,10 +653,14 @@ def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.round(F.sum(F.expr("l_extendedprice * (1 - l_discount)")), 2).alias("revenue"))
     )
+    # top-10 via orderBy+limit — Spark plans TakeOrderedAndProject (bounded
+    # per-partition top-k, merged on one reducer), so the full O(|orders|)
+    # aggregate never funnels through a single-partition Window; the rank
+    # window then numbers only the 10 surviving rows.
+    top = joined.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w))
         .select("rank", "l_orderkey", "revenue")
         .orderBy("rank")
     )

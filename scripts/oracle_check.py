@@ -23,10 +23,10 @@ TABLES = (
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO list->tuple coercion: the driver's canonicalizer
+    # sort_values-crashes on list cells ("unhashable type"), so the local
+    # gate must be exactly as strict — queries must emit scalar columns.
     df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype == object and len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
-            df[c] = df[c].apply(lambda v: tuple(v))
     return df.sort_values(list(df.columns), ignore_index=True)
 
 

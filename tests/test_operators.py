@@ -330,3 +330,37 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iters=1)
+
+
+def test_connected_components_deep_path_graph(spark):
+    """30-round worst case: a 31-node path has diameter 30, so min-label
+    propagation needs 30 full rounds — exercising the periodic
+    localCheckpoint lineage truncation (every 5 rounds) end to end. The
+    returned frame is lineage-free and nothing is left cached."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    path = spark.createDataFrame(
+        [(f"p{i:02d}", f"p{i+1:02d}") for i in range(30)],
+        "doc_a string, doc_b string",
+    )
+    import gc
+    import time
+
+    sc = spark.sparkContext
+    n_before = len(sc._jsc.sc().getRDDStorageInfo())
+    out = connected_components(path, max_iters=40)
+    got = {r["doc_id"]: r["component_id"] for r in out.collect()}
+    assert got == {f"p{i:02d}": "p00" for i in range(31)}
+    # no CacheManager-cached generation survives the call; the intermediate
+    # localCheckpoint blocks are ContextCleaner-owned and reclaimed on GC,
+    # leaving only the final checkpoint (still referenced by `out`)
+    gc.collect()
+    for _ in range(15):
+        sc._jvm.System.gc()
+        n_after = len(sc._jsc.sc().getRDDStorageInfo())
+        if n_after <= n_before + 1:
+            break
+        time.sleep(2)
+    assert n_after <= n_before + 1

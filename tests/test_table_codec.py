@@ -463,7 +463,7 @@ def test_compaction_and_log_gated_reads(spark):
         pd.testing.assert_frame_equal(before, after, check_exact=True)
         # removed files still on disk until vacuum, but invisible to readers
         assert len(glob.glob(out + "/data/*.parquet")) > res["files_after"]
-        removed = vacuum(out)
+        removed = vacuum(out, min_age_sec=0)
         assert len(removed) == 6
         assert len(glob.glob(out + "/data/*.parquet")) == res["files_after"]
         again = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
@@ -476,9 +476,11 @@ def test_compaction_and_log_gated_reads(spark):
         shutil.copyfile(glob.glob(out + "/data/*.parquet")[0], stray)
         still = decode_table(spark, out).toPandas()
         assert len(still) == len(before)
-        # retention window: a young orphan survives, then gets reclaimed
+        # retention window (default 7d also covers in-flight writers,
+        # whose file publish precedes the commit): a young orphan survives
+        assert vacuum(out) == []
         assert vacuum(out, min_age_sec=3600) == []
-        assert vacuum(out) == ["part-stray-99999.parquet"]
+        assert vacuum(out, min_age_sec=0) == ["part-stray-99999.parquet"]
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -536,7 +538,7 @@ def test_compaction_preserves_evolved_schema(spark):
         encode_table(v2, out, key_cols=["k"], n_parts=2, run="r1")
         before = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
         compact_table(out)
-        vacuum(out)
+        vacuum(out, min_age_sec=0)
         after = decode_table(spark, out).toPandas().sort_values("k", ignore_index=True)
         pd.testing.assert_frame_equal(before, after, check_exact=True)
         assert after[after["k"] < 100]["score"].isna().all()
