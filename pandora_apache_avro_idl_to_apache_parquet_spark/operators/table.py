@@ -929,14 +929,185 @@ def register_table_views(spark: SparkSession, out_dir: str, name: str,
     """Expose an encoded table to ``spark.sql``: temp views ``<name>``
     (decoded rows — Catalyst sees a normal relation, so joins/aggregations/
     window functions over the encoded store are plain SQL) and
-    ``<name>_manifest`` (long-form chunk/codec/zone-map stats). Column
-    pruning still applies end-to-end when the SQL touches a subset: pass
-    ``columns`` via :func:`decode_table` for hot paths, or keep the view for
-    ad-hoc exploration."""
+    ``<name>_manifest`` (long-form chunk/codec/zone-map stats). This view
+    decodes EVERY column (``mapInArrow`` is a projection barrier — Catalyst
+    cannot prune through it); for per-query column pruning + zone-map chunk
+    filters from a SQL string, use :func:`table_sql`, or pass ``columns``/
+    ``chunk_filter`` to :func:`decode_table` directly."""
     decode_table(spark, out_dir, io=io, as_of=as_of).createOrReplaceTempView(name)
     read_table_manifest(spark, out_dir, io, as_of=as_of).createOrReplaceTempView(
         f"{name}_manifest"
     )
+
+
+# ----------------------------------------------------- pruned SQL surface
+# ``register_table_views`` decodes EVERY column for every query because
+# ``mapInArrow`` is a projection/predicate barrier: Catalyst cannot push the
+# SQL's column set or filters through it into the chunk scan. ``table_sql``
+# closes that gap per query, before the barrier exists: it inspects the SQL
+# text, registers a view decoding only the referenced columns, and turns
+# provably-safe WHERE conjuncts into zone-map chunk filters — the reference's
+# Delta reader-side pruning contract (``DeltaLake.fs:176-444``) applied to
+# an ad-hoc SQL string.
+
+
+def _strip_sql_noise(sql: str) -> str:
+    """Remove comments; collapse whitespace (string literals kept)."""
+    import re
+
+    s = re.sub(r"--[^\n]*", " ", sql)
+    s = re.sub(r"/\*.*?\*/", " ", s, flags=re.S)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def referenced_table_columns(sql: str, spec: TableSpec) -> list[str] | None:
+    """Encoded-table columns the SQL can possibly reference, by identifier
+    intersection over the de-commented, de-stringed text. Returns ``None``
+    for "all" (a ``SELECT *`` / ``alias.*`` appears); over-approximation is
+    safe (an extra column decodes needlessly), under-approximation cannot
+    happen for valid SQL because every column use is a bare identifier
+    token. With zero matches (e.g. ``SELECT count(*)``), the cheapest
+    decodable unit — the first key column — is used for row counts."""
+    import re
+
+    s = _strip_sql_noise(sql)
+    no_str = re.sub(r"'(?:[^']|'')*'", " ", s)
+    # a star selection (SELECT *, t.*, "..., *") forces all columns;
+    # count(*) does not match (the "(" intervenes between count and *)
+    if re.search(r"(?i)(?:\bselect|,)\s*(?:[a-z_]\w*\s*\.\s*)?\*", no_str):
+        return None
+    toks = {t.lower() for t in re.findall(r"[A-Za-z_]\w*", no_str)}
+    cols = [f.name for f in spec.schema.fields if f.name.lower() in toks]
+    return cols or [spec.key_cols[0]]
+
+
+_SQL_LIT = r"(?:(?:date|timestamp)\s*'[^']*'|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+
+
+def _zone_lit(tok: str, dt: T.DataType):
+    import re
+
+    t = tok.strip()
+    m = re.match(r"(?i)(?:date|timestamp)\s*'([^']*)'", t)
+    if m:
+        return F.lit(m.group(1)).cast(dt)
+    if t.startswith("'"):
+        v = F.lit(t[1:-1].replace("''", "'"))
+        return v.cast(dt) if isinstance(
+            dt, (T.DateType, T.TimestampType, T.TimestampNTZType)) else v
+    # numeric literals stay untyped: Spark's numeric promotion compares
+    # exactly; casting 5.5 to an int column's type would mis-prune `<`
+    return F.lit(float(t) if "." in t or "e" in t.lower() else int(t))
+
+
+def zone_map_filter_for_sql(sql: str, spec: TableSpec, view_name: str):
+    """Chunk-filter Column derived from the SQL's WHERE clause, or ``None``.
+
+    Only provably-safe extractions prune (a wrong prune is a wrong answer,
+    not a missed optimization, so every gate errs toward ``None``):
+
+    * single SELECT, no JOIN, FROM exactly ``view_name`` — the WHERE can
+      only constrain this table;
+    * the WHERE clause contains no OR/NOT/CASE/IN/EXISTS/LIKE — every
+      top-level AND conjunct is then individually necessary;
+    * only conjuncts that ENTIRELY match ``col op literal`` or
+      ``col BETWEEN a AND b`` on an encoded column participate; anything
+      else is ignored (Spark still applies the full residual WHERE on the
+      decoded rows — zone maps prune chunks, never rows).
+
+    All-null chunks carry NULL stats and are pruned by SQL null semantics —
+    correct, since their rows cannot satisfy any comparison; chunks predating
+    an evolved column likewise decode it as all-null.
+    """
+    import re
+
+    s = _strip_sql_noise(sql)
+    if len(re.findall(r"(?i)\bselect\b", s)) != 1 or re.search(r"(?i)\bjoin\b", s):
+        return None
+    m_from = re.search(r"(?i)\bfrom\s+([a-z_][\w.]*)", s)
+    if not m_from or m_from.group(1).lower() != view_name.lower():
+        return None
+    m_where = re.search(
+        r"(?i)\bwhere\b(.*?)(?:\bgroup by\b|\border by\b|\blimit\b|\bhaving\b|\bwindow\b|$)",
+        s,
+    )
+    if not m_where:
+        return None
+    clause = m_where.group(1)
+    if re.search(r"(?i)\b(or|not|case|in|exists|like)\b", clause):
+        return None
+
+    logicals = spec.logicals
+    dtypes = {f.name.lower(): f for f in spec.schema.fields
+              if not logicals[f.name].startswith("array")}
+    conds: list[tuple] = []
+
+    def grab_between(m):
+        conds.append(("between", m.group(1), m.group(2), m.group(3)))
+        return " "
+
+    clause = re.sub(
+        rf"(?i)\b([a-z_]\w*)\s+between\s+({_SQL_LIT})\s+and\s+({_SQL_LIT})",
+        grab_between,
+        clause,
+    )
+    cmp_full = re.compile(rf"(?i)([a-z_]\w*)\s*(>=|<=|=|<|>)\s*({_SQL_LIT})")
+    for frag in re.split(r"(?i)\band\b", clause):
+        frag = frag.strip()
+        while frag.startswith("(") and frag.endswith(")"):
+            frag = frag[1:-1].strip()
+        frag = frag.strip("() ").strip()
+        if not frag:
+            continue
+        m = cmp_full.fullmatch(frag)
+        if m:
+            conds.append(("cmp", m.group(1), m.group(2), m.group(3)))
+
+    pred = None
+    for cond in conds:
+        name = cond[1].lower()
+        field = dtypes.get(name)
+        if field is None:
+            continue
+        col = field.name
+        if cond[0] == "between":
+            lo = _zone_lit(cond[2], field.dataType)
+            hi = _zone_lit(cond[3], field.dataType)
+            p = (F.col(f"{col}__max") >= lo) & (F.col(f"{col}__min") <= hi)
+        else:
+            op, lit = cond[2], _zone_lit(cond[3], field.dataType)
+            if op == ">=":
+                p = F.col(f"{col}__max") >= lit
+            elif op == ">":
+                p = F.col(f"{col}__max") > lit
+            elif op == "<=":
+                p = F.col(f"{col}__min") <= lit
+            elif op == "<":
+                p = F.col(f"{col}__min") < lit
+            else:  # =
+                p = (F.col(f"{col}__min") <= lit) & (F.col(f"{col}__max") >= lit)
+        pred = p if pred is None else (pred & p)
+    return pred
+
+
+def table_sql(spark: SparkSession, out_dir: str, sql: str, name: str,
+              io: FsIO | None = None, as_of: int | None = None) -> DataFrame:
+    """Run ``sql`` against the encoded table exposed as view ``name``,
+    decoding ONLY the columns the SQL references and zone-map-pruning chunks
+    from its safe WHERE conjuncts. The chunk scan's ReadSchema then carries
+    just the referenced payload/validity streams (parquet top-level column
+    pruning) and the chunk filter lands in ``PushedFilters`` — the engine's
+    ``decode_table(columns=…, chunk_filter=…)`` fast path, reachable from a
+    plain SQL string. Also registers ``<name>_manifest``."""
+    spec = read_table_spec(out_dir, io)
+    cols = referenced_table_columns(sql, spec)
+    cf = zone_map_filter_for_sql(sql, spec, name)
+    decode_table(spark, out_dir, columns=cols, io=io, chunk_filter=cf,
+                 as_of=as_of).createOrReplaceTempView(name)
+    read_table_manifest(spark, out_dir, io, as_of=as_of).createOrReplaceTempView(
+        f"{name}_manifest"
+    )
+    return spark.sql(sql)
 
 
 def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,

@@ -549,20 +549,22 @@ FROM lineitem WHERE l_orderkey % 2 = 0
 
 
 def q_table_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """spark.sql over the encoded store: the registered view is a normal
-    Catalyst relation, so plain SQL aggregates run against codec'd chunks;
+    """spark.sql over the encoded store, column-pruned: ``table_sql``
+    inspects the SQL and decodes only the 3 referenced columns (of 12
+    encoded — the other payload streams never leave the parquet scan);
     the oracle runs the same SQL on the raw table."""
-    from .operators.table import register_table_views
+    from .operators.table import table_sql
 
     out = _table_encode_dir(spark, sf_dir)
-    register_table_views(spark, out, "encoded_lineitem")
-    return spark.sql(
+    return table_sql(
+        spark, out,
         """
         SELECT l_linestatus, count(*) AS n,
                round(sum(l_extendedprice), 2) AS sum_price,
                round(avg(l_discount), 6) AS avg_disc
         FROM encoded_lineitem GROUP BY l_linestatus
-        """
+        """,
+        name="encoded_lineitem",
     )
 
 
@@ -571,6 +573,38 @@ SELECT l_linestatus, count(*)::BIGINT AS n,
        round(sum(l_extendedprice), 2) AS sum_price,
        round(avg(l_discount), 6) AS avg_disc
 FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_table_sql_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL WHERE → zone-map chunk pruning: ``table_sql`` turns the safe
+    conjuncts (key BETWEEN, quantity >=) into chunk filters on the typed
+    min/max stats, so pruned chunks' payloads are never read OR decoded;
+    Spark still applies the full residual WHERE on decoded rows. The oracle
+    runs the same predicate on the raw table — a pruning bug in either
+    direction (over- or under-prune) fails rows/hash."""
+    from .operators.table import table_sql
+
+    out = _table_encode_dir(spark, sf_dir)
+    return table_sql(
+        spark, out,
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM encoded_lineitem_w
+        WHERE l_orderkey BETWEEN 5000 AND 20000 AND l_quantity >= 10
+        GROUP BY l_returnflag
+        """,
+        name="encoded_lineitem_w",
+    )
+
+
+O_TABLE_SQL_WHERE = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey BETWEEN 5000 AND 20000 AND l_quantity >= 10
+GROUP BY l_returnflag
 """
 
 
@@ -1537,6 +1571,7 @@ QUERIES: dict[str, tuple] = {
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
+    "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),
     "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),

@@ -710,3 +710,111 @@ def test_sidecar_spec_roundtrip(spark):
         assert spec.logicals["dec"] == "decimal(12,2)"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_table_sql_prunes_columns_and_pushes_zone_filters(spark):
+    """table_sql's done-criteria: (1) the chunk scan's ReadSchema carries
+    ONLY the referenced columns' payload/validity streams; (2) safe WHERE
+    conjuncts land as zone-map filters in PushedFilters; (3) results equal
+    the direct DataFrame computation."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import table_sql
+
+    df = spark.range(2000).selectExpr(
+        "id AS k",
+        "cast(id % 11 as int) AS a",
+        "cast(id % 7 as double) AS b",
+        "concat('s', id % 5) AS s",
+        "cast(id % 3 as int) AS unused",
+    )
+    out = tempfile.mkdtemp(prefix="tbl_sql_")
+    shutil.rmtree(out)
+    try:
+        encode_table(df, out, key_cols=["k"], n_parts=4, chunk_rows=128)
+        res = table_sql(
+            spark, out,
+            "SELECT s, count(*) AS n, sum(b) AS sb FROM t "
+            "WHERE k BETWEEN 100 AND 300 AND a >= 3 GROUP BY s",
+            name="t",
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # (1) column pruning through the SQL surface: only k/a/b/s streams
+        for col in ("k", "a", "b", "s"):
+            assert f"{col}__payload" in plan
+        assert "unused__payload" not in plan, plan
+        # (2) zone-map predicates reached the parquet scan
+        assert "PushedFilters" in plan
+        assert "k__max" in plan and "k__min" in plan
+        assert "a__max" in plan
+        # (3) values correct vs direct computation
+        got = {r["s"]: (r["n"], r["sb"]) for r in res.collect()}
+        exp = {
+            r["s"]: (r["n"], r["sb"])
+            for r in df.filter("k BETWEEN 100 AND 300 AND a >= 3")
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("b").alias("sb"))
+            .collect()
+        }
+        assert got == exp
+    finally:
+        spark.catalog.dropTempView("t")
+        spark.catalog.dropTempView("t_manifest")
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_table_sql_safety_gates(spark):
+    """Extraction refuses anything not provably safe: OR / CASE / JOIN /
+    expression arithmetic never produce a chunk filter (a wrong prune is a
+    wrong answer); SELECT * decodes all columns; count(*)-only decodes just
+    the key column."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        TableSpec,
+        referenced_table_columns,
+        table_sql,
+        zone_map_filter_for_sql,
+    )
+
+    spec = TableSpec(
+        schema=T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("a", T.IntegerType(), True),
+            T.StructField("b", T.DoubleType(), True),
+        ]),
+        key_cols=["k"],
+    )
+    # unsafe shapes -> no filter
+    for sql in [
+        "SELECT a FROM t WHERE a > 5 OR b < 2",
+        "SELECT a FROM t WHERE NOT (a > 5)",
+        "SELECT CASE WHEN a > 5 THEN 1 ELSE 0 END FROM t",
+        "SELECT a FROM t JOIN u ON t.k = u.k WHERE a > 5",
+        "SELECT a FROM other WHERE a > 5",
+        "SELECT a FROM t WHERE a IN (1, 2)",
+        "SELECT a FROM t",
+    ]:
+        assert zone_map_filter_for_sql(sql, spec, "t") is None, sql
+    # expression conjuncts are ignored; plain conjuncts still prune
+    f = zone_map_filter_for_sql(
+        "SELECT a FROM t WHERE b - a > 5 AND a >= 3", spec, "t")
+    assert f is not None and "a__max" in str(f) and "b__" not in str(f)
+    # column referencing
+    assert referenced_table_columns("SELECT * FROM t WHERE a > 1", spec) is None
+    assert referenced_table_columns("SELECT count(*) AS n FROM t", spec) == ["k"]
+    assert referenced_table_columns(
+        "SELECT a, sum(b) FROM t GROUP BY a", spec) == ["a", "b"]
+    # end-to-end: an OR query still answers correctly (no pruning, residual
+    # WHERE applies on decoded rows)
+    df = spark.range(500).selectExpr("id AS k", "cast(id % 11 as int) AS a",
+                                     "cast(id % 7 as double) AS b")
+    out = tempfile.mkdtemp(prefix="tbl_sql_gate_")
+    shutil.rmtree(out)
+    try:
+        encode_table(df, out, key_cols=["k"], n_parts=2, chunk_rows=64)
+        n = table_sql(
+            spark, out,
+            "SELECT count(*) AS n FROM g WHERE a > 8 OR b < 1", name="g"
+        ).first()["n"]
+        assert n == df.filter("a > 8 OR b < 1").count()
+    finally:
+        spark.catalog.dropTempView("g")
+        spark.catalog.dropTempView("g_manifest")
+        shutil.rmtree(out, ignore_errors=True)
