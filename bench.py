@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "table_time_travel",
     "table_sql_agg",
     "avro_flatten",
+    "avro_binary_flatten",
     "q1_pricing_summary",
     "q3_top_revenue",
     "window_running_total",

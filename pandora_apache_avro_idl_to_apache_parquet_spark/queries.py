@@ -1452,6 +1452,65 @@ def q_avro_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avro_binary_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro *binary* ingestion end-to-end (A21 complete, ``Avro.fs:858-905``):
+    documents are serialized into real ``.avro`` Object Container Files
+    (fixture, cached per sf_dir), read back generically through
+    ``sources.avro_binary.read_avro`` (binaryFile scan → per-file decode →
+    rows under the ``.avsc``-derived struct), and the word arrays are
+    exploded. The oracle recomputes the same rows from the parquet source,
+    so any byte-level codec defect surfaces as a value mismatch."""
+    from .sources.avro_binary import read_avro, write_avro_container
+
+    key = hashlib.md5(
+        f"avrobin1:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pandora_engine_avro_{key}")
+    done = os.path.join(d, "_done")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        schema = {
+            "type": "record", "name": "DocBin", "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": "string"},
+                {"name": "words", "type": {"type": "array", "items": "string"}},
+            ],
+        }
+        rows = sorted(
+            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect(),
+            key=lambda r: r["doc_id"],
+        )
+        for part in range(4):
+            write_avro_container(
+                os.path.join(d, f"part-{part}.avro"), schema,
+                [
+                    {"doc_id": r["doc_id"], "lang": r["lang"],
+                     "words": [w for w in r["text"].split(" ") if w]}
+                    for r in rows
+                    if r["doc_id"] % 4 == part
+                ],
+                codec="deflate",
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    df, _info = read_avro(spark, d)
+    return df.select(
+        "doc_id", "lang", F.posexplode("words").alias("pos", "word")
+    ).orderBy("doc_id", "pos")
+
+
+O_AVRO_BINARY_FLATTEN = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_DUCK_WORDS} AS words FROM documents
+), idx AS (
+  SELECT doc_id, lang, words, unnest(generate_series(1, len(words))) AS i FROM w
+)
+SELECT doc_id, lang, (i - 1)::INTEGER AS pos, words[i] AS word FROM idx
+ORDER BY doc_id, pos
+"""
+
+
 O_AVRO_FLATTEN = f"""
 WITH w AS (
   SELECT doc_id, lang, {_DUCK_WORDS} AS words FROM documents
@@ -1611,6 +1670,7 @@ QUERIES: dict[str, tuple] = {
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
     "avro_flatten": (q_avro_flatten, O_AVRO_FLATTEN),
+    "avro_binary_flatten": (q_avro_binary_flatten, O_AVRO_BINARY_FLATTEN),
     "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
     # multimodal plumbing
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),

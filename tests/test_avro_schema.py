@@ -19,7 +19,7 @@ AVSC_DIR = "/root/reference/avro/avsc"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden", "avro")
 NAMES = [
     "Bar", "Foo", "Interop", "Method", "TestError", "TestRecord",
-    "Node", "SelfRef", "SampleNode",
+    "Node", "SelfRef", "SampleNode", "SamplePair",
 ]
 
 
@@ -44,6 +44,22 @@ def test_interop_union_and_named_types():
     assert fields["nullField"].nullable
     assert info.named["org.apache.avro.Kind"]["symbols"] == ["A", "B", "C"]
     assert info.named["org.apache.avro.MD5"]["size"] == 16
+
+
+def test_mutually_recursive_pair_truncated():
+    """SamplePair→SampleNode→array<SamplePair>: the MUTUAL recursion is cut
+    at the back-reference (reference golden ``test/tab/SamplePair.md`` keeps
+    the same three tables; its subNodes rows re-link via pj_pid, which a
+    tree-shaped StructType cannot express — the truncation is recorded)."""
+    info = avsc_to_struct(open(f"{AVSC_DIR}/SamplePair.avsc").read())
+    assert info.errors == []
+    assert any("recursive reference to org.apache.avro.gen.SamplePair" in t
+               for t in info.truncated)
+    fields = {f.name: f for f in info.struct.fields}
+    # method record survives whole; node keeps count but loses subNodes
+    assert [f.name for f in fields["method"].dataType.fields] == [
+        "declaringClass", "methodName"]
+    assert [f.name for f in fields["node"].dataType.fields] == ["count"]
 
 
 def test_recursive_reference_truncated_not_crashed():
