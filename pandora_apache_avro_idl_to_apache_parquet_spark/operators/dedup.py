@@ -273,6 +273,69 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
     )
 
 
+def ngram_jaccard_on_candidates(docs: DataFrame, pairs: DataFrame,
+                                k: int = 3,
+                                threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over a CANDIDATE pair set (``doc_a``/``doc_b``).
+
+    The 100-TB shape of exact near-dup verification: candidates come from a
+    sub-quadratic generator (:func:`lsh_candidate_pairs` — banded buckets,
+    capped), and the exact check touches only those pairs: two doc-id-keyed
+    joins attach each side's shingle set, ``array_intersect`` computes the
+    overlap JVM-side. Contrast :func:`ngram_jaccard_pairs`, whose
+    inverted-index self-join visits every co-shingled pair — the right
+    small-n baseline, but its document-frequency² row blow-up is the part
+    that does not survive 100×. Output contract matches the full path:
+    ``(doc_a, doc_b, common, jaccard)`` with the same rounding; recall is
+    the LSH band recall (pairs the generator misses are not checked).
+    """
+    # Shingle only the docs the candidate set touches: the semi-join runs
+    # BEFORE the md5-heavy shingle projection, so verify cost is
+    # O(candidate members), not O(corpus) — the whole point of the gate.
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    needed = docs.join(ids, "doc_id", "leftsemi")
+    sh = with_shingles(needed, k=k).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.select("doc_a", "doc_b").join(a, "doc_a").join(b, "doc_b")
+    return (
+        joined.withColumn(
+            "common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_pairs_lsh(docs: DataFrame, k: int = 3,
+                            threshold: float = 0.5,
+                            n_perms: int = DEFAULT_PERMS,
+                            n_bands: int = DEFAULT_BANDS,
+                            max_bucket: int = 1000) -> DataFrame:
+    """LSH-gated exact Jaccard: :func:`lsh_candidate_pairs` generates,
+    :func:`ngram_jaccard_on_candidates` verifies — the production pipeline
+    (generator sub-quadratic, verifier exact on candidates only)."""
+    cand = lsh_candidate_pairs(docs, n_perms=n_perms, n_bands=n_bands,
+                               k=k, max_bucket=max_bucket)
+    # The candidate set feeds the verifier twice (member ids + the pair
+    # join); localCheckpoint materializes the generator once instead of
+    # re-running its shuffles, and the ContextCleaner reclaims the blocks
+    # when the result DataFrame is dropped.
+    cand = cand.localCheckpoint(eager=False)
+    return ngram_jaccard_on_candidates(docs, cand, k=k, threshold=threshold)
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
                          max_iters: int = 25) -> DataFrame:
     """Near-dup clusters: undirected edges -> ``(doc_id, component_id)`` where

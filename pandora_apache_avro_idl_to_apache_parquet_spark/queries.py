@@ -1090,10 +1090,51 @@ FROM votes GROUP BY doc_id ORDER BY doc_id
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-gated exact Jaccard — the production near-dup verifier shape.
+
+    Candidates come from the sub-quadratic MinHash-LSH generator; exact
+    n-gram Jaccard runs on those pairs only (two id-keyed joins +
+    ``array_intersect``), never on the full co-shingled cross product. The
+    oracle mirrors the gating exactly (candidate CTE ∩ exact Jaccard), so
+    the probabilistic recall is deterministic and hash-checked. The
+    unconstrained inverted-index path stays oracled as
+    ``dedup_ngram_jaccard_exact`` — the small-n baseline whose DF² row
+    blow-up is what this query avoids at 100 TB.
+    """
+    return dedup.ngram_jaccard_pairs_lsh(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+def _o_dedup_jaccard_lsh() -> str:
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_WORDS}) - 2, 1)), "
+        f"i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + 2), ' ')))"
+    )
+    return f"""
+WITH cand AS ({_o_dedup_minhash()}),
+jsh AS (
+  SELECT doc_id, {grams} AS shingles FROM documents
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN jsh sa ON sa.doc_id = c.doc_a
+  JOIN jsh sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, common,
+       round(common / (na + nb - common)::DOUBLE, 6) AS jaccard
+FROM scored WHERE round(common / (na + nb - common)::DOUBLE, 6) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.2)
 
 
-O_DEDUP_NGRAM_JACCARD = f"""
+O_DEDUP_NGRAM_JACCARD_EXACT = f"""
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, greatest(len({_DUCK_WORDS}) - 2, 1)),
@@ -1653,7 +1694,11 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _o_dedup_minhash()),
     "dedup_clusters": (q_dedup_clusters, _o_dedup_clusters()),
     "dedup_simhash": (q_dedup_simhash, O_DEDUP_SIMHASH),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, O_DEDUP_NGRAM_JACCARD),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _o_dedup_jaccard_lsh()),
+    "dedup_ngram_jaccard_exact": (
+        q_dedup_ngram_jaccard_exact,
+        O_DEDUP_NGRAM_JACCARD_EXACT,
+    ),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, _o_dedup_embedding_cosine()),
     # similarity search
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, O_ANN_BRUTEFORCE),

@@ -101,6 +101,23 @@ def test_ngram_jaccard_exact_values(docs):
     assert r13["common"] == 6 and abs(r13["jaccard"] - 6 / 12) < 1e-9
 
 
+def test_ngram_jaccard_lsh_gated_agrees_with_exact_on_candidates(docs):
+    """The production pipeline (LSH candidates -> exact verify) must produce
+    exactly the exact-path rows restricted to the candidate set, with
+    identical (common, jaccard) values — the gate changes recall, never
+    values."""
+    cand = dedup.lsh_candidate_pairs(docs)
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    gated = {(r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"]) for r in
+             dedup.ngram_jaccard_on_candidates(docs, cand, k=3, threshold=0.1).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"]) for r in
+             dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.1).collect()}
+    assert gated == {p: v for p, v in exact.items() if p in cand_set}
+    piped = {(r["doc_a"], r["doc_b"]): (r["common"], r["jaccard"]) for r in
+             dedup.ngram_jaccard_pairs_lsh(docs, k=3, threshold=0.1).collect()}
+    assert piped == gated
+
+
 # -------------------------------------------------------------- similarity
 
 
