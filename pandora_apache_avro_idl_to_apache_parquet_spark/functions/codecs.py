@@ -448,7 +448,10 @@ def _enc_gcd_i64(a: np.ndarray) -> bytes | None:
     if len(nz) == 0:
         return None  # constant stream: RLE/FOR cover it
     g = int(np.gcd.reduce(nz))
-    if g <= 1:
+    if g <= 1 or g > 2**63 - 1:
+        # g beyond i64 (possible: uint64 residuals, e.g. one huge residual
+        # IS the gcd) won't fit the signed header word; such streams have
+        # <=2 distinct nonzero residuals and RLE/DICT already crush them
         return None
     q = (resid // np.uint64(g)).view(np.int64)
     return struct.pack("<qq", base, g) + _enc_for_i64(q)

@@ -23,9 +23,12 @@ over):
   per chunk), slices into ``chunk_rows`` chunks, and encodes every column
   independently with the sampled cost model (``plans/cost.py``);
 * lane mapping: int8/16/32, date32 and bool ride the int32 codec family;
-  int64, timestamp and decimal(<=18) unscaled ride int64; float32/float64 ride
-  the same kernels as bit patterns; string/binary ride the FSST/dict string
-  family. Every payload stays self-describing (``functions/codecs.py``).
+  int64, timestamp and decimal(<=18) unscaled ride int64; decimal(19..38)
+  rides TWO codec'd int64 word streams (lo/hi halves of the 128-bit unscaled
+  value — hi is sign extension whenever the value fits 64 bits, so it RLEs to
+  almost nothing); float32/float64 ride the same kernels as bit patterns;
+  string/binary ride the FSST/dict string family. Every payload stays
+  self-describing (``functions/codecs.py``).
 * nulls: a per-column validity stream (int32 0/1, RLE-crushed by the cost
   model) plus a dense payload of the non-null values — Parquet's
   definition-level idea re-expressed in the engine's own codec family;
@@ -98,10 +101,15 @@ def _logical_of(dt: T.DataType) -> str:
     if isinstance(dt, T.TimestampType):
         return "timestamp"
     if isinstance(dt, T.DecimalType):
-        if dt.precision > 18:
+        if dt.precision > 38:
             raise ValueError(
-                f"decimal precision {dt.precision} > 18 exceeds the int64 unscaled lane"
+                f"decimal precision {dt.precision} > 38 exceeds the decimal128 lane"
             )
+        if dt.precision > 18:
+            # two-word lane: lo/hi int64 halves of the 128-bit unscaled value,
+            # each codec'd separately (hi is pure sign extension for values
+            # that fit 64 bits, so it RLEs to almost nothing)
+            return f"decimal128({dt.precision},{dt.scale})"
         return f"decimal({dt.precision},{dt.scale})"
     if isinstance(dt, T.ArrayType):
         elem = dt.elementType
@@ -237,6 +245,27 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
 # ------------------------------------------------------------ column kernels
 
 
+def _decimal_words(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Dense decimal128 array -> (lo, hi) int64 word streams (little-endian
+    two's-complement halves of the 128-bit unscaled value)."""
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=2 * (arr.offset + n))[2 * arr.offset:]
+    return np.ascontiguousarray(raw[0::2]), np.ascontiguousarray(raw[1::2])
+
+
+def _words_to_decimal(lo: np.ndarray, hi: np.ndarray, ptype: pa.DataType,
+                      validity: pa.Buffer | None) -> pa.Array:
+    pairs = np.empty((len(lo), 2), np.int64)
+    pairs[:, 0] = lo
+    pairs[:, 1] = hi
+    return pa.Array.from_buffers(
+        ptype, len(lo), [validity, pa.py_buffer(pairs.tobytes())]
+    )
+
+
 def _decimal_lo_words(arr: pa.Array) -> np.ndarray:
     """Dense decimal128 array -> int64 unscaled values (vectorized buffer
     view; precision <= 18 guarantees the high word is sign extension)."""
@@ -332,6 +361,13 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
         vals = dense.cast(pa.int64()).to_numpy(zero_copy_only=False)
         payload = select_typed_codec(np.ascontiguousarray(vals, dtype=np.int64))
         raw = 8 * n
+    elif logical.startswith("decimal128"):
+        lo, hi = _decimal_words(dense)
+        lp = select_typed_codec(lo)
+        hp = select_typed_codec(hi)
+        payload = _struct.pack("<Q", len(lp)) + lp + hp
+        name = f"{C.payload_codec_name(lp)}+{C.payload_codec_name(hp)}"
+        return valid_payload, payload, n_nulls, 16 * n, name
     elif logical.startswith("decimal"):
         payload = select_typed_codec(_decimal_lo_words(dense))
         raw = 8 * n
@@ -422,6 +458,20 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
             arrow_type, n, [validity, pa.py_buffer(offs.tobytes()), pa.py_buffer(blob)]
         )
         return arr if arr.type == target else arr.cast(target)
+
+    if logical.startswith("decimal128"):
+        import struct as _struct
+
+        (llen,) = _struct.unpack_from("<Q", payload, 0)
+        lo = C.decode_typed(payload[8 : 8 + llen])
+        hi = C.decode_typed(payload[8 + llen :])
+        if mask is not None:
+            full_lo = np.zeros(n, dtype=np.int64)
+            full_hi = np.zeros(n, dtype=np.int64)
+            full_lo[mask] = lo
+            full_hi[mask] = hi
+            lo, hi = full_lo, full_hi
+        return _words_to_decimal(lo, hi, target, validity)
 
     if logical.startswith("decimal"):
         dense = C.decode_typed(payload)

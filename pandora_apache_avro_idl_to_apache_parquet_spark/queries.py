@@ -354,6 +354,12 @@ def _table_encode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("ship_date"),
         (F.col("l_quantity") > 25).alias("bulky"),
         F.expr("nullif(l_returnflag, 'N')").alias("flag_n"),
+        # decimal128 lane: integer-exact arithmetic (no float rounding) whose
+        # unscaled value (x 10^4) exceeds int64, so the hi word is live
+        F.expr(
+            "cast(cast(l_orderkey as decimal(20,0)) * 100000000000000"
+            " + l_linenumber as decimal(25,4))"
+        ).alias("wide_dec"),
     )
 
 
@@ -364,7 +370,7 @@ def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import completed_table_parts, encode_table
 
     key = hashlib.md5(
-        f"tbl6:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl7:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
     if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
@@ -400,6 +406,7 @@ def q_table_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ship_date", "yyyy-MM-dd").alias("ship_day"),
         "bulky",
         "flag_n",
+        F.col("wide_dec").cast("string").alias("wide_dec"),
     )
 
 
@@ -409,7 +416,9 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
        date_diff('microsecond', TIMESTAMP '1970-01-01 00:00:00', l_shipdate) AS ship_us,
        CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
        l_quantity > 25 AS bulky,
-       nullif(l_returnflag, 'N') AS flag_n
+       nullif(l_returnflag, 'N') AS flag_n,
+       CAST(CAST(CAST(l_orderkey AS DECIMAL(20,0)) * 100000000000000
+            + l_linenumber AS DECIMAL(25,4)) AS VARCHAR) AS wide_dec
 FROM lineitem
 """
 
@@ -452,7 +461,7 @@ def q_table_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_table_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 served FROM THE ENCODED STORE: selective decode of the 7
-    needed columns (of 12 encoded — the other payload streams are pruned at
+    needed columns (of 13 encoded — the other payload streams are pruned at
     the parquet scan) feeding the same aggregation as q1_pricing_summary.
     The oracle runs Q1 on the raw table, so any decode error, null slip or
     dtype drift surfaces as a hash mismatch — the 'user can run every query
@@ -550,7 +559,7 @@ FROM lineitem WHERE l_orderkey % 2 = 0
 
 def q_table_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spark.sql over the encoded store, column-pruned: ``table_sql``
-    inspects the SQL and decodes only the 3 referenced columns (of 12
+    inspects the SQL and decodes only the 3 referenced columns (of 13
     encoded — the other payload streams never leave the parquet scan);
     the oracle runs the same SQL on the raw table."""
     from .operators.table import table_sql
@@ -631,7 +640,7 @@ O_TABLE_MANIFEST_STATS = """
 WITH cols(col_name) AS (
   SELECT unnest(['l_orderkey','l_linenumber','l_quantity','l_extendedprice',
                  'l_discount','l_tax','l_returnflag','l_linestatus',
-                 'l_shipdate','ship_date','bulky','flag_n'])
+                 'l_shipdate','ship_date','bulky','flag_n','wide_dec'])
 )
 SELECT col_name,
        (SELECT count(*) FROM lineitem)::BIGINT AS total_rows,

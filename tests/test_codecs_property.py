@@ -11,6 +11,7 @@ from pandora_apache_avro_idl_to_apache_parquet_spark.plans.cost import (
     encode_values,
     select_int_codec,
     select_str_codec,
+    select_typed_codec,
 )
 
 int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
@@ -237,3 +238,13 @@ def test_fsst_escape_roundtrip_arbitrary_bytes(blob):
     in_code_range = (v >= 192) & (v <= 254)
     assert not in_code_range.any()
     assert _fsst_unescape(esc) == blob
+
+
+def test_gcd_i64_oversized_gcd_skipped():
+    """Regression: a uint64 residual stream whose gcd exceeds int64 max (one
+    huge residual IS the gcd) must make GCD inapplicable, not crash the
+    struct pack — and the cost model still round-trips via another codec."""
+    a = np.array([0, -(2**63)], dtype=np.int64)  # residual 2^63 > i64 max
+    assert C.encode_int64(a, C.GCD) is None
+    buf = select_typed_codec(a)
+    assert np.array_equal(C.decode_typed(buf), a)

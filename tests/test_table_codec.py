@@ -41,6 +41,7 @@ ALL_TYPES = T.StructType(
         T.StructField("dt", T.DateType(), True),
         T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("dec", T.DecimalType(12, 2), True),
+        T.StructField("dw", T.DecimalType(38, 4), True),
         T.StructField("sh", T.ShortType(), True),
         T.StructField("by", T.ByteType(), True),
     ]
@@ -51,17 +52,24 @@ def _all_type_rows():
     edge = [
         (1, 42, "héllo é✓", b"\xff\x00\xc0", 1.5, float("nan"), True,
          date(2020, 1, 1), datetime(2021, 3, 4, 5, 6, 7, 123456),
-         Decimal("123.45"), 7, 1),
-        (2, None, None, None, None, None, None, None, None, None, None, None),
+         Decimal("123.45"), Decimal("1234567890123456789012345678901234.5678"),
+         7, 1),
+        (2, None, None, None, None, None, None, None, None, None, None, None,
+         None),
         (3, -(2**31), "", b"", -0.0, float("inf"), False, date(1969, 12, 31),
-         datetime(1970, 1, 1), Decimal("-9999999999.99"), -32768, -128),
+         datetime(1970, 1, 1), Decimal("-9999999999.99"),
+         Decimal("-9999999999999999999999999999999999.9999"), -32768, -128),
         (4, 2**31 - 1, "dup", b"dup", 3.25, -1e300, True, date(2262, 1, 1),
-         datetime(2200, 1, 1, 23, 59, 59), Decimal("0.00"), 32767, 127),
+         datetime(2200, 1, 1, 23, 59, 59), Decimal("0.00"), Decimal("0.0001"),
+         32767, 127),
     ]
     bulk = [
         (10 + k, k % 5, f"w{k % 3}" * (k % 4), bytes([k % 7, 0xC3]),
          float(k), k * 1.1, k % 2 == 0, date(2020, 1, 1 + k % 20),
-         datetime(2021, 1, 1, k % 24), Decimal(k) / 4, k % 100, k % 100 - 50)
+         datetime(2021, 1, 1, k % 24), Decimal(k) / 4,
+         # unscaled value straddles the 64-bit word boundary -> hi word live
+         Decimal(2**64 + k) * Decimal("0.0001"),
+         k % 100, k % 100 - 50)
         for k in range(500)
     ]
     return edge + bulk
@@ -186,9 +194,11 @@ def test_unsupported_shapes_rejected(spark):
     structy = spark.createDataFrame([(1, (2, "x"))], "id int, s struct<a:int,b:string>")
     with pytest.raises(ValueError, match="flatten"):
         encode_table(structy, "/tmp/never", key_cols=["id"])
-    wide_dec = spark.createDataFrame([(Decimal(1),)], "d decimal(28,2)")
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import _logical_of
+
     with pytest.raises(ValueError, match="precision"):
-        encode_table(wide_dec, "/tmp/never", key_cols=["d"])
+        _logical_of(T.DecimalType(40, 2))  # beyond decimal128
+    assert _logical_of(T.DecimalType(28, 2)) == "decimal128(28,2)"
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(ValueError, match="key column"):
         encode_table(df, "/tmp/never", key_cols=["nope"])
@@ -708,8 +718,47 @@ def test_sidecar_spec_roundtrip(spark):
         assert spec.schema == ALL_TYPES
         assert spec.key_cols == ["id"]
         assert spec.logicals["dec"] == "decimal(12,2)"
+        assert spec.logicals["dw"] == "decimal128(38,4)"
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hyp_st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    hyp_st.lists(
+        hyp_st.one_of(
+            hyp_st.none(),
+            hyp_st.integers(min_value=-(2**100), max_value=2**100),
+        ),
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_decimal128_kernel_roundtrip_property(unscaled):
+    """Two-word lane property: ANY decimal128 unscaled value in +-2^100
+    (straddling the int64 word boundary both ways), with arbitrary nulls,
+    survives _encode_column/_decode_column bit-exactly."""
+    import pyarrow as pa
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        _decode_column,
+        _encode_column,
+    )
+
+    ptype = pa.decimal128(38, 4)
+    vals = [None if u is None else Decimal(u).scaleb(-4) for u in unscaled]
+    arr = pa.array(vals, type=ptype)
+    valid_payload, payload, n_nulls, raw, name = _encode_column(
+        arr, "decimal128(38,4)"
+    )
+    assert n_nulls == sum(v is None for v in vals)
+    assert raw == 16 * len(vals)
+    out = _decode_column(valid_payload, payload, "decimal128(38,4)", len(vals), ptype)
+    assert out.equals(arr)
 
 
 def test_table_sql_prunes_columns_and_pushes_zone_filters(spark):
