@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "table_embeddings_roundtrip",
     "table_time_travel",
     "table_sql_agg",
+    "table_datasource_sql",
     "avro_flatten",
     "avro_binary_flatten",
     "q1_pricing_summary",

@@ -617,6 +617,43 @@ GROUP BY l_returnflag
 """
 
 
+def q_table_datasource_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoded store as a first-class Catalyst relation: the
+    ``pandora_table`` Python DataSource (``sources/table_source.py``) serves
+    ``spark.sql`` with the WHERE reaching ``pushFilters`` — zone-map file
+    pruning at planning, chunk pruning on executors — for ANY plan shape,
+    not just the conjunctive forms ``table_sql``'s text analysis can prove
+    safe. Column pruning via the ``columns`` read option (3 of 13 payload
+    streams read). Oracle: the same predicate+agg on the raw table, so an
+    over- or under-prune in either zone level fails rows/hash."""
+    from .sources.table_source import read_encoded_table
+
+    out = _table_encode_dir(spark, sf_dir)
+    read_encoded_table(
+        spark, out, columns=["l_orderkey", "l_quantity", "l_returnflag"],
+    ).createOrReplaceTempView("ds_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty,
+               min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        FROM ds_lineitem
+        WHERE l_orderkey BETWEEN 12000 AND 42000 AND l_quantity < 45
+        GROUP BY l_returnflag
+        """
+    )
+
+
+O_TABLE_DATASOURCE_SQL = """
+SELECT l_returnflag, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+FROM lineitem
+WHERE l_orderkey BETWEEN 12000 AND 42000 AND l_quantity < 45
+GROUP BY l_returnflag
+"""
+
+
 def q_table_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned range scan: chunks whose typed key_min/key_max zone map
     excludes [5000, 6000] are pruned at the parquet scan (PushedFilters);
@@ -1681,6 +1718,7 @@ QUERIES: dict[str, tuple] = {
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),
+    "table_datasource_sql": (q_table_datasource_sql, O_TABLE_DATASOURCE_SQL),
     "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
