@@ -654,6 +654,57 @@ GROUP BY l_returnflag
 """
 
 
+def q_table_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write path + streaming source end-to-end: orders loads through
+    ``df.write.format("pandora_table")`` in TWO commits (low/high keys), then
+    ``spark.readStream.format("pandora_table")`` tails the commit log into a
+    parquet sink — exactly-once per appended row — and the sink's aggregate
+    must equal the batch answer on the raw table. A duplicated or dropped
+    row in either the writer's atomic commit or the stream's offset
+    accounting fails rows/hash."""
+    import tempfile
+
+    from .sources.table_source import stream_encoded_table, write_encoded_table
+
+    key = hashlib.md5(
+        f"dstr1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_dstr_{key}")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    from .operators.encode import log_versions
+    if len(log_versions(out)) < 2:
+        shutil.rmtree(out, ignore_errors=True)
+        write_encoded_table(od.filter("o_orderkey % 2 = 0").repartition(4),
+                            out, key_cols=["o_orderkey"])
+        write_encoded_table(od.filter("o_orderkey % 2 = 1").repartition(4),
+                            out)
+    sink = tempfile.mkdtemp(prefix="pandora_dstr_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pandora_dstr_ckpt_")
+    q = (stream_encoded_table(spark, out)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_orderkey").alias("n_keys"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+O_TABLE_DATASOURCE_STREAM = """
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       count(DISTINCT o_orderkey)::BIGINT AS n_keys,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_table_lookup_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map-pruned range scan: chunks whose typed key_min/key_max zone map
     excludes [5000, 6000] are pruned at the parquet scan (PushedFilters);
@@ -1719,6 +1770,7 @@ QUERIES: dict[str, tuple] = {
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),
     "table_datasource_sql": (q_table_datasource_sql, O_TABLE_DATASOURCE_SQL),
+    "table_datasource_stream": (q_table_datasource_stream, O_TABLE_DATASOURCE_STREAM),
     "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),

@@ -37,15 +37,25 @@ hook, so the projected column set is an explicit read option
 Options: ``path`` (load arg), ``columns`` (comma list), ``as_of`` (commit-log
 index, same semantics as :func:`operators.table.decode_table`), ``plan_prune``
 ("false" disables the planning-time file probe; chunk-level pruning remains).
+
+The format is also a **sink** (``df.write.format("pandora_table")`` — map-only
+per-task encode, one atomic commit-log entry per save, append/overwrite modes;
+options ``key_cols``, ``chunk_rows``) and a **streaming source**
+(``spark.readStream.format("pandora_table")`` — tails the commit log by
+numbered index, exactly-once per appended row, compaction-rewrite entries
+skipped via their ``dataChange: false`` tag).
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Any, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -56,6 +66,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -132,6 +143,49 @@ class PandoraTableDataSource(DataSource):
             out_names=[f.name for f in schema.fields],
             as_of=int(as_of) if as_of is not None else None,
             plan_prune=self.options.get("plan_prune", "true").lower() != "false",
+        )
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "PandoraTableWriter":
+        import uuid
+
+        from ..operators.encode import committed_files
+        from ..operators.table import _io, _prepare_spec, read_table_spec
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("pandora_table requires a path: .save(<encoded dir>)")
+        if "part_id" in schema.fieldNames():
+            raise ValueError("'part_id' is a reserved column name")
+        io = _io(path, None)
+        key_opt = self.options.get("key_cols")
+        if key_opt:
+            key_cols = [c.strip() for c in key_opt.split(",") if c.strip()]
+        elif io.exists(io.join("_schema.json")):
+            key_cols = read_table_spec(path).key_cols
+        else:
+            raise ValueError(
+                "first write into a new dir needs .option('key_cols', 'a,b')"
+            )
+        missing = [k for k in key_cols if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"key columns not in DataFrame: {missing}")
+        # driver-side: create/evolve the _schema.json sidecar BEFORE tasks run
+        spec = _prepare_spec(io, schema, key_cols)
+        prev_live = committed_files(path, io) if overwrite else None
+        return PandoraTableWriter(
+            path=path,
+            spec_json=spec.to_json(),
+            run="w" + uuid.uuid4().hex[:10],
+            chunk_rows=int(self.options.get("chunk_rows", "65536")),
+            prev_live=prev_live or [],
+        )
+
+    def streamReader(self, schema: T.StructType) -> "PandoraTableStreamReader":
+        path, spec = self._spec()
+        return PandoraTableStreamReader(
+            path=path,
+            spec_json=spec.to_json(),
+            out_names=[f.name for f in schema.fields],
         )
 
 
@@ -243,95 +297,285 @@ class PandoraTableReader(DataSourceReader):
     # -- execution (executors) ----------------------------------------------
 
     def read(self, partition: InputPartition) -> Iterator[Any]:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        from ..operators.table import TableSpec, _decode_column, _io
-
         if partition is None:  # Spark probes once when partitions() is empty
             return
-
-        spec = TableSpec.from_json(self._spec_json)
-        logicals = spec.logicals
-        fields = {f.name: f for f in spec.schema.fields}
-        names = self._out_names
-        out_struct = T.StructType(
-            [T.StructField(n, fields[n].dataType, True) for n in names]
+        yield from _decode_file_batches(
+            self._path, self._spec_json, self._out_names, self._zone,
+            partition.value,
         )
-        arrow_out = to_arrow_schema(out_struct)
+
+
+def _decode_file_batches(path: str, spec_json: str, names: list[str],
+                         zone: list, fname: str) -> Iterator[Any]:
+    """Executor-side: one chunk file -> decoded Arrow batches (one per
+    surviving chunk), with the chunk-level zone filter applied over the
+    file's META rows before any payload bytes materialize. Shared by the
+    batch reader and the streaming reader (``zone=[]`` there)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..operators.table import TableSpec, _decode_column, _io
+
+    spec = TableSpec.from_json(spec_json)
+    logicals = spec.logicals
+    fields = {f.name: f for f in spec.schema.fields}
+    out_struct = T.StructType(
+        [T.StructField(n, fields[n].dataType, True) for n in names]
+    )
+    arrow_out = to_arrow_schema(out_struct)
+
+    io = _io(path, None)
+    pf = pq.ParquetFile(io.open_input_file(io.join("data/" + fname)))
+    present = set(pf.schema_arrow.names)
+
+    # chunk-level zone filter over the meta rows of THIS file
+    expr = None
+    for op, c, v in zone:
+        mn, mx, nl = f"{c}__min", f"{c}__max", f"{c}__nulls"
+        if op in _COMPARE_OPS and not (mn in present and mx in present):
+            return  # column predates file: all-null, no row matches
+        if op == "lt":
+            e = pc.field(mn) < v
+        elif op == "le":
+            e = pc.field(mn) <= v
+        elif op == "gt":
+            e = pc.field(mx) > v
+        elif op == "ge":
+            e = pc.field(mx) >= v
+        elif op == "eq":
+            e = (pc.field(mn) <= v) & (pc.field(mx) >= v)
+        elif op == "in":
+            e = (pc.field(mn) <= max(v)) & (pc.field(mx) >= min(v))
+        elif op == "isnull":
+            if nl not in present:
+                continue  # column predates file: all rows null, keep all
+            e = pc.field(nl) > 0
+        elif op == "notnull":
+            if nl not in present:
+                return  # all rows null in this file
+            e = pc.field("n_rows") > pc.field(nl)
+        else:  # pragma: no cover
+            continue
+        expr = e if expr is None else expr & e
+
+    want = ["n_rows"]
+    for n in names:
+        for side in ("__valid", "__payload"):
+            if f"{n}{side}" in present:
+                want.append(f"{n}{side}")
+    try:
+        tbl = pq.read_table(
+            io.open_input_file(io.join("data/" + fname)),
+            columns=want, filters=expr,
+        )
+    except pa.ArrowInvalid:
+        # filter referenced a stat column absent from this file's subset
+        # (pre-evolution file + mixed conjuncts): fall back to unfiltered
+        tbl = pq.read_table(
+            io.open_input_file(io.join("data/" + fname)),
+            columns=want,
+        )
+    cols = {c: tbl.column(c) for c in tbl.column_names}
+    n_rows_col = cols["n_rows"]
+    for i in range(tbl.num_rows):  # iterates CHUNKS
+        n = int(n_rows_col[i].as_py())
+        arrays = []
+        for name in names:
+            pcol = cols.get(f"{name}__payload")
+            pl = pcol[i].as_py() if pcol is not None else None
+            if pl is None:
+                arrays.append(pa.nulls(n, arrow_out.field(name).type))
+                continue
+            vcol = cols.get(f"{name}__valid")
+            vp = vcol[i].as_py() if vcol is not None else None
+            arrays.append(
+                _decode_column(vp, pl, logicals[name], n,
+                               arrow_out.field(name).type)
+            )
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """Per-task result: the chunk file this task published (None if its
+    partition was empty), with the size/sha the kernel hashed in flight —
+    commit() builds the log entry from these, never re-reading data."""
+
+    file_name: str | None = None
+    file_size: int = 0
+    file_sha: str = ""
+
+
+class PandoraTableWriter(DataSourceArrowWriter):
+    """``df.write.format("pandora_table")`` — each task is one encode unit
+    (the map-only :func:`operators.table.encode_table_scan` shape: no
+    shuffle; pre-partition/sort upstream for disjoint zone maps), and the
+    driver-side ``commit`` publishes ONE atomic commit-log entry holding
+    every task's add (plus, for ``mode("overwrite")``, a remove per
+    previously-live file) — readers see the old table until the log entry
+    lands, then the new one (`DeltaLake.fs:176-444` contract). Task retries
+    are safe: the file name is deterministic per (run, partition) and
+    publish is last-writer-wins, so a retried task replaces its own attempt.
+
+    Schema changes follow the store's append-only evolution rules even under
+    overwrite (the ``_schema.json`` sidecar is shared with time-traveling
+    readers of pre-overwrite versions); an incompatible rewrite needs a
+    fresh directory."""
+
+    def __init__(self, path: str, spec_json: str, run: str,
+                 chunk_rows: int, prev_live: list[str]):
+        self._path = path
+        self._spec_json = spec_json
+        self._run = run
+        self._chunk_rows = chunk_rows
+        self._prev_live = prev_live
+
+    def write(self, iterator: Iterator[Any]) -> _FileCommit:
+        import json as _json
+        from datetime import date
+
+        import pyarrow as pa
+        import numpy as np
+
+        from pyspark import TaskContext
+
+        from ..operators.table import (
+            TableSpec, _encode_table_partition, _io,
+        )
+
+        pid = TaskContext.get().partitionId()
+        collected = [b for b in iterator if b.num_rows]
+        if not collected:
+            return _FileCommit()
+        spec = TableSpec.from_json(self._spec_json)
+        table = pa.Table.from_batches(collected)
+        # align to spec order (evolved sidecar may order columns differently)
+        table = table.select([f.name for f in spec.schema.fields])
+        table = table.append_column(
+            "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
+        )
+        io = _io(self._path, None)
+        _encode_table_partition(
+            table, io, spec, self._chunk_rows, date(2026, 1, 1), run=self._run
+        )
+        marker = io.join(f"_checkpoints/part-{self._run}-{pid:05d}.json")
+        st = _json.loads(io.read_text(marker))
+        return _FileCommit(file_name=st["file_name"],
+                           file_size=st["file_size"],
+                           file_sha=st["file_sha256"])
+
+    def commit(self, messages) -> None:
+        from ..operators.encode import PROTOCOL, append_log_entry
+        from ..operators.table import TableSpec, _io, chunk_schema_for
+
+        adds = [m for m in messages if m is not None and m.file_name]
+        spec = TableSpec.from_json(self._spec_json)
+        io = _io(self._path, None)
+        lines: list[dict] = [
+            {"protocol": PROTOCOL},
+            {"metaData": {
+                "schemaString": chunk_schema_for(spec).json(),
+                "partitionColumns": ["pds"],
+                "format": {"provider": "parquet"},
+            }},
+        ]
+        for m in adds:
+            lines.append({"add": {
+                "path": m.file_name,
+                "size": m.file_size,
+                "sha256": m.file_sha,
+                "partitionValues": {"pds": "2026-01-01"},
+                "dataChange": True,
+                "modificationTime": io.mtime_ms(
+                    io.join("data/" + m.file_name)),
+            }})
+        lines += [{"remove": {"path": f, "dataChange": True}}
+                  for f in self._prev_live]
+        if len(lines) > 2:
+            append_log_entry(self._path, lines)
+
+    def abort(self, messages) -> None:
+        import posixpath
+
+        from ..operators.table import _io
 
         io = _io(self._path, None)
-        pf = pq.ParquetFile(io.open_input_file(io.join("data/" + partition.value)))
-        present = set(pf.schema_arrow.names)
+        for m in messages:
+            if m is not None and getattr(m, "file_name", None):
+                try:
+                    io.fs.delete_file(posixpath.join(io.join("data"),
+                                                     m.file_name))
+                except Exception:
+                    pass  # vacuum() reclaims whatever abort could not reach
 
-        # chunk-level zone filter over the meta rows of THIS file
-        expr = None
-        for op, c, v in self._zone:
-            mn, mx, nl = f"{c}__min", f"{c}__max", f"{c}__nulls"
-            if op in _COMPARE_OPS and not (mn in present and mx in present):
-                return  # column predates file: all-null, no row matches
-            if op == "lt":
-                e = pc.field(mn) < v
-            elif op == "le":
-                e = pc.field(mn) <= v
-            elif op == "gt":
-                e = pc.field(mx) > v
-            elif op == "ge":
-                e = pc.field(mx) >= v
-            elif op == "eq":
-                e = (pc.field(mn) <= v) & (pc.field(mx) >= v)
-            elif op == "in":
-                e = (pc.field(mn) <= max(v)) & (pc.field(mx) >= min(v))
-            elif op == "isnull":
-                if nl not in present:
-                    continue  # column predates file: all rows null, keep all
-                e = pc.field(nl) > 0
-            elif op == "notnull":
-                if nl not in present:
-                    return  # all rows null in this file
-                e = pc.field("n_rows") > pc.field(nl)
-            else:  # pragma: no cover
+
+class PandoraTableStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("pandora_table")`` — tail the commit log.
+
+    The offset axis IS the numbered log index (the time-travel axis of
+    ``log_versions``): each micro-batch covers the log entries in
+    ``(start, end]`` and its partitions are the data files those entries
+    *added with dataChange* — compaction's rewrite entries carry
+    ``dataChange: false`` (``operators/table.py:compact_table``) and are
+    skipped, so a tailing consumer sees every appended row exactly once and
+    never re-sees rows a compaction merely moved. This is the streaming half
+    of the reference's micro-batch loop (``README.md`` foreachBatch usage)
+    turned inside out: the encoded store as an exactly-once *source*."""
+
+    def __init__(self, path: str, spec_json: str, out_names: list[str]):
+        self._path = path
+        self._spec_json = spec_json
+        self._out_names = out_names
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        from ..operators.encode import log_versions
+
+        vs = log_versions(self._path)
+        return {"version": vs[-1] if vs else -1}
+
+    def _added_files(self, start_v: int, end_v: int) -> list[str]:
+        import json as _json
+        import posixpath
+
+        from ..operators.table import _io
+
+        io = _io(self._path, None)
+        log_dir = io.join("_log")
+        files: list[str] = []
+        for f in sorted(io.listdir(log_dir)):
+            if not f.endswith(".json"):
                 continue
-            expr = e if expr is None else expr & e
+            v = int(f[:-5])
+            if v <= start_v or v > end_v:
+                continue
+            for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+                entry = _json.loads(line)
+                add = entry.get("add")
+                if add and add.get("dataChange", True):
+                    files.append(add["path"])
+        return files
 
-        want = ["n_rows"]
-        for n in names:
-            for side in ("__valid", "__payload"):
-                if f"{n}{side}" in present:
-                    want.append(f"{n}{side}")
-        try:
-            tbl = pq.read_table(
-                io.open_input_file(io.join("data/" + partition.value)),
-                columns=want, filters=expr,
-            )
-        except pa.ArrowInvalid:
-            # filter referenced a stat column absent from this file's subset
-            # (pre-evolution file + mixed conjuncts): fall back to unfiltered
-            tbl = pq.read_table(
-                io.open_input_file(io.join("data/" + partition.value)),
-                columns=want,
-            )
-        cols = {c: tbl.column(c) for c in tbl.column_names}
-        n_rows_col = cols["n_rows"]
-        for i in range(tbl.num_rows):  # iterates CHUNKS
-            n = int(n_rows_col[i].as_py())
-            arrays = []
-            for name in names:
-                pcol = cols.get(f"{name}__payload")
-                pl = pcol[i].as_py() if pcol is not None else None
-                if pl is None:
-                    arrays.append(pa.nulls(n, arrow_out.field(name).type))
-                    continue
-                vcol = cols.get(f"{name}__valid")
-                vp = vcol[i].as_py() if vcol is not None else None
-                arrays.append(
-                    _decode_column(vp, pl, logicals[name], n,
-                                   arrow_out.field(name).type)
-                )
-            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
+    def partitions(self, start: dict, end: dict):
+        files = self._added_files(int(start["version"]), int(end["version"]))
+        # a remove-only range (compaction) still needs one no-op partition:
+        # Spark requires a non-empty partition set per planned batch
+        return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition) -> Iterator[Any]:
+        if partition.value is None:
+            return
+        yield from _decode_file_batches(
+            self._path, self._spec_json, self._out_names, [], partition.value
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # progress lives in Spark's own streaming checkpoint
 
 
 def register_table_datasource(spark) -> None:
@@ -351,4 +595,30 @@ def read_encoded_table(spark, out_dir: str, columns: list[str] | None = None,
         r = r.option("columns", ",".join(columns))
     if as_of is not None:
         r = r.option("as_of", str(as_of))
+    return r.load(out_dir)
+
+
+def write_encoded_table(df, out_dir: str, key_cols: list[str] | None = None,
+                        mode: str = "append",
+                        chunk_rows: int | None = None) -> None:
+    """``df.write.format("pandora_table")`` with the options wired. Each
+    scan partition becomes one chunk file (map-only; repartition upstream to
+    size files), committed atomically in one log entry."""
+    register_table_datasource(df.sparkSession)
+    w = df.write.format(FORMAT_NAME).mode(mode)
+    if key_cols:
+        w = w.option("key_cols", ",".join(key_cols))
+    if chunk_rows is not None:
+        w = w.option("chunk_rows", str(chunk_rows))
+    w.save(out_dir)
+
+
+def stream_encoded_table(spark, out_dir: str,
+                         columns: list[str] | None = None):
+    """``spark.readStream.format("pandora_table")`` — tail committed
+    appends of the encoded store as an exactly-once streaming source."""
+    register_table_datasource(spark)
+    r = spark.readStream.format(FORMAT_NAME)
+    if columns:
+        r = r.option("columns", ",".join(columns))
     return r.load(out_dir)
