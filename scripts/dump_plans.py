@@ -147,6 +147,51 @@ def main() -> None:
             dedup.with_simhash(docs).select("doc_id", "simhash"),
         ),
     ]
+    from pandora_apache_avro_idl_to_apache_parquet_spark.queries import (
+        q_dedup_ngram_jaccard,
+        q_q3_top_revenue,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
+        PandoraTableDataSource,
+        read_encoded_table,
+    )
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    src_ds = PandoraTableDataSource(options={"path": tbl_out})
+    rdr = src_ds.reader(src_ds.schema())
+    list(rdr.pushFilters([GreaterThanOrEqual(("id",), 10**9)]))
+    n_after = len(rdr.partitions())
+    sections += [
+        (
+            "Q3 top-10 (TakeOrderedAndProject, no single-partition Window)",
+            "* No Window with an empty partition spec: the top-10 is a\n"
+            "TakeOrderedAndProject (per-partition bounded heap + driver merge\n"
+            "of 10-row partials); ranks are numbered AFTER the limit, over 10\n"
+            "rows only.",
+            q_q3_top_revenue(spark, sf),
+        ),
+        (
+            "LSH-gated exact Jaccard (sub-quadratic candidates, exact verify on pairs)",
+            "* No CartesianProduct and no full inverted-index self-join: the\n"
+            "pair generator is the banded MinHash bucket equi-join (capped\n"
+            "buckets); only those candidates pay the exact\n"
+            "array_intersect/array_union verify.",
+            q_dedup_ngram_jaccard(spark, sf),
+        ),
+        (
+            "pandora_table DataSource scan (Catalyst relation + zone pruning)",
+            "The encoded store as a BatchScan: the WHERE reaches the Python\n"
+            "reader's pushFilters (kept residual — Filter re-applies exactly),\n"
+            "and zone maps prune at planning: with `id >= 10^9` the reader\n"
+            f"plans {n_after} of 4 files into tasks (footer-stat probe, no\n"
+            "data read). Chunk-level zone filters drop remaining chunks\n"
+            "executor-side before payload decode.",
+            read_encoded_table(spark, tbl_out, columns=["id", "grp"]).where(
+                "id >= 150"
+            ),
+        ),
+    ]
+
     parts = [HEADER]
     for title, note, df in sections:
         parts.append(f"## {title}\n\n{note}\n\n```\n{fmt(df).strip()}\n```\n")
