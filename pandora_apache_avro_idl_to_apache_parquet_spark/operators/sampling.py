@@ -1,0 +1,144 @@
+"""Deterministic sampling / data-mix operators for training-data pipelines.
+
+A 100-TB corpus is never trained on verbatim: it is sampled per source,
+re-weighted (up/down-sampled) per quality stratum, and globally shuffled
+before packing. These operators make those steps engine-portable and
+reproducible — every random choice derives from ``md5`` of a stable key, so
+two runs (or two engines: the DuckDB oracles share the hash) pick exactly
+the same rows. No reference analog (the reference is an encode-only
+pipeline); this is the LLM-pipeline breadth the brief demands, built scale-
+first:
+
+* sampling is a map-only ``Filter`` (whole-stage codegen, no shuffle, no RNG
+  state — executors never coordinate);
+* the global shuffle position is TWO-PHASE (per-bucket counts → driver
+  prefix-sum over ``n_buckets`` scalars → bucket-partitioned ranks), the
+  same shape as ``flatten.token_offsets`` — no single-partition Window ever
+  sees the corpus;
+* up-sampling is an ``explode(sequence(...))`` projection — rows multiply
+  executor-side, nothing shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_fraction",
+    "hash_sample",
+    "stratified_sample",
+    "shuffle_rank",
+    "upsample_by_weight",
+]
+
+
+def hash_fraction(key: Column, seed: int = 42) -> Column:
+    """Uniform pseudo-random fraction in [0, 1) from ``md5(seed:key)``.
+
+    The first 8 hex chars (32 bits) over 2^32. Deterministic, engine-
+    portable (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT /
+    4294967296.0``), and independent per seed — resampling with a new seed
+    draws a fresh, uncorrelated subset."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") / F.lit(
+        float(1 << 32)
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float,
+                seed: int = 42) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows, keyed by ``key_col``.
+
+    Map-only: a codegen'd Filter on the hash fraction — no shuffle, no
+    sampling state, stable across retries/partitionings (unlike
+    ``DataFrame.sample``, whose draw depends on partition layout)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(hash_fraction(F.col(key_col), seed) < rate)
+
+
+def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic rates (the data-mix recipe: 100% of books,
+    30% of web, 0% of the spam bucket). ``rates`` joins in as ONE broadcast
+    map literal, so the whole operator stays a map-only Filter."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    pairs: list[Column] = []
+    for s, r in rates.items():
+        pairs += [F.lit(s), F.lit(float(r))]
+    rate_col = (
+        F.coalesce(
+            F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default_rate))
+        )
+        if rates
+        else F.lit(float(default_rate))
+    )
+    return df.where(hash_fraction(F.col(key_col), seed) < rate_col)
+
+
+def shuffle_rank(df: DataFrame, key_col: str, seed: int = 42,
+                 n_buckets: int = 256, pos_name: str = "pos") -> DataFrame:
+    """Deterministic global shuffle: every row gets its position in the
+    md5-permuted order, without a global sort bottleneck.
+
+    Two-phase (the ``token_offsets`` shape): the shuffle hash's first two
+    hex digits bucket rows 256-ways (hex-prefix buckets are ORDER-
+    PRESERVING: lexicographic md5 order == (bucket, rest) order); bucket
+    counts fold into base offsets on the driver (256 scalars, not data);
+    the intra-bucket rank is a Window partitioned BY BUCKET. No single-
+    partition exchange anywhere, so the plan survives a corpus 1000x this
+    size — compare a bare ``row_number() OVER (ORDER BY hash)``, which
+    funnels every row through one reducer.
+
+    ``n_buckets`` must be a power of 16 ≤ 65536 (a whole hex-prefix)."""
+    import math
+
+    digits = round(math.log(n_buckets, 16))
+    if 16 ** digits != n_buckets or not 1 <= digits <= 4:
+        raise ValueError(f"n_buckets must be 16/256/4096/65536, got {n_buckets}")
+    spark = df.sparkSession
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    hashed = df.withColumn("__h", h).withColumn(
+        "__bucket", F.conv(F.substring("__h", 1, digits), 16, 10).cast("int")
+    )
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in hashed.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
+    }
+    bases, running = [], 0
+    for b in sorted(counts):
+        bases.append((b, running))
+        running += counts[b]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "__bucket int, __base long")
+    w = Window.partitionBy("__bucket").orderBy("__h", key_col)
+    return (
+        hashed.join(F.broadcast(base_df), "__bucket")
+        .withColumn(pos_name, F.col("__base") + F.row_number().over(w) - 1)
+        .drop("__h", "__bucket", "__base")
+    )
+
+
+def upsample_by_weight(df: DataFrame, weight_col: str,
+                       max_weight: int = 1000,
+                       copy_name: str = "copy_idx") -> DataFrame:
+    """Repeat each row ``weight`` times (integer ≥ 0; 0 drops the row),
+    tagging copies 1..weight — the up-weighting half of a data-mix recipe
+    (epochs-per-source as row multiplicity). Pure projection + explode:
+    rows multiply in place on their executors, nothing shuffles.
+    ``max_weight`` guards a corrupt weight column from exploding a
+    partition (a 2^31 weight would otherwise OOM the executor)."""
+    w = F.col(weight_col).cast("long")
+    # the guard lives INSIDE the sequence bound so Catalyst cannot prune it
+    bounded = F.when(w <= max_weight, w).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"weight exceeds max_weight={max_weight}: "),
+                     w.cast("string"))
+        ).cast("long")
+    )
+    return df.where(w >= 1).withColumn(
+        copy_name, F.explode(F.sequence(F.lit(1).cast("long"), bounded))
+    )

@@ -1503,6 +1503,74 @@ FROM g ORDER BY doc_id
 """
 
 
+# ------------------------------------------ sampling / data-mix operators
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sampling (the data-mix recipe): three named
+    sources keep 100/50/25%, everything else 10%, every choice derived from
+    md5(seed:doc_id) — the oracle recomputes the SAME hash in DuckDB, so the
+    exact kept-set (not just counts) must agree. Map-only Filter: no
+    shuffle, no RNG state, stable under repartitioning."""
+    from .operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "source", "doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1, seed=7,
+    )
+    return out.select("doc_id", "source")
+
+
+O_SAMPLE_STRATIFIED = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT / 4294967296.0 <
+      CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                  WHEN 'src2' THEN 0.25 ELSE 0.1 END
+"""
+
+
+def q_shuffle_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle position for every document — two-phase
+    (bucket counts → driver prefix sum → bucket-partitioned ranks), never a
+    single-partition Window. The oracle computes the same permutation with a
+    bare row_number over the md5 order, so any off-by-one in the base
+    offsets or bucket boundary fails the hash compare."""
+    from .operators.sampling import shuffle_rank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_rank(docs, "doc_id", seed=11).select("doc_id", "pos")
+
+
+O_SHUFFLE_GLOBAL_RANK = """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('11:' || doc_id), doc_id) - 1)::BIGINT AS pos
+FROM documents
+"""
+
+
+def q_upsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer up-weighting (epochs-per-source as row multiplicity):
+    weight = n_chars % 4 repeats each doc 0-3 times with a copy index;
+    weight-0 docs drop. Pure explode projection — rows multiply on their
+    executors, nothing shuffles."""
+    from .operators.sampling import upsample_by_weight
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "weight", (F.col("n_chars") % 4).cast("int"))
+    return upsample_by_weight(docs, "weight").select(
+        "doc_id", "weight", "copy_idx")
+
+
+O_UPSAMPLE_WEIGHTED = """
+SELECT doc_id, (n_chars % 4)::INTEGER AS weight,
+       unnest(generate_series(1::BIGINT, (n_chars % 4)::BIGINT)) AS copy_idx
+FROM documents
+WHERE (n_chars % 4) >= 1
+"""
+
+
 # ------------------------------------------- nested flatten + JSON scalars
 
 
@@ -1809,6 +1877,10 @@ QUERIES: dict[str, tuple] = {
     "text_langid": (q_text_langid, _o_text_langid()),
     "text_token_counts": (q_text_token_counts, O_TEXT_TOKEN_COUNTS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
+    # sampling / data-mix
+    "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
+    "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     # nested flatten + JSON scalars

@@ -1,0 +1,117 @@
+"""Sampling / data-mix operators (operators/sampling.py).
+
+These are the reproducibility-critical pieces of a training-data pipeline:
+every property below is one a 100-TB run depends on — determinism across
+partitionings, exact permutation semantics, and the runaway-weight guard.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+    hash_fraction,
+    hash_sample,
+    shuffle_rank,
+    stratified_sample,
+    upsample_by_weight,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(f"doc{i:04d}", ["a", "b", "c", "d"][i % 4], i) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id string, source string, n int")
+
+
+def test_hash_sample_deterministic_and_partition_invariant(docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, seed=5).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(17), "doc_id", 0.3, seed=5).collect()
+    }
+    assert a == b and 0 < len(a) < 400
+
+
+def test_hash_sample_rate_roughly_honored(docs):
+    n = hash_sample(docs, "doc_id", 0.5, seed=1).count()
+    assert 140 <= n <= 260  # 400 draws, p=.5: well within 6 sigma
+
+
+def test_hash_sample_seeds_decorrelated(docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, seed=1).collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, seed=2).collect()}
+    assert a != b
+
+
+def test_hash_sample_rate_bounds(docs):
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert hash_sample(docs, "doc_id", 1.0).count() == 400
+
+
+def test_stratified_rates_per_stratum(docs):
+    out = stratified_sample(
+        docs, "source", "doc_id", rates={"a": 1.0, "b": 0.0}, default_rate=0.5
+    )
+    by_src = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src.get("a") == 100  # rate 1.0 keeps every row
+    assert "b" not in by_src  # rate 0.0 drops the stratum
+    for s in ("c", "d"):  # default rate applies to unnamed strata
+        assert 20 <= by_src.get(s, 0) <= 80
+
+
+def test_stratified_bad_rate(docs):
+    with pytest.raises(ValueError):
+        stratified_sample(docs, "source", "doc_id", rates={"a": -0.1})
+
+
+def test_shuffle_rank_is_exact_md5_permutation(spark, docs):
+    out = shuffle_rank(docs.select("doc_id"), "doc_id", seed=3).collect()
+    import hashlib
+
+    expect = sorted(
+        (hashlib.md5(f"3:{r.doc_id}".encode()).hexdigest(), r.doc_id)
+        for r in docs.select("doc_id").collect()
+    )
+    want = {d: i for i, (_, d) in enumerate(expect)}
+    assert {r.doc_id: r.pos for r in out} == want
+
+
+def test_shuffle_rank_dense_and_partition_invariant(docs):
+    base = docs.select("doc_id")
+    a = {r.doc_id: r.pos for r in shuffle_rank(base, "doc_id", seed=9).collect()}
+    b = {
+        r.doc_id: r.pos
+        for r in shuffle_rank(base.repartition(13), "doc_id", seed=9).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(400))  # dense 0..n-1, no gaps
+
+
+def test_shuffle_rank_no_single_partition_window(docs):
+    plan = shuffle_rank(docs.select("doc_id"), "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_shuffle_rank_bucket_validation(docs):
+    with pytest.raises(ValueError):
+        shuffle_rank(docs, "doc_id", n_buckets=100)
+
+
+def test_upsample_multiplicity_and_copy_idx(spark):
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 1), ("c", 3)], "k string, w int"
+    )
+    rows = upsample_by_weight(df, "w").select("k", "copy_idx").collect()
+    got = sorted((r.k, r.copy_idx) for r in rows)
+    assert got == [("b", 1), ("c", 1), ("c", 2), ("c", 3)]
+
+
+def test_upsample_guard_raises_on_runaway_weight(spark):
+    df = spark.createDataFrame([("a", 10_000)], "k string, w int")
+    with pytest.raises(Exception, match="max_weight"):
+        upsample_by_weight(df, "w", max_weight=1000).count()
