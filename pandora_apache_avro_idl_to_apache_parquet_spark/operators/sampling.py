@@ -28,6 +28,7 @@ __all__ = [
     "hash_fraction",
     "hash_sample",
     "stratified_sample",
+    "quota_sample",
     "shuffle_rank",
     "upsample_by_weight",
 ]
@@ -78,6 +79,32 @@ def stratified_sample(df: DataFrame, strata_col: str, key_col: str,
         else F.lit(float(default_rate))
     )
     return df.where(hash_fraction(F.col(key_col), seed) < rate_col)
+
+
+def quota_sample(df: DataFrame, strata_col: str, key_col: str, quota: int,
+                 seed: int = 42) -> DataFrame:
+    """Keep at most ``quota`` rows per stratum — absolute per-source token
+    budgets rather than rates (cap every crawl dump at N documents). Which
+    rows survive is the deterministic md5 order, so a re-run (or a larger
+    quota) keeps a superset of a smaller one: quotas are monotone, which is
+    what makes mix ablations comparable.
+
+    Shape: ``row_number`` over a window PARTITIONED by the stratum — the
+    standard top-K-per-group; parallel across strata, and within one
+    stratum Spark's WindowExec sorts only that stratum's partition. For a
+    pathologically dominant single stratum, pre-thin with
+    :func:`hash_sample` at ``rate ≈ 2·quota/|stratum|`` first (the md5
+    order makes the composition exact: the hash-prefix kept by the
+    pre-thin is itself the quota order's prefix)."""
+    if quota < 0:
+        raise ValueError(f"quota must be >= 0, got {quota}")
+    h = hash_fraction(F.col(key_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
 
 
 def shuffle_rank(df: DataFrame, key_col: str, seed: int = 42,

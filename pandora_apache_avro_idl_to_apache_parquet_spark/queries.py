@@ -1531,6 +1531,66 @@ WHERE ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT / 4294967296.0 <
 """
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute per-source caps (at most 7 docs per source), survivors
+    chosen by the deterministic md5 order — the oracle recomputes the same
+    per-stratum rank, so the exact kept-set must agree. Top-K-per-group
+    window shape: parallel across strata, no global sort."""
+    from .operators.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_sample(docs, "source", "doc_id", quota=7, seed=5).select(
+        "doc_id", "source")
+
+
+O_QUOTA_SAMPLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('5:' || doc_id), 1, 8))::BIGINT
+                    / 4294967296.0, doc_id) AS rn
+  FROM documents) WHERE rn <= 7
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk packing manifest at seq_len=512 over the seeded
+    md5 stream order: every (sequence, document) incidence with its token
+    slice. The oracle recomputes the whole layout with a window prefix sum,
+    so any drift in the two-phase offsets, the span fan-out, or a boundary
+    slice fails the hash compare."""
+    from .operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("n_chars div 5").alias("n_tok"))
+    return pack_sequences(docs, seq_len=512, seed=13)
+
+
+O_PACK_SEQUENCES = """
+WITH ord AS (
+  SELECT doc_id, (n_chars // 5)::BIGINT AS n,
+         md5('13:' || doc_id) || ':' || doc_id AS ok
+  FROM documents WHERE n_chars // 5 >= 1
+), offs AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY ok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+  FROM ord
+), expl AS (
+  SELECT doc_id, n, off,
+         unnest(generate_series(off // 512, (off + n - 1) // 512)) AS seq_id
+  FROM offs
+)
+SELECT doc_id, seq_id::BIGINT AS seq_id,
+       (greatest(off, seq_id * 512) - off)::BIGINT AS doc_begin,
+       (least(off + n, (seq_id + 1) * 512)
+        - greatest(off, seq_id * 512))::BIGINT AS slice_len,
+       (greatest(off, seq_id * 512) - seq_id * 512)::BIGINT AS seq_begin
+FROM expl
+"""
+
+
 def q_shuffle_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle position for every document — two-phase
     (bucket counts → driver prefix sum → bucket-partitioned ranks), never a
@@ -1879,8 +1939,10 @@ QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
     # sampling / data-mix
     "sample_stratified": (q_sample_stratified, O_SAMPLE_STRATIFIED),
+    "quota_sample": (q_quota_sample, O_QUOTA_SAMPLE),
     "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
     "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
+    "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     # nested flatten + JSON scalars
