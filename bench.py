@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "text_quality",
     "multimodal_features",
+    "sample_stratified",
+    "shuffle_global_rank",
+    "pack_sequences",
+    "streaming_sessionize",
 ]
 
 

@@ -21,6 +21,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 import hashlib
+import itertools
 import os
 import shutil
 import tempfile
@@ -1858,6 +1859,77 @@ FROM toks GROUP BY source ORDER BY source
 """
 
 
+_SESSION_STREAM_SEQ = itertools.count()
+
+
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState with
+    event-time timeouts) over the events table, run to completion with
+    availableNow. With all events in ONE batch plus the final
+    watermark-only batch, the emitted set is exactly derivable in SQL:
+    every non-final session per user closes by data-split, and a user's
+    final session closes iff its end + gap precedes the terminal watermark
+    (global max ts − 1 h) — so the full stateful machinery (Arrow kernel,
+    gap splits, timeout firing, exactly-once emission) is hash-checked
+    against a batch window derivation."""
+    from .streaming.stateful import sessionize_stream
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+    # the file stream source needs a directory; glob-pin it to the events
+    # file so sibling tables in sf_dir are not swept in
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = sessionize_stream(stream, gap_sec=1800, watermark="1 hour")
+    name = f"pandora_stream_sessions_{next(_SESSION_STREAM_SEQ)}"
+    q = (
+        sess.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id",
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', session_start)"
+        ).alias("start_us"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', session_end)"
+        ).alias("end_us"),
+        "n_events",
+    )
+
+
+O_STREAMING_SESSIONIZE = f"""
+WITH ev AS (
+  SELECT user_id,
+         date_diff('microsecond', TIMESTAMP '{_ANCHOR}', ts) AS us
+  FROM events
+), flagged AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), sess AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS sidx
+  FROM flagged
+), agg AS (
+  SELECT user_id, sidx, min(us) AS start_us, max(us) AS end_us,
+         count(*)::BIGINT AS n_events
+  FROM sess GROUP BY user_id, sidx
+), mx AS (SELECT max(us) AS m FROM ev)
+SELECT user_id, start_us, end_us, n_events
+FROM agg, mx
+WHERE sidx < (SELECT max(sidx) FROM agg a2 WHERE a2.user_id = agg.user_id)
+   OR end_us + 1800000000 < m - 3600000000
+"""
+
+
 # -------------------------------------------------------------- multimodal
 
 
@@ -1945,6 +2017,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
+    "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
     "avro_flatten": (q_avro_flatten, O_AVRO_FLATTEN),

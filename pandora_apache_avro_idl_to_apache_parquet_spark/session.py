@@ -42,6 +42,7 @@ def get_spark(app: str = "pandora-token-columnar", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     # shuffle/spill dirs on tmpfs when available: this sandbox's disk is
