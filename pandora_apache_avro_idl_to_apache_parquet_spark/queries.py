@@ -1632,6 +1632,142 @@ WHERE (n_chars % 4) >= 1
 """
 
 
+# --------------------------------------------------- temporal operators
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event attaches its user's latest daily snapshot
+    at-or-before the event time (snapshots publish at 01:00, so first-hour
+    events of a user's first active day exercise the NULL path). Engine
+    side is the union + carry-forward composition (ONE key shuffle, no
+    range explosion); DuckDB verifies with its native ASOF LEFT JOIN."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snaps = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n_day"))
+        .select(
+            "user_id",
+            (F.col("day") + F.expr("interval 1 hour")).alias("ts"),
+            "n_day",
+        )
+    )
+    out = asof_join(ev, snaps, key="user_id", ts="ts", value_cols=["n_day"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', ts)")
+        .alias("us"),
+        # no-match -> -1: NULL would canonicalize to NaN (never hash-equal)
+        # and float-ify the column; -1 keeps the null path visible AND int64
+        F.coalesce("n_day_asof", F.lit(-1)).cast("long").alias("n_day_asof"),
+    )
+
+
+O_ASOF_JOIN = f"""
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 HOUR AS rts,
+         count(*)::BIGINT AS n_day
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+)
+SELECT e.event_id, e.user_id,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}', e.ts) AS us,
+       coalesce(r.n_day, -1)::BIGINT AS n_day_asof
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.rts
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join planned as an equi-join: per-user 30-hour
+    activity windows (opening daily at 12:00, so consecutive windows
+    overlap and events can match twice) joined to the events inside them.
+    The engine buckets intervals into 1-day join keys and re-applies the
+    exact predicate; the oracle is the plain inequality join DuckDB can
+    afford at this scale."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    windows = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .distinct()
+        .select(
+            "user_id",
+            (F.col("day") + F.expr("interval 12 hours")).alias("w_start"),
+            (F.col("day") + F.expr("interval 42 hours")).alias("w_end"),
+        )
+    )
+    out = range_join(ev, windows, key="user_id", ts="ts",
+                     start="w_start", end="w_end", bucket="1 day")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', ts)")
+        .alias("us"),
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', w_start)"
+        ).alias("w_start_us"),
+    )
+
+
+O_RANGE_JOIN = f"""
+WITH w AS (
+  SELECT DISTINCT user_id,
+         date_trunc('day', ts) + INTERVAL 12 HOUR AS w_start,
+         date_trunc('day', ts) + INTERVAL 42 HOUR AS w_end
+  FROM events
+)
+SELECT e.event_id, e.user_id,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}', e.ts) AS us,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}', w.w_start) AS w_start_us
+FROM events e JOIN w
+  ON e.user_id = w.user_id AND w.w_start <= e.ts AND e.ts < w.w_end
+"""
+
+
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup: hourly AND daily per-event-type stats
+    in one pass (GROUPING SETS over precomputed buckets — one shuffle,
+    map-side partials). The oracle is the equivalent UNION ALL of two
+    plain rollups."""
+    from .operators.temporal import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev, ts="ts", dims=["event_type"],
+        aggs=["count(*) AS n", "min(value) AS vmin", "max(value) AS vmax"],
+        granularities=["1 hour", "1 day"],
+    )
+    return out.select(
+        "granularity",
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', bucket_start)"
+        ).alias("bucket_us"),
+        "event_type",
+        "n",
+        "vmin",
+        "vmax",
+    )
+
+
+O_HYPERTABLE_ROLLUP = f"""
+SELECT '1 hour' AS granularity,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}',
+                 date_trunc('hour', ts)) AS bucket_us,
+       event_type, count(*)::BIGINT AS n, min(value) AS vmin,
+       max(value) AS vmax
+FROM events GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT '1 day', date_diff('microsecond', TIMESTAMP '{_ANCHOR}',
+                          date_trunc('day', ts)),
+       event_type, count(*)::BIGINT, min(value), max(value)
+FROM events GROUP BY date_trunc('day', ts), event_type
+"""
+
+
 # ------------------------------------------- nested flatten + JSON scalars
 
 
@@ -2015,6 +2151,10 @@ QUERIES: dict[str, tuple] = {
     "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
     "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    # temporal operators
+    "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "range_join": (q_range_join, O_RANGE_JOIN),
+    "hypertable_rollup": (q_hypertable_rollup, O_HYPERTABLE_ROLLUP),
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
