@@ -192,6 +192,84 @@ def main() -> None:
         ),
     ]
 
+    from pyspark.sql import functions as F
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.packing import (
+        pack_sequences,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        shuffle_rank,
+        stratified_sample,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.temporal import (
+        asof_join,
+        hypertable_rollup,
+        range_join,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    snaps = (
+        ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n_day"))
+        .select("user_id", (F.col("day") + F.expr("interval 1 hour")).alias("ts"),
+                "n_day")
+    )
+    win = (
+        ev.select("user_id", F.date_trunc("DAY", "ts").alias("day")).distinct()
+        .select("user_id", (F.col("day") + F.expr("interval 12 hours")).alias("s"),
+                (F.col("day") + F.expr("interval 42 hours")).alias("e"))
+    )
+    ntok = docs.selectExpr("doc_id", "n_chars div 5 AS n_tok")
+    sections += [
+        (
+            "Stratified sample (map-only codegen Filter, no shuffle)",
+            "* No Exchange: the per-stratum keep decision is an md5-derived\n"
+            "fraction compared to a map-literal rate inside one\n"
+            "WholeStageCodegen Filter.",
+            stratified_sample(docs, "source", "doc_id",
+                              rates={"src0": 1.0}, default_rate=0.1),
+        ),
+        (
+            "Global shuffle rank (two-phase, bucket-partitioned Window)",
+            "* No SinglePartition exchange: hex-prefix buckets are\n"
+            "order-preserving, per-bucket bases broadcast back, and the\n"
+            "row_number Window is partitioned BY BUCKET.",
+            shuffle_rank(docs.select("doc_id"), "doc_id", seed=11),
+        ),
+        (
+            "Sequence packing (two-phase offsets + executor-local span explode)",
+            "* No SinglePartition exchange; the span→sequence fan-out is a\n"
+            "Generate (explode) directly over the offset projection.",
+            pack_sequences(ntok, seq_len=512, seed=13),
+        ),
+        (
+            "As-of join (tagged union + carry-forward, one key shuffle)",
+            "* No range/nested-loop join: both sides union into one stream,\n"
+            "a single hashpartitioning(user_id) exchange feeds the\n"
+            "carry-forward Window partitioned by key.",
+            asof_join(ev.select("event_id", "user_id", "ts"), snaps,
+                      key="user_id", ts="ts"),
+        ),
+        (
+            "Range join (interval bucket explode → hash equi-join)",
+            "* No BroadcastNestedLoopJoin / CartesianProduct: intervals\n"
+            "explode into 1-day bucket keys and the containment predicate is\n"
+            "re-applied after a plain hash join on (bucket, key).",
+            range_join(ev.select("event_id", "user_id", "ts"), win,
+                       key="user_id", ts="ts", start="s", end="e",
+                       bucket="1 day"),
+        ),
+        (
+            "Hypertable rollup (all granularities in one Expand + one shuffle)",
+            "Hourly and daily rollups share a single Expand → partial\n"
+            "HashAggregate → ONE exchange → final aggregate; no per-\n"
+            "granularity re-scan.",
+            hypertable_rollup(ev, ts="ts", dims=["event_type"],
+                              aggs=["count(*) AS n"],
+                              granularities=["1 hour", "1 day"]),
+        ),
+    ]
+
     parts = [HEADER]
     for title, note, df in sections:
         parts.append(f"## {title}\n\n{note}\n\n```\n{fmt(df).strip()}\n```\n")
