@@ -336,6 +336,38 @@ def ngram_jaccard_pairs_lsh(docs: DataFrame, k: int = 3,
     return ngram_jaccard_on_candidates(docs, cand, k=k, threshold=threshold)
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: drop every document sharing at least one
+    word ``k``-gram with the ``benchmark`` set (the standard eval-leakage
+    guard a pretraining corpus runs before training).
+
+    Scale shape: the benchmark side is the small one — its distinct
+    shingles hash to int64 (15 md5 nibbles, so the broadcast is longs, not
+    strings) and BROADCAST into a semi-join against the corpus's exploded
+    shingle hashes. The corpus therefore never shuffles on shingles: the
+    only wide exchange is the final doc-id anti-join (and the distinct on
+    contaminated ids, bounded by the corpus doc count). 64-bit collisions
+    over- but never under-remove, at ~n·m/2^60 expected false drops.
+    """
+    h = spark_md5_long("s")
+    b_sh = (
+        with_shingles(benchmark, k=k)
+        .select(F.explode("shingles").alias("s"))
+        .select(F.expr(h).alias("sh"))
+        .distinct()
+    )
+    d_sh = (
+        with_shingles(docs, k=k)
+        .select(id_col, F.explode("shingles").alias("s"))
+        .select(id_col, F.expr(h).alias("sh"))
+    )
+    contaminated = (
+        d_sh.join(F.broadcast(b_sh), "sh", "left_semi").select(id_col).distinct()
+    )
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
                          max_iters: int = 25) -> DataFrame:
     """Near-dup clusters: undirected edges -> ``(doc_id, component_id)`` where

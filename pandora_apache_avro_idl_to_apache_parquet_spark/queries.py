@@ -1632,6 +1632,39 @@ WHERE (n_chars % 4) >= 1
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic 1/37 slice of the corpus
+    plays the eval set; every document sharing an 8-gram with it (including
+    the slice itself) drops. The oracle recomputes the same shingle-hash
+    overlap, so the exact surviving set must agree."""
+    from .operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate(docs, benchmark, k=8).select("doc_id", "source")
+
+
+O_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len({_DUCK_WORDS}) - 7, 1)),
+           i -> array_to_string(list_slice({_DUCK_WORDS}, i, i + 7), ' ')
+         )) AS shingles
+  FROM documents
+), ex AS (
+  SELECT doc_id, {duck_md5_long('u.s')} AS h
+  FROM sh, UNNEST(shingles) AS u(s)
+), bsh AS (
+  SELECT DISTINCT h FROM ex WHERE doc_id % 37 = 0
+), bad AS (
+  SELECT DISTINCT doc_id FROM ex JOIN bsh USING (h)
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 # --------------------------------------------------- temporal operators
 
 
@@ -2151,6 +2184,7 @@ QUERIES: dict[str, tuple] = {
     "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
     "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     # temporal operators
     "asof_join": (q_asof_join, O_ASOF_JOIN),
     "range_join": (q_range_join, O_RANGE_JOIN),
