@@ -29,6 +29,7 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "quota_sample",
+    "interleave_mix",
     "shuffle_rank",
     "upsample_by_weight",
 ]
@@ -146,6 +147,46 @@ def shuffle_rank(df: DataFrame, key_col: str, seed: int = 42,
         hashed.join(F.broadcast(base_df), "__bucket")
         .withColumn(pos_name, F.col("__base") + F.row_number().over(w) - 1)
         .drop("__h", "__bucket", "__base")
+    )
+
+
+def interleave_mix(df: DataFrame, strata_col: str, key_col: str,
+                   weights: dict[str, int], seed: int = 42,
+                   key_name: str = "mix_key") -> DataFrame:
+    """Deterministic proportional interleaving (stride scheduling): a total
+    order in which stratum ``s`` appears ``weights[s]`` times as often as a
+    weight-1 stratum, evenly spread — the order a mixed-corpus reader
+    streams sources at fixed ratios.
+
+    Row ``i`` (1-based, md5 order within its stratum) of a stratum with
+    weight ``w`` gets the EXACT INTEGER key ``(2i-1) * (L/w)`` where ``L``
+    is the lcm of all weights — the classic (2i-1)/(2w) stride lottery
+    scaled to integers, so engines agree bit-for-bit with no float
+    rounding. Sorting by (``mix_key``, stratum, key) IS the mix order;
+    materialize positions with :func:`shuffle_rank`-style two-phase
+    ranking if needed. Strata absent from ``weights`` are dropped
+    (weight 0). Shape: one per-stratum window (parallel across strata),
+    no global sort."""
+    import math
+
+    for s, w in weights.items():
+        if not isinstance(w, int) or w < 0:
+            raise ValueError(f"weight for {s!r} must be int >= 0, got {w}")
+    live = {s: w for s, w in weights.items() if w > 0}
+    if not live:
+        raise ValueError("all weights are zero")
+    lcm = math.lcm(*live.values())
+    pairs: list[Column] = []
+    for s, w in live.items():
+        pairs += [F.lit(s), F.lit(lcm // w)]
+    stride = F.create_map(*pairs)[F.col(strata_col)]
+    h = hash_fraction(F.col(key_col), seed)
+    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.where(F.col(strata_col).isin(*live.keys()))
+        .withColumn("__rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn(key_name, (F.lit(2) * F.col("__rn") - 1) * stride.cast("long"))
+        .drop("__rn")
     )
 
 

@@ -1632,6 +1632,38 @@ WHERE (n_chars % 4) >= 1
 """
 
 
+def q_interleave_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic proportional interleaving of four sources at 1:2:3:4
+    — each row's exact-integer stride key ((2i-1)·lcm/w over the md5
+    within-source order) defines the mix order; the oracle recomputes the
+    identical keys, so rank, stride scaling and the dropped-strata rule
+    all hash-check."""
+    from .operators.sampling import interleave_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    out = interleave_mix(
+        docs, "source", "doc_id",
+        weights={"src0": 1, "src1": 2, "src2": 3, "src3": 4}, seed=42,
+    )
+    return out.select("doc_id", "source", "mix_key")
+
+
+O_INTERLEAVE_MIX = """
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', 1), ('src1', 2), ('src2', 3), ('src3', 4))
+         AS t(source, wt)
+), r AS (
+  SELECT d.doc_id, d.source, w.wt,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY ('0x' || substr(md5('42:' || d.doc_id), 1, 8))::BIGINT
+                    / 4294967296.0, d.doc_id) AS rn
+  FROM documents d JOIN w USING (source)
+)
+SELECT doc_id, source, ((2 * rn - 1) * (12 // wt))::BIGINT AS mix_key FROM r
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: a deterministic 1/37 slice of the corpus
     plays the eval set; every document sharing an 8-gram with it (including
@@ -2184,6 +2216,7 @@ QUERIES: dict[str, tuple] = {
     "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
     "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
+    "interleave_mix": (q_interleave_mix, O_INTERLEAVE_MIX),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     # temporal operators
     "asof_join": (q_asof_join, O_ASOF_JOIN),

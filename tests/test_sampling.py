@@ -115,3 +115,40 @@ def test_upsample_guard_raises_on_runaway_weight(spark):
     df = spark.createDataFrame([("a", 10_000)], "k string, w int")
     with pytest.raises(Exception, match="max_weight"):
         upsample_by_weight(df, "w", max_weight=1000).count()
+
+
+def test_interleave_mix_exact_stride_keys(spark, docs):
+    import hashlib
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        interleave_mix,
+    )
+
+    out = interleave_mix(docs, "source", "doc_id",
+                         weights={"a": 1, "b": 2, "c": 4}, seed=9)
+    got = {(r.doc_id): r.mix_key for r in out.collect()}
+    # recompute expected keys: per-source md5 order, (2i-1)*lcm/w
+    rows = [(r.doc_id, r.source) for r in docs.collect() if r.source in "abc"]
+    expect = {}
+    for s, w in (("a", 1), ("b", 2), ("c", 4)):
+        members = sorted(
+            (int(hashlib.md5(f"9:{d}".encode()).hexdigest()[:8], 16), d)
+            for d, src in rows if src == s
+        )
+        for i, (_, d) in enumerate(members, start=1):
+            expect[d] = (2 * i - 1) * (4 // w)
+    assert got == expect
+    # stratum d has no weight: dropped entirely
+    assert all(src != "d" for src in
+               {r.source for r in out.select("source").distinct().collect()})
+
+
+def test_interleave_mix_validation(spark, docs):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        interleave_mix,
+    )
+
+    with pytest.raises(ValueError):
+        interleave_mix(docs, "source", "doc_id", weights={"a": -1})
+    with pytest.raises(ValueError):
+        interleave_mix(docs, "source", "doc_id", weights={"a": 0})
