@@ -1,0 +1,293 @@
+"""Deterministic approximate sketches: HyperLogLog distinct counts,
+fixed-width-histogram quantiles, Count-Min frequency estimates.
+
+Engine-native sketches (Spark's HLL++ `approx_count_distinct`, DuckDB's
+`approx_count_distinct`, GK/t-digest percentiles) are engine-private: they
+hash differently and their outputs depend on merge order, so they can never
+hash-match across engines. These implementations re-derive each sketch from
+first principles on md5 — every register / bucket / bin is a pure function
+of the value, and every merge is a max or an *integer* sum (commutative,
+associative, exactly representable), so Spark and the DuckDB oracle agree
+bit-for-bit and results are independent of partitioning.
+
+Scale shape (the 100-TB story): each sketch is a partial-aggregatable
+``groupBy`` whose post-shuffle keyspace is the SKETCH size (``m`` registers,
+``depth*width`` counters, ``n_bins`` bins) — not the data size. Map-side
+combine collapses every partition to at most the sketch size before any
+exchange, so shuffle bytes are O(groups * sketch), independent of rows.
+The only windows are over sketch-sized frames (n_bins rows), never data.
+
+HLL register sums are kept in scaled-integer space (``2^(R-rho)`` as int64,
+max ``m * 2^R = 2^61``) precisely because double summation of ``2^-rho``
+terms needs >53 mantissa bits and would make the estimate depend on
+aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import duck_md5_long, spark_md5_long
+
+__all__ = [
+    "hll_distinct",
+    "hll_distinct_sql",
+    "histogram_quantile",
+    "histogram_quantile_sql",
+    "cms_frequency",
+    "cms_frequency_sql",
+]
+
+_HASH_BITS = 60  # 15 md5 nibbles — the cross-engine int64 hash width
+
+
+def _hll_alpha(m: int) -> float:
+    # standard HLL bias-correction constants (Flajolet et al. 2007)
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], col: str,
+                 p: int = 8, seed: int = 42,
+                 out_name: str = "est_distinct") -> DataFrame:
+    """HyperLogLog distinct count of ``col`` per group, from md5 bits.
+
+    ``m = 2^p`` registers; the 60-bit md5 hash splits into register
+    ``h % m`` and a ``W = 60-p``-bit suffix ``w = h div m`` whose
+    leading-zero rank ``rho`` (1-based position of the highest set bit
+    counted from the top, ``W+1`` when ``w = 0``) feeds the register max.
+    The estimate is the classic bias-corrected harmonic mean with the
+    linear-counting fallback for the small range. Two partial-aggregatable
+    groupBys: (group, register) -> max(rho), then group -> estimate; the
+    register sum rides an exact int64 (``2^(R-rho)`` scaled), so the result
+    is partition-order-independent.
+    """
+    m = 1 << p
+    W = _HASH_BITS - p
+    R = W + 1
+    h = spark_md5_long(f"concat('{seed}:', cast({col} as string))")
+    rho = (
+        f"CASE WHEN ({h}) div {m} = 0 THEN {R} "
+        f"ELSE {W} - length(bin(({h}) div {m})) + 1 END"
+    )
+    regs = (
+        df.groupBy(*group_cols, F.expr(f"({h}) % {m}").alias("__reg"))
+        .agg(F.expr(f"max({rho})").alias("__rho"))
+    )
+    C = _hll_alpha(m) * m * m * float(2 ** R)  # numerator in scaled-int space
+    est = (
+        regs.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("__nz"),
+            F.expr(f"sum(shiftleft(cast(1 as bigint), {R} - __rho))").alias("__s"),
+        )
+        .withColumn("__v", F.lit(m) - F.col("__nz"))
+        .withColumn("__raw", F.lit(C) / (F.col("__s") + F.col("__v") * F.lit(1 << R)))
+        .withColumn(
+            out_name,
+            F.round(
+                F.when(
+                    (F.col("__raw") <= F.lit(2.5 * m)) & (F.col("__v") > 0),
+                    F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v")),
+                ).otherwise(F.col("__raw")),
+                4,
+            ),
+        )
+        .drop("__nz", "__s", "__v", "__raw")
+    )
+    return est
+
+
+def hll_distinct_sql(table: str, group_cols: list[str], col: str,
+                     p: int = 8, seed: int = 42,
+                     out_name: str = "est_distinct") -> str:
+    """DuckDB SQL computing the identical HLL estimate (oracle half)."""
+    m = 1 << p
+    W = _HASH_BITS - p
+    R = W + 1
+    h = duck_md5_long(f"'{seed}:' || ({col})::VARCHAR")
+    rho = (
+        f"CASE WHEN ({h}) // {m} = 0 THEN {R} "
+        f"ELSE {W} - length(bin(({h}) // {m})) + 1 END"
+    )
+    g = ", ".join(group_cols)
+    C = repr(_hll_alpha(m) * m * m * float(2 ** R))
+    return f"""
+WITH regs AS (
+  SELECT {g}, ({h}) % {m} AS reg, max({rho}) AS rho
+  FROM {table} GROUP BY {g}, reg
+), agg AS (
+  SELECT {g}, count(*) AS nz,
+         sum((1::BIGINT << ({R} - rho)))::BIGINT AS s
+  FROM regs GROUP BY {g}
+)
+SELECT {g},
+       round(CASE WHEN ({C} / (s + ({m} - nz) * {1 << R})) <= {2.5 * m}
+                   AND ({m} - nz) > 0
+             THEN {float(m)} * ln({float(m)} / ({m} - nz))
+             ELSE {C} / (s + ({m} - nz) * {1 << R}) END, 4) AS {out_name}
+FROM agg
+"""
+
+
+# ------------------------------------------------------------------ quantile
+
+
+def histogram_quantile(df: DataFrame, col: str, quantiles: list[float],
+                       n_bins: int = 128) -> DataFrame:
+    """Approximate quantiles via a fixed-width histogram (deterministic,
+    engine-independent — unlike GK / t-digest whose output depends on merge
+    order). Two passes: exact (min, max, count), then one groupBy into
+    ``n_bins`` equal-width bins; quantile ``q`` resolves to the upper edge
+    of the first bin whose cumulative count reaches ``ceil(q * n)``. Error
+    is bounded by one bin width. The cumulative window runs over ≤ n_bins
+    rows (sketch-sized, constant), never over data. Returns
+    (quantile, bin, approx_value).
+    """
+    x = F.col(col).cast("double")
+    stats = df.agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi"), F.count(x).alias("__n")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__w",
+            F.when(F.col("__hi") > F.col("__lo"),
+                   (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)))
+            .otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((x - F.col("__lo")) / F.col("__w")).cast("int"),
+                F.lit(n_bins - 1),
+            ),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("__cnt"),
+             F.first("__lo").alias("__lo"), F.first("__w").alias("__w"),
+             F.first("__n").alias("__n"))
+    )
+    from pyspark.sql.window import Window
+
+    cum = binned.withColumn(
+        "__cum",
+        F.sum("__cnt").over(Window.orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)),
+    )
+    qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("quantile")
+    hits = (
+        cum.select(qs, "bin", "__cum", "__lo", "__w", "__n")
+        .where(F.col("__cum") >= F.ceil(F.col("quantile") * F.col("__n")))
+        .groupBy("quantile")
+        .agg(F.min("bin").alias("bin"),
+             F.first("__lo").alias("__lo"), F.first("__w").alias("__w"))
+    )
+    return (
+        hits.select(
+            "quantile",
+            "bin",
+            F.round(F.col("__lo") + (F.col("bin") + 1) * F.col("__w"), 4)
+            .alias("approx_value"),
+        )
+        .orderBy("quantile")
+    )
+
+
+def histogram_quantile_sql(table: str, col: str, quantiles: list[float],
+                           n_bins: int = 128) -> str:
+    """DuckDB SQL mirror of :func:`histogram_quantile`."""
+    qs = ", ".join(f"({float(q)})" for q in quantiles)
+    return f"""
+WITH stats AS (
+  SELECT min(({col})::DOUBLE) AS lo, max(({col})::DOUBLE) AS hi,
+         count(({col})::DOUBLE) AS n
+  FROM {table}
+), binned AS (
+  SELECT least(floor((({col})::DOUBLE - s.lo) /
+               (CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {float(n_bins)}
+                     ELSE 1.0 END))::INTEGER, {n_bins - 1}) AS bin,
+         count(*) AS cnt
+  FROM {table}, stats s GROUP BY 1
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS c FROM binned
+), q AS (
+  SELECT quantile::DOUBLE AS quantile FROM (VALUES {qs}) t(quantile)
+), hit AS (
+  SELECT q.quantile, min(cum.bin) AS bin
+  FROM q, cum, stats s
+  WHERE cum.c >= ceil(q.quantile * s.n)
+  GROUP BY q.quantile
+)
+SELECT h.quantile, h.bin::INTEGER AS bin,
+       round(s.lo + (h.bin + 1) * (CASE WHEN s.hi > s.lo
+             THEN (s.hi - s.lo) / {float(n_bins)} ELSE 1.0 END), 4)
+         AS approx_value
+FROM hit h, stats s ORDER BY h.quantile
+"""
+
+
+# ----------------------------------------------------------------- count-min
+
+
+def cms_frequency(df: DataFrame, col: str, width: int = 256, depth: int = 4,
+                  seed: int = 42) -> DataFrame:
+    """Count-Min frequency estimate per distinct value of ``col``.
+
+    Build: each row hashes into one bucket per sketch row (``depth``
+    independent md5 hashes mod ``width``); counters are an integer groupBy
+    over (row, bucket) — ``depth*width`` cells regardless of data size, with
+    map-side combine. Estimate for a key = min over its ``depth`` buckets
+    (classic CMS overestimate, never under). Returns
+    (value, exact_cnt, cms_est) so the overestimate bound
+    ``cms_est >= exact_cnt`` is visible in the output.
+    """
+    def bucket(r: int, expr: str) -> Column:
+        inner = f"concat('{seed}:{r}:', cast({expr} as string))"
+        return F.expr(f"({spark_md5_long(inner)}) % {width}")
+
+    coded = df.select(
+        F.col(col).alias("value"),
+        F.posexplode(F.array(*[bucket(r, col) for r in range(depth)]))
+        .alias("rw", "bucket"),
+    )
+    counters = coded.groupBy("rw", "bucket").agg(F.count("*").alias("cnt"))
+    keys = (
+        df.groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .select("value", "exact_cnt",
+                F.posexplode(
+                    F.array(*[bucket(r, "value") for r in range(depth)])
+                ).alias("rw", "bucket"))
+    )
+    return (
+        keys.join(F.broadcast(counters), ["rw", "bucket"])
+        .groupBy("value", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .orderBy("value")
+    )
+
+
+def cms_frequency_sql(table: str, col: str, width: int = 256, depth: int = 4,
+                      seed: int = 42) -> str:
+    """DuckDB SQL mirror of :func:`cms_frequency`."""
+    def bucket(r: int, expr: str) -> str:
+        inner = f"'{seed}:{r}:' || ({expr})::VARCHAR"
+        return f"({duck_md5_long(inner)}) % {width}"
+
+    coded = " UNION ALL ".join(
+        f"SELECT {col} AS value, {r} AS rw, {bucket(r, col)} AS bucket FROM {table}"
+        for r in range(depth)
+    )
+    keyed = " UNION ALL ".join(
+        f"SELECT value, exact_cnt, {r} AS rw, {bucket(r, 'value')} AS bucket FROM exact"
+        for r in range(depth)
+    )
+    return f"""
+WITH coded AS ({coded}),
+counters AS (SELECT rw, bucket, count(*) AS cnt FROM coded GROUP BY rw, bucket),
+exact AS (SELECT {col} AS value, count(*) AS exact_cnt FROM {table} GROUP BY 1),
+keyed AS ({keyed})
+SELECT k.value, k.exact_cnt, min(c.cnt) AS cms_est
+FROM keyed k JOIN counters c ON c.rw = k.rw AND c.bucket = k.bucket
+GROUP BY k.value, k.exact_cnt ORDER BY k.value
+"""

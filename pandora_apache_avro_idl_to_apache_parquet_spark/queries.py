@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from .functions.hashing import duck_md5_int, duck_md5_long, spark_md5_int, spark_md5_long
-from .operators import dedup, flatten, multimodal, similarity, text
+from .operators import dedup, flatten, multimodal, similarity, sketches, text
 from .operators.decode import decode_tokens
 from .operators.encode import encode_tokens, read_manifest
 
@@ -2150,6 +2150,51 @@ FROM documents ORDER BY media_id
 """
 
 
+# ------------------------------------------------------------------ sketches
+# Approximate-analytics sketches re-derived from md5 so both engines compute
+# the identical registers/bins/counters (engine-native HLL/GK sketches hash
+# differently and can never hash-match; see operators/sketches.py docstring).
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct l_orderkey per returnflag (m=256 registers): the
+    bias-corrected estimator lands within ~7% of the ~11k true cardinality
+    while shuffling at most 256 rows per group."""
+    return sketches.hll_distinct(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_orderkey", p=8
+    )
+
+
+O_SKETCH_HLL = sketches.hll_distinct_sql("lineitem", ["l_returnflag"], "l_orderkey", p=8)
+
+
+def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of l_extendedprice (128 bins): deterministic
+    approximate percentiles with error ≤ one bin width, no data-sized
+    window anywhere (the cumulative sum runs over ≤128 bin rows)."""
+    return sketches.histogram_quantile(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        [0.1, 0.5, 0.9, 0.99], n_bins=128,
+    )
+
+
+O_SKETCH_QUANTILE = sketches.histogram_quantile_sql(
+    "lineitem", "l_extendedprice", [0.1, 0.5, 0.9, 0.99], n_bins=128
+)
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for every l_partkey (4x256 counters —
+    ~2k keys forced through 1k cells so the overestimate bound is exercised);
+    output carries exact_cnt alongside so cms_est >= exact_cnt is visible."""
+    return sketches.cms_frequency(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", width=256, depth=4
+    )
+
+
+O_SKETCH_CMS = sketches.cms_frequency_sql("lineitem", "l_partkey", width=256, depth=4)
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -2218,6 +2263,10 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "interleave_mix": (q_interleave_mix, O_INTERLEAVE_MIX),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
+    # approximate sketches
+    "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
+    "sketch_histogram_quantile": (q_sketch_quantile, O_SKETCH_QUANTILE),
+    "sketch_cms_frequency": (q_sketch_cms, O_SKETCH_CMS),
     # temporal operators
     "asof_join": (q_asof_join, O_ASOF_JOIN),
     "range_join": (q_range_join, O_RANGE_JOIN),

@@ -1,0 +1,76 @@
+"""Sketch operators: accuracy bounds, partition-order independence, and the
+structural guarantees (CMS never underestimates, quantile error ≤ bin width)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+    cms_frequency,
+    histogram_quantile,
+    hll_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 5000 rows, 1000 distinct keys, two groups
+    return spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 1000).alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+
+
+def test_hll_within_expected_error(spark, keyed):
+    # m=256 -> relative standard error 1.04/sqrt(256) = 6.5%; allow 4 sigma
+    out = {r.g: r.est_distinct for r in
+           hll_distinct(keyed, ["g"], "k", p=8).collect()}
+    for g in ("0", "1"):
+        assert abs(out[g] - 500) / 500 < 0.26, out
+
+
+def test_hll_partition_order_independent(spark, keyed):
+    a = hll_distinct(keyed.repartition(1), ["g"], "k", p=8).collect()
+    b = hll_distinct(keyed.repartition(16, "v"), ["g"], "k", p=8).collect()
+    assert sorted((r.g, r.est_distinct) for r in a) == sorted(
+        (r.g, r.est_distinct) for r in b
+    )
+
+
+def test_hll_linear_counting_small_range(spark):
+    # 30 distinct << 2.5*m: the linear-counting branch must engage and be
+    # near-exact (m * ln(m / V) with V large)
+    df = spark.range(30).select(F.lit("x").alias("g"), F.col("id").alias("k"))
+    [row] = hll_distinct(df, ["g"], "k", p=8).collect()
+    assert abs(row.est_distinct - 30) < 3
+
+
+def test_quantile_error_bounded_by_bin(spark, keyed):
+    # v is uniform over 0..96; with 97+ bins each quantile is exact to one bin
+    got = {r.quantile: r.approx_value for r in
+           histogram_quantile(keyed, "v", [0.25, 0.5, 0.75], n_bins=97).collect()}
+    exact = {0.25: 24, 0.5: 48, 0.75: 72}
+    width = 96 / 97
+    for q, e in exact.items():
+        assert abs(got[q] - e) <= width + 1e-9, (q, got[q], e)
+
+
+def test_quantile_constant_column(spark):
+    df = spark.range(10).select(F.lit(7.0).alias("x"))
+    [row] = histogram_quantile(df, "x", [0.5], n_bins=8).collect()
+    assert row.bin == 0 and row.approx_value == 8.0  # lo + 1*width, width=1 guard
+
+
+def test_cms_never_underestimates_and_is_tight_when_sparse(spark, keyed):
+    out = cms_frequency(keyed, "k", width=4096, depth=4).collect()
+    assert len(out) == 1000
+    assert all(r.cms_est >= r.exact_cnt for r in out)
+    # 1000 keys in 4x4096 cells: collisions essentially vanish under min()
+    assert sum(r.cms_est == r.exact_cnt for r in out) >= 990
+
+
+def test_cms_partition_order_independent(spark, keyed):
+    a = cms_frequency(keyed.repartition(1), "k", width=64, depth=2).collect()
+    b = cms_frequency(keyed.repartition(16, "v"), "k", width=64, depth=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
