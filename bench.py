@@ -50,6 +50,14 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
+    "sketch_hll_distinct",
+    "sketch_histogram_quantile",
+    "sketch_cms_frequency",
+    "interleave_mix",
+    "asof_join",
+    "hypertable_rollup",
+    "decontaminate",
     "text_quality",
     "multimodal_features",
     "sample_stratified",

@@ -277,6 +277,137 @@ def ivf_topk(
     return _final_topk(_partial_topk(scored, k), k)
 
 
+# ------------------------------------------------------ product quantization
+
+def _l2sq(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_codebook(emb: DataFrame, n_codes: int) -> DataFrame:
+    """ONE-row broadcastable codebook: the first ``n_codes`` vectors by
+    vec_id (deterministic seeding, same idiom as :func:`ivf_assign`; a
+    k-means refinement would iterate encode/update), ordered so position
+    ``i`` (1-based) IS code ``i``."""
+    return (
+        emb.orderBy("vec_id")
+        .limit(n_codes)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(vec_id, embedding))), "
+                "c -> c.embedding)"
+            ).alias("cbs")
+        )
+    )
+
+
+def _pq_codes_expr(col: str, m: int, dsub: int, n_codes: int) -> str:
+    """Per-vector PQ code array: for each of ``m`` subspaces, the 1-based
+    index of the nearest codebook entry's subvector (L2², rounded to 4
+    before the argmin so Spark and the SQL oracle break ties identically,
+    lower code wins)."""
+    sub = f"slice({col}, s * {dsub} + 1, {dsub})"
+    cbsub = f"slice(element_at(cbs, i), s * {dsub} + 1, {dsub})"
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"array_min(transform(sequence(1, {n_codes}), i -> "
+        f"struct(round({_l2sq(sub, cbsub)}, 4) as d, i as code))).code)"
+    )
+
+
+def _infer_dim(emb: DataFrame) -> int:
+    return len(emb.select("embedding").first()[0])
+
+
+def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 16,
+              dim: int | None = None) -> DataFrame:
+    """Product-quantization encode: each vector compresses to ``m`` codes
+    (one per ``dim/m``-wide subspace) into a ``n_codes``-entry codebook —
+    ``m * ceil(log2(n_codes))`` bits per vector instead of ``32 * dim``
+    (64 floats → 4 nibbles here, a 128× compression). Entirely map-side:
+    the codebook is ONE broadcast row; the corpus never shuffles. Returns
+    (vec_id, codes array<int>, embedding passthrough)."""
+    dim = dim or _infer_dim(emb)
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    return emb.join(F.broadcast(_pq_codebook(emb, n_codes))).select(
+        "vec_id",
+        "embedding",
+        F.expr(_pq_codes_expr("embedding", m, dsub, n_codes)).alias("codes"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    dim: int | None = None,
+) -> DataFrame:
+    """PQ search with asymmetric distance computation (ADC) + exact re-rank:
+    corpus vectors live as ``m``-code arrays, queries keep full precision,
+    and the approximate distance is the sum of per-subspace L2² between the
+    query subvector and the *reconstructed* (codebook) subvector. The top
+    ``shortlist`` per query by ADC then pays exact cosine and the final
+    top-``k`` is exact over that shortlist — the standard IVF-ADC recall
+    contract (recall < 1 governed by shortlist/n_codes). Scale shape: ADC
+    is map-only against ONE broadcast codebook row, candidates go through
+    the same bounded partial-top-k path as :func:`brute_force_topk` (no
+    Window over the corpus), and the exact re-rank touches only
+    ``n_queries * shortlist`` rows via a broadcast semi-join back to the
+    corpus — at 100 TB the full-precision vectors are read twice but
+    shuffled never."""
+    dim = dim or _infer_dim(emb)
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    dsub = dim // m
+    cb = _pq_codebook(emb, n_codes)
+    coded = emb.join(F.broadcast(cb)).select(
+        "vec_id",
+        "cbs",
+        F.expr(_pq_codes_expr("embedding", m, dsub, n_codes)).alias("codes"),
+    )
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q"))
+    )
+    qsub = f"slice(q, s * {dsub} + 1, {dsub})"
+    rsub = f"slice(element_at(cbs, element_at(codes, s + 1)), s * {dsub} + 1, {dsub})"
+    adist = (
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, s) -> acc + {_l2sq(qsub, rsub)})"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (-F.round(F.expr(adist), 4)).alias("score"),
+        )
+    )
+    short = _final_topk(_partial_topk(scored, shortlist), shortlist).select(
+        "query_id", "neighbor_id"
+    )
+    rer = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+        .join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.expr(cosine_expr("q", "ne")), 4).alias("score"),
+        )
+    )
+    return _final_topk(rer, k)
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -1424,6 +1424,88 @@ SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5 ORDER BY query_
 """
 
 
+# ------------------------------------------------- product quantization ANN
+
+_PQ_M, _PQ_CODES, _PQ_DSUB, _PQ_SHORT = 4, 16, 16, 50
+
+
+def _duck_l2sub(a: str, b: str, s: str, dsub: int = _PQ_DSUB) -> str:
+    d = f"(({a})[{s} * {dsub} + i]::DOUBLE - ({b})[{s} * {dsub} + i]::DOUBLE)"
+    return f"list_sum(list_transform(generate_series(1, {dsub}), i -> {d} * {d}))"
+
+
+_DUCK_PQ_ENC = f"""
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS code, embedding AS ce
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_CODES})
+), sp AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+subd AS (
+  SELECT e.vec_id, sp.s, cb.code,
+         round({_duck_l2sub('e.embedding', 'cb.ce', 'sp.s')}, 4) AS d
+  FROM embeddings e, sp, cb
+), enc AS (
+  SELECT vec_id, s, code FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+    FROM subd) WHERE rn = 1
+)"""
+
+
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every vector compressed to 4 codes over a 16-entry
+    codebook (map-only against ONE broadcast codebook row), exploded to
+    (vec_id, s, code) for the hash compare."""
+    out = similarity.pq_encode(
+        _t(spark, sf_dir, "embeddings"), m=_PQ_M, n_codes=_PQ_CODES, dim=64
+    )
+    return (
+        out.select("vec_id", F.posexplode("codes").alias("s", "code"))
+        .orderBy("vec_id", "s")
+    )
+
+
+O_PQ_ENCODE = f"""
+WITH {_DUCK_PQ_ENC}
+SELECT vec_id, s::INTEGER AS s, code::INTEGER AS code FROM enc ORDER BY vec_id, s
+"""
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: approximate distances against the
+    reconstructed codebook subvectors shortlist 50 candidates per query,
+    exact cosine re-ranks the shortlist to the final 5."""
+    return similarity.pq_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5,
+        m=_PQ_M, n_codes=_PQ_CODES, shortlist=_PQ_SHORT, dim=64,
+    )
+
+
+def _o_pq_topk() -> str:
+    return f"""
+WITH {_DUCK_PQ_ENC},
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 10),
+ad AS (
+  SELECT q.query_id, en.vec_id AS neighbor_id,
+         -round(sum({_duck_l2sub('q.qe', 'cb.ce', 'en.s')}), 4) AS ascore
+  FROM q, enc en JOIN cb ON cb.code = en.code
+  WHERE en.vec_id <> q.query_id
+  GROUP BY 1, 2
+), sl AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS rn
+    FROM ad) WHERE rn <= {_PQ_SHORT}
+), rer AS (
+  SELECT sl.query_id, sl.neighbor_id,
+         round({_duck_cos('q.qe', 'e.embedding')}, 4) AS score
+  FROM sl JOIN q USING (query_id) JOIN embeddings e ON e.vec_id = sl.neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)::INTEGER AS rank
+  FROM rer
+)
+SELECT query_id, rank, neighbor_id, score FROM r WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -2250,6 +2332,8 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, _o_ann_lsh()),
     "ann_ivf_assign": (q_ann_ivf_assign, O_ANN_IVF),
     "ann_ivf_topk": (q_ann_ivf_topk, _o_ann_ivf_topk()),
+    "ann_pq_encode": (q_pq_encode, O_PQ_ENCODE),
+    "ann_pq_topk": (q_pq_topk, _o_pq_topk()),
     # text analysis
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_langid": (q_text_langid, _o_text_langid()),
