@@ -368,6 +368,48 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8,
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, k: int = 8,
+                        id_col: str = "doc_id", n_bits: int = 1 << 20,
+                        n_hashes: int = 3, seed: int = 42) -> DataFrame:
+    """:func:`decontaminate` for eval sets too large to broadcast raw.
+
+    Same output contract (bloom false positives are removed by an exact
+    verify, so results are identical — one shared oracle), different scale
+    path: instead of broadcasting every distinct benchmark shingle hash
+    (8 bytes each — gigabytes at billions of shingles), the benchmark
+    compresses into a fixed ``n_bits`` Bloom bitset (2^30 bits ≈ 128 MB
+    of words) that IS broadcastable. Corpus shingles probe it map-side
+    (``forall`` over the one-row word map, no row expansion, no shuffle);
+    only the surviving candidates — true hits plus the ~(1-e^(-kn/m))^k
+    false-positive sliver — pay the exact semi-join against the benchmark
+    hashes, now a tiny keyed shuffle instead of a corpus-wide one.
+    """
+    from .sketches import bloom_build, bloom_probe
+
+    h = spark_md5_long("s")
+    b_sh = (
+        with_shingles(benchmark, k=k)
+        .select(F.explode("shingles").alias("s"))
+        .select(F.expr(h).alias("sh"))
+        .distinct()
+    )
+    bloom = bloom_build(b_sh, "sh", n_bits=n_bits, n_hashes=n_hashes, seed=seed)
+    d_sh = (
+        with_shingles(docs, k=k)
+        .select(id_col, F.explode("shingles").alias("s"))
+        .select(id_col, F.expr(h).alias("sh"))
+    )
+    cand = (
+        bloom_probe(d_sh, "sh", bloom, n_bits=n_bits, n_hashes=n_hashes, seed=seed)
+        .filter(F.col("maybe_member"))
+        .drop("maybe_member")
+    )
+    # exact verify on candidates only — deliberately NOT broadcast: at scale
+    # b_sh doesn't fit a broadcast, and the candidate side is already small
+    contaminated = cand.join(b_sh, "sh", "left_semi").select(id_col).distinct()
+    return docs.join(contaminated, id_col, "left_anti")
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
                          max_iters: int = 25) -> DataFrame:
     """Near-dup clusters: undirected edges -> ``(doc_id, component_id)`` where

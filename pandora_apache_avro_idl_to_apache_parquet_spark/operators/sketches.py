@@ -36,6 +36,9 @@ __all__ = [
     "histogram_quantile_sql",
     "cms_frequency",
     "cms_frequency_sql",
+    "bloom_build",
+    "bloom_probe",
+    "bloom_sql_ctes",
 ]
 
 _HASH_BITS = 60  # 15 md5 nibbles — the cross-engine int64 hash width
@@ -291,3 +294,85 @@ SELECT k.value, k.exact_cnt, min(c.cnt) AS cms_est
 FROM keyed k JOIN counters c ON c.rw = k.rw AND c.bucket = k.bucket
 GROUP BY k.value, k.exact_cnt ORDER BY k.value
 """
+
+
+# -------------------------------------------------------------- bloom filter
+# Words hold 63 bits (bit = pos % 63) so no shift ever touches the int64 sign
+# bit — both engines shift/AND identically with zero overflow concerns.
+
+_BLOOM_WORD = 63
+
+
+def _bloom_positions(expr: str, n_bits: int, n_hashes: int, seed: int,
+                     spark: bool) -> list[str]:
+    mk = spark_md5_long if spark else duck_md5_long
+    out = []
+    for r in range(n_hashes):
+        if spark:
+            inner = f"concat('{seed}:{r}:', cast({expr} as string))"
+        else:
+            inner = f"'{seed}:{r}:' || ({expr})::VARCHAR"
+        out.append(f"(({mk(inner)}) % {n_bits})")
+    return out
+
+
+def bloom_build(df: DataFrame, col: str, n_bits: int = 1 << 16,
+                n_hashes: int = 3, seed: int = 42) -> DataFrame:
+    """Deterministic Bloom filter of ``col``'s values as ONE row holding a
+    ``map<long, long>`` of 63-bit words — broadcastable membership for sets
+    too large to broadcast raw (2^30 bits ≈ 128 MB of words stands in for
+    gigabytes of 64-bit keys). Build is a partial-aggregatable integer
+    ``bit_or`` groupBy over at most ``n_bits/63`` word keys; md5-derived
+    positions make the filter identical across engines and partitionings.
+    No false negatives ever; false-positive rate ≈ (1-e^(-kn/m))^k."""
+    pos = _bloom_positions(col, n_bits, n_hashes, seed, spark=True)
+    return (
+        df.select(F.explode(F.array(*[F.expr(p) for p in pos])).alias("p"))
+        .select(
+            F.expr(f"p div {_BLOOM_WORD}").alias("word"),
+            F.expr(f"cast(p % {_BLOOM_WORD} as int)").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), bit))").alias("bits"))
+        .agg(F.expr("map_from_entries(collect_list(struct(word, bits)))").alias("bloom"))
+    )
+
+
+def bloom_probe(df: DataFrame, col: str, bloom: DataFrame,
+                n_bits: int = 1 << 16, n_hashes: int = 3, seed: int = 42,
+                out_name: str = "maybe_member") -> DataFrame:
+    """Map-side membership probe against a :func:`bloom_build` row: the
+    one-row word map broadcasts and each value checks its ``n_hashes``
+    positions with a ``forall`` over map lookups — no row expansion, no
+    shuffle, no join on the probed side."""
+    pos = ", ".join(_bloom_positions(col, n_bits, n_hashes, seed, spark=True))
+    check = (
+        f"forall(array({pos}), p -> "
+        f"(coalesce(element_at(bloom, p div {_BLOOM_WORD}), cast(0 as bigint)) "
+        f"& shiftleft(cast(1 as bigint), cast(p % {_BLOOM_WORD} as int))) != 0)"
+    )
+    return (
+        df.join(F.broadcast(bloom))
+        .withColumn(out_name, F.expr(check))
+        .drop("bloom")
+    )
+
+
+def bloom_sql_ctes(build_select: str, n_bits: int = 1 << 16,
+                   n_hashes: int = 3, seed: int = 42) -> str:
+    """DuckDB CTE fragment mirroring :func:`bloom_build`: emits ``bwords``
+    (word, bits) from ``build_select`` (a SELECT yielding one column named
+    ``v``). Probe side should LEFT JOIN ``bwords`` per position and
+    ``bool_and`` the bit checks."""
+    pos = _bloom_positions("v", n_bits, n_hashes, seed, spark=False)
+    posed = " UNION ALL ".join(
+        f"SELECT {p} AS p FROM ({build_select}) b{r}"
+        for r, p in enumerate(pos)
+    )
+    return f"""
+bpos AS ({posed}),
+bwords AS (
+  SELECT p // {_BLOOM_WORD} AS word,
+         bit_or((1::BIGINT << (p % {_BLOOM_WORD})::INTEGER)) AS bits
+  FROM bpos GROUP BY 1
+)"""

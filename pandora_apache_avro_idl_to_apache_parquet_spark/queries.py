@@ -2277,6 +2277,76 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SKETCH_CMS = sketches.cms_frequency_sql("lineitem", "l_partkey", width=256, depth=4)
 
 
+_BLOOM_BITS, _BLOOM_K = 1 << 12, 3
+
+
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership: custkeys of finished orders pack into a 4 Ki-bit
+    word map; every customer probes it map-side. is_member rides alongside
+    so the no-false-negative guarantee (maybe >= is) and the FP sliver
+    (~1/3 of true non-members at this load factor) are both visible in the
+    hash-compared output."""
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    bloom = sketches.bloom_build(orders, "o_custkey", n_bits=_BLOOM_BITS,
+                                 n_hashes=_BLOOM_K)
+    probed = sketches.bloom_probe(cust, "c_custkey", bloom,
+                                  n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K)
+    members = (
+        orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+        .withColumn("__m", F.lit(True))
+    )
+    return (
+        probed.join(members, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "maybe_member",
+            F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def _o_sketch_bloom() -> str:
+    ctes = sketches.bloom_sql_ctes(
+        "SELECT o_custkey AS v FROM orders WHERE o_orderstatus = 'F'",
+        n_bits=_BLOOM_BITS, n_hashes=_BLOOM_K,
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT c_custkey, {p} AS p FROM customer"
+        for p in sketches._bloom_positions(
+            "c_custkey", _BLOOM_BITS, _BLOOM_K, 42, spark=False
+        )
+    )
+    return f"""
+WITH {ctes},
+pr AS ({probes}),
+chk AS (
+  SELECT pr.c_custkey,
+         bool_and((coalesce(w.bits, 0) & (1::BIGINT << (pr.p % 63)::INTEGER)) <> 0)
+           AS maybe_member
+  FROM pr LEFT JOIN bwords w ON w.word = pr.p // 63
+  GROUP BY pr.c_custkey
+)
+SELECT c.c_custkey, chk.maybe_member,
+       (c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+         AS is_member
+FROM customer c JOIN chk USING (c_custkey) ORDER BY c_custkey
+"""
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-gated decontaminate: identical surviving set to
+    `decontaminate` (exact verify removes bloom false positives — shared
+    oracle), but the eval set travels as a fixed-size bitset instead of a
+    raw hash broadcast, and only bloom survivors pay the exact join."""
+    from .operators.dedup import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(docs, benchmark, k=8).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -2351,6 +2421,8 @@ QUERIES: dict[str, tuple] = {
     "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
     "sketch_histogram_quantile": (q_sketch_quantile, O_SKETCH_QUANTILE),
     "sketch_cms_frequency": (q_sketch_cms, O_SKETCH_CMS),
+    "sketch_bloom_membership": (q_sketch_bloom, _o_sketch_bloom()),
+    "decontaminate_bloom": (q_decontaminate_bloom, O_DECONTAMINATE),
     # temporal operators
     "asof_join": (q_asof_join, O_ASOF_JOIN),
     "range_join": (q_range_join, O_RANGE_JOIN),

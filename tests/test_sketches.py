@@ -74,3 +74,63 @@ def test_cms_partition_order_independent(spark, keyed):
     a = cms_frequency(keyed.repartition(1), "k", width=64, depth=2).collect()
     b = cms_frequency(keyed.repartition(16, "v"), "k", width=64, depth=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bloom_no_false_negatives_and_some_fps(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(500).select((F.col("id") * 2).alias("v"))  # evens < 1000
+    bloom = bloom_build(members, "v", n_bits=1024, n_hashes=3)
+    probe = spark.range(1000).select(F.col("id").alias("v"))
+    got = {r.v: r.maybe_member for r in
+           bloom_probe(probe, "v", bloom, n_bits=1024, n_hashes=3).collect()}
+    # every member answers yes
+    assert all(got[v] for v in range(0, 1000, 2))
+    # 500*3 hashes in 1024 bits -> load ~1.5, FP ~40%: some odd values hit,
+    # but far from all (the filter is informative)
+    fps = sum(got[v] for v in range(1, 1000, 2))
+    assert 0 < fps < 450, fps
+
+
+def test_bloom_partition_order_independent(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    members = spark.range(300).select(F.col("id").alias("v"))
+    a = bloom_build(members.repartition(1), "v", n_bits=2048).first()[0]
+    b = bloom_build(members.repartition(16), "v", n_bits=2048).first()[0]
+    assert a == b
+
+
+def test_bloom_empty_build_rejects_everything(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = spark.range(0).select(F.col("id").alias("v"))
+    bloom = bloom_build(empty, "v", n_bits=1024)
+    probe = spark.range(10).select(F.col("id").alias("v"))
+    out = bloom_probe(probe, "v", bloom, n_bits=1024).collect()
+    assert len(out) == 10 and not any(r.maybe_member for r in out)
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    benchmark = docs.where(F.col("doc_id") % 7 == 0)
+    exact = {r.doc_id for r in decontaminate(docs, benchmark, k=8).collect()}
+    # deliberately tiny filter (512 bits) so false positives are plentiful:
+    # the exact verify must erase them all
+    bloomed = {r.doc_id for r in
+               decontaminate_bloom(docs, benchmark, k=8, n_bits=512,
+                                   n_hashes=2).collect()}
+    assert bloomed == exact
