@@ -136,22 +136,26 @@ FROM agg
 
 
 def histogram_quantile(df: DataFrame, col: str, quantiles: list[float],
-                       n_bins: int = 128) -> DataFrame:
+                       n_bins: int = 128,
+                       group_cols: list[str] | None = None) -> DataFrame:
     """Approximate quantiles via a fixed-width histogram (deterministic,
     engine-independent — unlike GK / t-digest whose output depends on merge
-    order). Two passes: exact (min, max, count), then one groupBy into
-    ``n_bins`` equal-width bins; quantile ``q`` resolves to the upper edge
-    of the first bin whose cumulative count reaches ``ceil(q * n)``. Error
-    is bounded by one bin width. The cumulative window runs over ≤ n_bins
-    rows (sketch-sized, constant), never over data. Returns
-    (quantile, bin, approx_value).
+    order), optionally per group. Two passes: exact (min, max, count) per
+    group, then one groupBy into ``n_bins`` equal-width bins; quantile ``q``
+    resolves to the upper edge of the first bin whose cumulative count
+    reaches ``ceil(q * n)``. Error is bounded by one bin width. The
+    cumulative window runs over ≤ n_bins rows PER GROUP (sketch-sized,
+    parallel across groups), never over data; the per-group stats attach
+    via an AQE-broadcastable equi-join on the group key. Returns
+    (*group_cols, quantile, bin, approx_value).
     """
+    g = list(group_cols or [])
     x = F.col(col).cast("double")
-    stats = df.agg(
-        F.min(x).alias("__lo"), F.max(x).alias("__hi"), F.count(x).alias("__n")
-    )
+    aggs = [F.min(x).alias("__lo"), F.max(x).alias("__hi"), F.count(x).alias("__n")]
+    stats = df.groupBy(*g).agg(*aggs) if g else df.agg(*aggs)
+    with_stats = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
     binned = (
-        df.crossJoin(F.broadcast(stats))
+        with_stats
         .withColumn(
             "__w",
             F.when(F.col("__hi") > F.col("__lo"),
@@ -165,7 +169,7 @@ def histogram_quantile(df: DataFrame, col: str, quantiles: list[float],
                 F.lit(n_bins - 1),
             ),
         )
-        .groupBy("bin")
+        .groupBy(*g, "bin")
         .agg(F.count("*").alias("__cnt"),
              F.first("__lo").alias("__lo"), F.first("__w").alias("__w"),
              F.first("__n").alias("__n"))
@@ -174,58 +178,71 @@ def histogram_quantile(df: DataFrame, col: str, quantiles: list[float],
 
     cum = binned.withColumn(
         "__cum",
-        F.sum("__cnt").over(Window.orderBy("bin").rowsBetween(
+        F.sum("__cnt").over(Window.partitionBy(*g).orderBy("bin").rowsBetween(
             Window.unboundedPreceding, Window.currentRow)),
     )
     qs = F.explode(F.array(*[F.lit(float(q)) for q in quantiles])).alias("quantile")
     hits = (
-        cum.select(qs, "bin", "__cum", "__lo", "__w", "__n")
+        cum.select(*g, qs, "bin", "__cum", "__lo", "__w", "__n")
         .where(F.col("__cum") >= F.ceil(F.col("quantile") * F.col("__n")))
-        .groupBy("quantile")
+        .groupBy(*g, "quantile")
         .agg(F.min("bin").alias("bin"),
              F.first("__lo").alias("__lo"), F.first("__w").alias("__w"))
     )
     return (
         hits.select(
+            *g,
             "quantile",
             "bin",
             F.round(F.col("__lo") + (F.col("bin") + 1) * F.col("__w"), 4)
             .alias("approx_value"),
         )
-        .orderBy("quantile")
+        .orderBy(*g, "quantile")
     )
 
 
 def histogram_quantile_sql(table: str, col: str, quantiles: list[float],
-                           n_bins: int = 128) -> str:
+                           n_bins: int = 128,
+                           group_cols: list[str] | None = None) -> str:
     """DuckDB SQL mirror of :func:`histogram_quantile`."""
+    g = list(group_cols or [])
     qs = ", ".join(f"({float(q)})" for q in quantiles)
+    width = (
+        f"(CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {float(n_bins)} ELSE 1.0 END)"
+    )
+    gsel = "".join(f"{c}, " for c in g)
+    gq = "".join(f"t.{c}, " for c in g)
+    ggrp = ("GROUP BY " + ", ".join(g)) if g else ""
+    son = (" AND ".join(f"s.{c} = t.{c}" for c in g)) or "TRUE"
+    hon = (" AND ".join(f"s.{c} = h.{c}" for c in g)) or "TRUE"
+    bin_grp = ", ".join([f"t.{c}" for c in g] + ["bin"])
+    cum_part = ("PARTITION BY " + ", ".join(g)) if g else ""
+    hit_grp = ", ".join([f"cum.{c}" for c in g] + ["q.quantile"])
+    hsel = "".join(f"cum.{c}, " for c in g)
     return f"""
 WITH stats AS (
-  SELECT min(({col})::DOUBLE) AS lo, max(({col})::DOUBLE) AS hi,
+  SELECT {gsel}min(({col})::DOUBLE) AS lo, max(({col})::DOUBLE) AS hi,
          count(({col})::DOUBLE) AS n
-  FROM {table}
+  FROM {table} {ggrp}
 ), binned AS (
-  SELECT least(floor((({col})::DOUBLE - s.lo) /
-               (CASE WHEN s.hi > s.lo THEN (s.hi - s.lo) / {float(n_bins)}
-                     ELSE 1.0 END))::INTEGER, {n_bins - 1}) AS bin,
+  SELECT {gq}least(floor((({col})::DOUBLE - s.lo) / {width})::INTEGER,
+               {n_bins - 1}) AS bin,
          count(*) AS cnt
-  FROM {table}, stats s GROUP BY 1
+  FROM {table} t JOIN stats s ON {son} GROUP BY {bin_grp}
 ), cum AS (
-  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS c FROM binned
+  SELECT {gsel}bin, sum(cnt) OVER ({cum_part} ORDER BY bin) AS c FROM binned
 ), q AS (
   SELECT quantile::DOUBLE AS quantile FROM (VALUES {qs}) t(quantile)
 ), hit AS (
-  SELECT q.quantile, min(cum.bin) AS bin
-  FROM q, cum, stats s
+  SELECT {hsel}q.quantile, min(cum.bin) AS bin
+  FROM q, cum JOIN stats s ON {(" AND ".join(f"s.{c} = cum.{c}" for c in g)) or "TRUE"}
   WHERE cum.c >= ceil(q.quantile * s.n)
-  GROUP BY q.quantile
+  GROUP BY {hit_grp}
 )
-SELECT h.quantile, h.bin::INTEGER AS bin,
-       round(s.lo + (h.bin + 1) * (CASE WHEN s.hi > s.lo
-             THEN (s.hi - s.lo) / {float(n_bins)} ELSE 1.0 END), 4)
-         AS approx_value
-FROM hit h, stats s ORDER BY h.quantile
+SELECT {"".join(f"h.{c}, " for c in g)}h.quantile, h.bin::INTEGER AS bin,
+       round(s.lo + (h.bin + 1) * {width}, 4) AS approx_value
+FROM hit h JOIN stats s ON {hon}
+ORDER BY {"".join(f"h.{c}, " for c in g)}h.quantile
 """
 
 

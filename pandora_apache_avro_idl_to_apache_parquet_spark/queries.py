@@ -2277,6 +2277,22 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SKETCH_CMS = sketches.cms_frequency_sql("lineitem", "l_partkey", width=256, depth=4)
 
 
+def q_sketch_grouped_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram quantiles: median and p95 of l_extendedprice per
+    returnflag — bins and cumulative windows are sketch-sized PER GROUP and
+    run in parallel across groups."""
+    return sketches.histogram_quantile(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", [0.5, 0.95],
+        n_bins=64, group_cols=["l_returnflag"],
+    )
+
+
+O_SKETCH_GROUPED_QUANTILE = sketches.histogram_quantile_sql(
+    "lineitem", "l_extendedprice", [0.5, 0.95], n_bins=64,
+    group_cols=["l_returnflag"],
+)
+
+
 _BLOOM_BITS, _BLOOM_K = 1 << 12, 3
 
 
@@ -2345,6 +2361,78 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     benchmark = docs.where(F.col("doc_id") % 37 == 0)
     return decontaminate_bloom(docs, benchmark, k=8).select("doc_id", "source")
+
+
+# ------------------------------------------------------------ skew handling
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-robust salted join: lineitem joins orders on a salted
+    (orderkey, md5-salt) key — a hot orderkey spreads across 16 reducers —
+    then aggregates revenue per priority. Output is provably identical to
+    the unsalted join, which is exactly what the oracle runs."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        li, orders, on="l_orderkey",
+        row_key=["l_orderkey", "l_linenumber"], n_salt=16,
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+O_SKEW_SALTED_JOIN = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark over the events
+    stream keeps O(keys-in-window) state; run to completion with
+    availableNow the surviving set is exactly the batch distinct, which the
+    oracle computes."""
+    from .streaming.pipeline import dedup_stream
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(ev_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ded = dedup_stream(stream, ["user_id", "event_type"])
+    name = f"pandora_stream_dedup_{next(_SESSION_STREAM_SEQ)}"
+    q = (
+        ded.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+O_STREAMING_DEDUP = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -2421,6 +2509,7 @@ QUERIES: dict[str, tuple] = {
     "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
     "sketch_histogram_quantile": (q_sketch_quantile, O_SKETCH_QUANTILE),
     "sketch_cms_frequency": (q_sketch_cms, O_SKETCH_CMS),
+    "sketch_grouped_quantile": (q_sketch_grouped_quantile, O_SKETCH_GROUPED_QUANTILE),
     "sketch_bloom_membership": (q_sketch_bloom, _o_sketch_bloom()),
     "decontaminate_bloom": (q_decontaminate_bloom, O_DECONTAMINATE),
     # temporal operators
@@ -2430,6 +2519,9 @@ QUERIES: dict[str, tuple] = {
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
     "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
+    "streaming_dedup": (q_streaming_dedup, O_STREAMING_DEDUP),
+    # skew handling
+    "skew_salted_join": (q_skew_salted_join, O_SKEW_SALTED_JOIN),
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
     "avro_flatten": (q_avro_flatten, O_AVRO_FLATTEN),

@@ -33,6 +33,29 @@ def read_token_stream(spark: SparkSession, input_path: str,
     return reader.parquet(input_path)
 
 
+def dedup_stream(stream: DataFrame, keys: list[str],
+                 watermark_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on ``keys`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key seen
+    within the watermark horizon and evicts it once the event-time
+    watermark passes — O(distinct keys in window) state, not O(stream) —
+    which is the only safe shape for an unbounded stream (a bare
+    ``dropDuplicates`` on a stream accumulates state forever). Exactly-once
+    emission of the first arrival per key comes from the streaming
+    checkpoint, mirroring the batch `dedup.exact_duplicates` contract.
+
+    Watermarks require TIMESTAMP (LTZ); an NTZ event-time column is cast
+    through the session timezone, which `session.get_spark` pins to UTC so
+    the instant is unambiguous."""
+    return (
+        stream.withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
+        .withWatermark(watermark_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 def encode_stream(stream: DataFrame, out_dir: str, checkpoint_dir: str,
                   n_parts: int = 64, available_now: bool = False):
     """Encode a token stream micro-batch-wise via foreachBatch.

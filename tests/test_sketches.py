@@ -134,3 +134,12 @@ def test_decontaminate_bloom_matches_exact(spark):
                decontaminate_bloom(docs, benchmark, k=8, n_bits=512,
                                    n_hashes=2).collect()}
     assert bloomed == exact
+
+
+def test_grouped_quantile_matches_per_group_exact(spark, keyed):
+    # within each g, v is uniform 0..96 -> per-group medians align to ~48
+    out = histogram_quantile(keyed, "v", [0.5], n_bins=97, group_cols=["g"])
+    got = {(r.g, r.quantile): r.approx_value for r in out.collect()}
+    assert set(k[0] for k in got) == {"0", "1"}
+    for (g, _), v in got.items():
+        assert abs(v - 48) <= 2, (g, v)

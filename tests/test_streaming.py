@@ -100,3 +100,29 @@ def test_token_window_counts_batch_semantics(spark):
     assert starts == {0}  # tumbling windows aligned to the hour
     spans = {(r["window_end"] - r["window_start"]).total_seconds() for r in rows}
     assert spans == {3600.0}
+
+
+def test_dedup_stream_collapses_duplicates(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.streaming.pipeline import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    rows = [(1, "click", "2026-01-01 00:00:01"),
+            (1, "click", "2026-01-01 00:05:00"),  # dup key within watermark
+            (1, "view", "2026-01-01 00:00:02"),
+            (2, "click", "2026-01-01 00:00:03"),
+            (2, "click", "2026-01-01 00:00:03")]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts").cast("timestamp_ntz"))
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    name = "dedup_stream_test_sink"
+    q = (dedup_stream(stream, ["user_id", "event_type"])
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.user_id, r.event_type)
+                 for r in spark.table(name).select("user_id", "event_type").collect())
+    assert got == [(1, "click"), (1, "view"), (2, "click")]
