@@ -52,8 +52,14 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "sketch_hll_distinct",
+    "sketch_hll_merge",
     "sketch_histogram_quantile",
+    "sketch_grouped_quantile",
     "sketch_cms_frequency",
+    "sketch_bloom_membership",
+    "skew_salted_join",
+    "decontaminate_bloom",
+    "streaming_dedup",
     "interleave_mix",
     "asof_join",
     "hypertable_rollup",

@@ -31,6 +31,8 @@ from ..functions.hashing import duck_md5_long, spark_md5_long
 
 __all__ = [
     "hll_distinct",
+    "hll_partial",
+    "hll_merge",
     "hll_distinct_sql",
     "histogram_quantile",
     "histogram_quantile_sql",
@@ -49,6 +51,41 @@ def _hll_alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
+def hll_partial(df: DataFrame, group_cols: list[str], col: str,
+                p: int = 8, seed: int = 42) -> DataFrame:
+    """Mergeable HLL state: one (group..., hll_reg, hll_rho) row per touched
+    register. Because registers are a pure md5 function of the value,
+    partials computed over ANY disjoint (or even overlapping) slices merge
+    by register-max into exactly the state a direct pass produces — the
+    pre-aggregated-sketch warehouse pattern (persist per-day partials,
+    merge at query time)."""
+    m = 1 << p
+    W = _HASH_BITS - p
+    R = W + 1
+    h = spark_md5_long(f"concat('{seed}:', cast({col} as string))")
+    rho = (
+        f"CASE WHEN ({h}) div {m} = 0 THEN {R} "
+        f"ELSE {W} - length(bin(({h}) div {m})) + 1 END"
+    )
+    return (
+        df.groupBy(*group_cols, F.expr(f"({h}) % {m}").alias("hll_reg"))
+        .agg(F.expr(f"max({rho})").alias("hll_rho"))
+    )
+
+
+def hll_merge(partials: DataFrame, group_cols: list[str],
+              p: int = 8, out_name: str = "est_distinct") -> DataFrame:
+    """Merge :func:`hll_partial` tables (register max — commutative,
+    associative, idempotent, so re-merges and overlaps are safe) and emit
+    the estimate per ``group_cols``; partial columns beyond ``group_cols``
+    (e.g. the slice key) simply collapse."""
+    regs = (
+        partials.groupBy(*group_cols, "hll_reg")
+        .agg(F.max("hll_rho").alias("hll_rho"))
+    )
+    return _hll_estimate(regs, group_cols, p, out_name)
+
+
 def hll_distinct(df: DataFrame, group_cols: list[str], col: str,
                  p: int = 8, seed: int = 42,
                  out_name: str = "est_distinct") -> DataFrame:
@@ -62,26 +99,25 @@ def hll_distinct(df: DataFrame, group_cols: list[str], col: str,
     linear-counting fallback for the small range. Two partial-aggregatable
     groupBys: (group, register) -> max(rho), then group -> estimate; the
     register sum rides an exact int64 (``2^(R-rho)`` scaled), so the result
-    is partition-order-independent.
+    is partition-order-independent. Composes as
+    ``hll_merge(hll_partial(df, ...))``.
     """
+    return _hll_estimate(
+        hll_partial(df, group_cols, col, p=p, seed=seed),
+        group_cols, p, out_name,
+    )
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list[str], p: int,
+                  out_name: str) -> DataFrame:
     m = 1 << p
-    W = _HASH_BITS - p
-    R = W + 1
-    h = spark_md5_long(f"concat('{seed}:', cast({col} as string))")
-    rho = (
-        f"CASE WHEN ({h}) div {m} = 0 THEN {R} "
-        f"ELSE {W} - length(bin(({h}) div {m})) + 1 END"
-    )
-    regs = (
-        df.groupBy(*group_cols, F.expr(f"({h}) % {m}").alias("__reg"))
-        .agg(F.expr(f"max({rho})").alias("__rho"))
-    )
+    R = _HASH_BITS - p + 1
     C = _hll_alpha(m) * m * m * float(2 ** R)  # numerator in scaled-int space
     est = (
         regs.groupBy(*group_cols)
         .agg(
             F.count("*").alias("__nz"),
-            F.expr(f"sum(shiftleft(cast(1 as bigint), {R} - __rho))").alias("__s"),
+            F.expr(f"sum(shiftleft(cast(1 as bigint), {R} - hll_rho))").alias("__s"),
         )
         .withColumn("__v", F.lit(m) - F.col("__nz"))
         .withColumn("__raw", F.lit(C) / (F.col("__s") + F.col("__v") * F.lit(1 << R)))

@@ -2250,6 +2250,20 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 O_SKETCH_HLL = sketches.hll_distinct_sql("lineitem", ["l_returnflag"], "l_orderkey", p=8)
 
 
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated-sketch pattern: per-(returnflag, shipdate-month) HLL
+    partials merge by register max into per-returnflag estimates. The
+    oracle is the DIRECT single-pass HLL — merge must reproduce it exactly,
+    which is the whole point of mergeable sketch state."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_trunc("month", F.col("l_shipdate"))
+    )
+    partials = sketches.hll_partial(
+        li, ["l_returnflag", "ship_month"], "l_orderkey", p=8
+    )
+    return sketches.hll_merge(partials, ["l_returnflag"], p=8)
+
+
 def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles of l_extendedprice (128 bins): deterministic
     approximate percentiles with error ≤ one bin width, no data-sized
@@ -2507,6 +2521,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
     # approximate sketches
     "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
+    "sketch_hll_merge": (q_sketch_hll_merge, O_SKETCH_HLL),
     "sketch_histogram_quantile": (q_sketch_quantile, O_SKETCH_QUANTILE),
     "sketch_cms_frequency": (q_sketch_cms, O_SKETCH_CMS),
     "sketch_grouped_quantile": (q_sketch_grouped_quantile, O_SKETCH_GROUPED_QUANTILE),

@@ -143,3 +143,24 @@ def test_grouped_quantile_matches_per_group_exact(spark, keyed):
     assert set(k[0] for k in got) == {"0", "1"}
     for (g, _), v in got.items():
         assert abs(v - 48) <= 2, (g, v)
+
+
+def test_hll_merge_equals_direct_even_with_overlap(spark, keyed):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+        hll_merge,
+        hll_partial,
+    )
+
+    direct = {(r.g, r.est_distinct) for r in
+              hll_distinct(keyed, ["g"], "k", p=8).collect()}
+    # disjoint slices by v-range
+    sliced = keyed.withColumn("slc", (F.col("v") < 50).cast("int"))
+    merged = {(r.g, r.est_distinct) for r in
+              hll_merge(hll_partial(sliced, ["g", "slc"], "k", p=8),
+                        ["g"], p=8).collect()}
+    assert merged == direct
+    # overlapping partials (full table twice) — register max is idempotent
+    p1 = hll_partial(keyed, ["g"], "k", p=8)
+    twice = {(r.g, r.est_distinct) for r in
+             hll_merge(p1.unionByName(p1), ["g"], p=8).collect()}
+    assert twice == direct

@@ -60,3 +60,39 @@ def test_salted_join_validation(spark, skewed, dim):
         salted_join(skewed, dim, on="k", row_key=["rid"], how="full")
     with pytest.raises(ValueError, match="row_key"):
         salted_join(skewed, dim, on="k", row_key=[])
+
+
+def test_salted_join_plan_shuffles_on_salt(spark, skewed, dim):
+    # with broadcast off, the equi-join must hash-partition on (k, __salt) —
+    # the hot key's rows land on n_salt reducers by construction
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            salted_join(skewed, dim, on="k", row_key=["rid"], n_salt=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "__salt" in plan.split("Scan")[0], plan[:2000]
+
+
+def test_bloom_probe_plan_no_shuffle_on_probed_side(spark, skewed):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(100).select(F.col("id").alias("v"))
+    bloom = bloom_build(members, "v", n_bits=2048)
+    probed = bloom_probe(skewed.select(F.col("rid").alias("v")), "v", bloom,
+                         n_bits=2048)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probed side joins the one-row bloom via broadcast; Exchanges are
+    # fine inside the bloom BUILD subtree (sketch-sized groupBys) but the
+    # probe branch — between the join node and its BroadcastExchange —
+    # must be shuffle-free
+    lines = plan.splitlines()
+    start = next(i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln)
+    end = next(i for i in range(start, len(lines)) if "BroadcastExchange" in lines[i])
+    probe_branch = lines[start + 1:end]
+    assert not any("Exchange" in ln for ln in probe_branch), "\n".join(probe_branch)
