@@ -51,7 +51,7 @@ from __future__ import annotations
 import json
 import posixpath
 import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import date
 
 import numpy as np
@@ -135,10 +135,12 @@ def _logical_of(dt: T.DataType) -> str:
 
 @dataclass
 class TableSpec:
-    """Source schema + key columns, serialized to the ``_schema.json`` sidecar."""
+    """Source schema + key columns (+ optional per-chunk bloom columns),
+    serialized to the ``_schema.json`` sidecar."""
 
     schema: T.StructType
     key_cols: list[str]
+    bloom_cols: list[str] = field(default_factory=list)
 
     @property
     def logicals(self) -> dict[str, str]:
@@ -147,13 +149,14 @@ class TableSpec:
     def to_json(self) -> str:
         return json.dumps(
             {"schema": self.schema.jsonValue(), "key": self.key_cols,
-             "logical": self.logicals}
+             "bloom": self.bloom_cols, "logical": self.logicals}
         )
 
     @classmethod
     def from_json(cls, s: str) -> "TableSpec":
         d = json.loads(s)
-        return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"])
+        return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"],
+                   bloom_cols=d.get("bloom", []))
 
 
 def _meta_fields(spec: "TableSpec") -> list[T.StructField]:
@@ -193,18 +196,104 @@ def chunk_schema_for(spec: TableSpec) -> T.StructType:
             T.StructField(f"{f.name}__valid", T.BinaryType(), True),
             T.StructField(f"{f.name}__payload", T.BinaryType(), False),
         ]
+        if f.name in spec.bloom_cols:
+            # per-chunk bloom filter words (point-lookup pruning on columns
+            # the key sort can't zone-map tightly); None = all-null chunk
+            fields.append(T.StructField(f"{f.name}__bloom", T.BinaryType(), True))
     return T.StructType(fields)
 
 
+# -------------------------------------------------- per-chunk bloom filters
+# min/max zone maps prune range predicates on the SORT key tightly, but a
+# point lookup on an unsorted high-cardinality column (every chunk spans
+# nearly the full value range) prunes nothing. A small per-chunk bloom
+# (4096 bits = 66 int64 words per column-chunk) answers "value definitely
+# absent" per chunk, so a point lookup decodes only the handful of chunks
+# that may contain it. Words hold 63 bits (sign bit unused) so the probe
+# predicate's conv(hex(substring(...))) word extraction never overflows a
+# signed int64; the predicate is a plain expression over the chunk scan and
+# composes with zone maps in `chunk_filter`. Internal to the store (both
+# build and probe are this module), so the hash is md5 of the value's
+# canonical string — no cross-engine contract needed.
+
+_CHUNK_BLOOM_BITS = 4096
+_CHUNK_BLOOM_K = 3
+_CHUNK_BLOOM_WORD = 63
+_BLOOMABLE = {"byte", "short", "int", "long", "string", "date", "bool"}
+
+
+def _bloom_positions_of(canon: str) -> list[int]:
+    """Kirsch-Mitzenmacher double hashing from one md5."""
+    import hashlib as _hashlib
+
+    d = _hashlib.md5(canon.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [((h1 + i * h2) % (1 << 61)) % _CHUNK_BLOOM_BITS
+            for i in range(_CHUNK_BLOOM_K)]
+
+
+def _chunk_bloom(arr: pa.Array) -> bytes | None:
+    """Bloom words for one column-chunk (canonical string per value; nulls
+    skipped; all-null chunk -> None = 'prune nothing' conservative)."""
+    import pyarrow.compute as pc
+
+    vals = pc.cast(arr.drop_null(), pa.string()).to_pylist()
+    if not vals:
+        return None
+    n_words = -(-_CHUNK_BLOOM_BITS // _CHUNK_BLOOM_WORD)
+    words = np.zeros(n_words, dtype=np.int64)
+    for v in vals:
+        for p in _bloom_positions_of(v):
+            w, b = divmod(p, _CHUNK_BLOOM_WORD)
+            words[w] |= np.int64(1) << np.int64(b)
+    return words.astype(">i8").tobytes()
+
+
+def _canon_probe(value) -> str:
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def bloom_value_predicate(column: str, value) -> "F.Column":
+    """``chunk_filter`` fragment: TRUE iff the chunk's bloom MAY contain
+    ``value`` (missing/None bloom keeps the chunk — provably conservative,
+    exactly like the DataSource's residual-filter contract)."""
+    checks = []
+    for p in _bloom_positions_of(_canon_probe(value)):
+        w, b = divmod(p, _CHUNK_BLOOM_WORD)
+        word = (
+            f"cast(conv(hex(substring({column}__bloom, {8 * w + 1}, 8)), 16, 10) "
+            f"as bigint)"
+        )
+        checks.append(
+            f"(({word}) & shiftleft(cast(1 as bigint), {b})) != 0"
+        )
+    return F.expr(
+        f"({column}__bloom IS NULL) OR ({' AND '.join(checks)})"
+    )
+
+
 def _prepare_spec(io: FsIO, df_schema: T.StructType,
-                  key_cols: list[str]) -> TableSpec:
+                  key_cols: list[str],
+                  bloom_cols: list[str] | None = None) -> TableSpec:
     """Create or evolve the ``_schema.json`` sidecar (append-only schema
     evolution, the reference's Delta ``metaData`` schema-evolve contract,
     ``DeltaLake.fs:176-444``): new columns may be ADDED if nullable; existing
     columns must keep name+type; key columns are immutable. Old chunk files
     simply lack the new columns' payloads and decode as nulls."""
-    new_spec = TableSpec(schema=df_schema, key_cols=list(key_cols))
-    new_spec.logicals  # validates every column type is supported
+    new_spec = TableSpec(schema=df_schema, key_cols=list(key_cols),
+                         bloom_cols=list(bloom_cols or []))
+    logicals = new_spec.logicals  # validates every column type is supported
+    for b in new_spec.bloom_cols:
+        if b not in logicals:
+            raise ValueError(f"bloom column {b!r} not in schema")
+        if logicals[b] not in _BLOOMABLE:
+            raise ValueError(
+                f"bloom column {b!r} has logical {logicals[b]!r}; only "
+                f"{sorted(_BLOOMABLE)} canonicalize stably for bloom probes"
+            )
     sidecar = io.join("_schema.json")
     if not io.exists(sidecar):
         io.makedirs(io.base)
@@ -216,6 +305,11 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
     if old.key_cols != list(key_cols):
         raise ValueError(
             f"key columns are immutable: encoded with {old.key_cols}, got {list(key_cols)}"
+        )
+    if bloom_cols is not None and list(bloom_cols) != old.bloom_cols:
+        raise ValueError(
+            f"bloom columns are immutable: encoded with {old.bloom_cols}, "
+            f"got {list(bloom_cols)}"
         )
     old_fields = {f.name: f for f in old.schema.fields}
     new_fields = {f.name: f for f in df_schema.fields}
@@ -235,7 +329,8 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
     if bad:
         raise ValueError(f"new columns must be nullable (old chunks decode them as null): {bad}")
     merged = TableSpec(
-        schema=T.StructType(list(old.schema.fields) + added), key_cols=list(key_cols)
+        schema=T.StructType(list(old.schema.fields) + added),
+        key_cols=list(key_cols), bloom_cols=old.bloom_cols,
     )
     io.publish_bytes(sidecar, merged.to_json().encode(),
                      attempt_tag=uuid.uuid4().hex[:8])
@@ -554,6 +649,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
             row[f"{name}__min"], row[f"{name}__max"] = _min_max(arr)
             row[f"{name}__valid"] = valid_payload
             row[f"{name}__payload"] = payload
+            if name in spec.bloom_cols:
+                row[f"{name}__bloom"] = _chunk_bloom(arr)
             hasher_parts.append(payload)
             if valid_payload:
                 hasher_parts.append(valid_payload)
@@ -632,7 +729,8 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
                  pds: date | None = None,
                  fail_parts: set[int] | None = None,
                  io: FsIO | None = None,
-                 run: str = "r0") -> DataFrame:
+                 run: str = "r0",
+                 bloom_cols: list[str] | None = None) -> DataFrame:
     """Encode any supported-typed DataFrame; returns the manifest (long form).
 
     Same plan as :func:`..operators.encode.encode_tokens`: salted shuffle on
@@ -653,7 +751,7 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-    spec = _prepare_spec(io, df.schema, list(key_cols))
+    spec = _prepare_spec(io, df.schema, list(key_cols), bloom_cols)
 
     keyed = df.withColumn(
         "part_id", F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
@@ -1179,6 +1277,36 @@ def lookup_key_range(spark: SparkSession, out_dir: str, lo, hi,
     pruned = (F.col("key_max") >= F.lit(lo)) & (F.col("key_min") <= F.lit(hi))
     dec = decode_table(spark, out_dir, columns=columns, io=io, chunk_filter=pruned)
     return dec.filter(F.col(k0).between(F.lit(lo), F.lit(hi)))
+
+
+def lookup_value(spark: SparkSession, out_dir: str, column: str, value,
+                 columns: list[str] | None = None,
+                 io: FsIO | None = None) -> DataFrame:
+    """Point lookup ``column = value`` on ANY column with chunk pruning.
+
+    Prunes with both available structures and the exact filter last:
+    * the typed per-column min/max zone map (tight when ``column`` is the
+      sort key, loose otherwise);
+    * the per-chunk bloom filter when the table was encoded with ``column``
+      in ``bloom_cols`` — the structure that actually prunes point lookups
+      on unsorted high-cardinality columns, where every chunk's min/max
+      spans nearly the full range.
+    Both prune conservatively (null stats/bloom keep the chunk); surviving
+    chunks decode only the requested ``columns``.
+    """
+    spec = read_table_spec(out_dir, io)
+    if columns is not None and column not in columns:
+        columns = [column] + list(columns)
+    zmap = (
+        F.col(f"{column}__min").isNull()
+        | ((F.col(f"{column}__min") <= F.lit(value))
+           & (F.col(f"{column}__max") >= F.lit(value)))
+    )
+    pred = zmap
+    if column in spec.bloom_cols:
+        pred = pred & bloom_value_predicate(column, value)
+    dec = decode_table(spark, out_dir, columns=columns, io=io, chunk_filter=pred)
+    return dec.filter(F.col(column) == F.lit(value))
 
 
 def column_range_filter(name: str, lo, hi):

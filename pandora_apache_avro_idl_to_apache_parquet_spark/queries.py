@@ -367,6 +367,52 @@ def _table_encode_input(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TABLE_ENCODE_PARTS = 8
 
 
+def _bloom_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Separate cached encode with per-chunk blooms on the unsorted
+    l_partkey column (the shared store's schema stays untouched so its
+    round-trip oracles keep their column set)."""
+    from .operators.table import completed_table_parts, encode_table
+
+    key = hashlib.md5(
+        f"tblbloom1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tblb_{key}")
+    if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"
+            ),
+            out,
+            key_cols=["l_orderkey", "l_linenumber"],
+            n_parts=_TABLE_ENCODE_PARTS,
+            bloom_cols=["l_partkey"],
+        )
+    return out
+
+
+def q_table_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on an UNSORTED column of the encoded store: the
+    key-sorted chunks' l_partkey min/max spans prune nothing, so the
+    per-chunk bloom filter does the work — only chunks whose bloom admits
+    the value decode. Result = the plain SQL filter."""
+    from .operators.table import lookup_value
+
+    out = _bloom_table_dir(spark, sf_dir)
+    return (
+        lookup_value(spark, out, "l_partkey", 42)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+O_TABLE_BLOOM_LOOKUP = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem WHERE l_partkey = 42
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import completed_table_parts, encode_table
 
@@ -2466,6 +2512,7 @@ QUERIES: dict[str, tuple] = {
     "table_selective_stats": (q_table_selective_stats, O_TABLE_SELECTIVE_STATS),
     "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
+    "table_bloom_lookup": (q_table_bloom_lookup, O_TABLE_BLOOM_LOOKUP),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),

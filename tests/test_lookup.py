@@ -44,3 +44,74 @@ def test_lookup_prunes_chunks(spark, encoded):
 def test_lookup_missing_doc_is_empty(spark, encoded):
     out, _ = encoded
     assert lookup_docs(spark, out, ["zzz-does-not-exist"]).count() == 0
+
+
+# ------------------------------------------------------ per-chunk bloom
+
+
+@pytest.fixture(scope="module")
+def bloom_table(spark, tmp_path_factory):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table,
+    )
+
+    out = str(tmp_path_factory.mktemp("bloomtab"))
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7919 % 100000).alias("pk"),
+        F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")).alias("user"),
+    )
+    encode_table(df, out, key_cols=["k"], n_parts=4, chunk_rows=1024,
+                 bloom_cols=["pk", "user"])
+    return out, df
+
+
+def test_bloom_lookup_exact_rows_with_pruning(spark, bloom_table):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        bloom_value_predicate,
+        lookup_value,
+        read_table_chunks,
+    )
+
+    out, df = bloom_table
+    probe = 3 * 7919 % 100000
+    rows = lookup_value(spark, out, "pk", probe).collect()
+    want = sorted(map(tuple, df.filter(F.col("pk") == probe).collect()))
+    assert sorted(map(tuple, rows)) == want
+
+    chunks = read_table_chunks(spark, out)
+    total = chunks.count()
+    surv = chunks.filter(bloom_value_predicate("pk", probe)).count()
+    # pk is unsorted: zone maps prune ~nothing, the bloom must (1024 values
+    # in 4096 bits -> FP ~15%, so the survivor set stays a small fraction)
+    assert total == 20 and surv <= total // 2, (total, surv)
+
+
+def test_bloom_lookup_absent_value_and_string_column(spark, bloom_table):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        lookup_value,
+    )
+
+    out, df = bloom_table
+    assert lookup_value(spark, out, "pk", 99999999).count() == 0
+    got = lookup_value(spark, out, "user", "u123").count()
+    assert got == df.filter(F.col("user") == "u123").count() == 4
+
+
+def test_bloom_cols_validation_and_immutability(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("x")
+    )
+    with pytest.raises(ValueError, match="bloom column"):
+        encode_table(df, str(tmp_path / "a"), key_cols=["k"], n_parts=1,
+                     bloom_cols=["x"])  # float: no stable canonicalization
+    out = str(tmp_path / "b")
+    encode_table(df.select("k"), out, key_cols=["k"], n_parts=1,
+                 bloom_cols=["k"])
+    with pytest.raises(ValueError, match="immutable"):
+        encode_table(df.select("k"), out, key_cols=["k"], n_parts=1,
+                     bloom_cols=[], run="r1")
