@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "table_time_travel",
     "table_sql_agg",
     "table_datasource_sql",
+    "table_bloom_lookup",
     "avro_flatten",
     "avro_binary_flatten",
     "q1_pricing_summary",
