@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "table_sql_agg",
     "table_datasource_sql",
     "table_bloom_lookup",
+    "table_delete_where",
+    "table_merge_upsert",
+    "table_stats_pushdown",
     "avro_flatten",
     "avro_binary_flatten",
     "q1_pricing_summary",

@@ -596,11 +596,18 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
 
 def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                             chunk_rows: int, pds: date,
-                            fail_parts=None, run: str = "r0") -> pa.Table:
+                            fail_parts=None, run: str = "r0",
+                            marker_dir: str = "_checkpoints") -> pa.Table:
     """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
     checkpoint marker (same publication contract as the token kernel).
     ``run`` namespaces files/markers so append runs into one table dir never
-    collide with earlier runs' parts."""
+    collide with earlier runs' parts.
+
+    ``marker_dir`` defaults to the resume/commit checkpoint dir; rewrite jobs
+    (:func:`delete_where` / :func:`merge_table`) pass ``"_rewrites"`` so their
+    files are NEVER auto-committed by ``write_commit_log``'s marker gate — a
+    rewrite becomes visible only through its own single add+remove log entry,
+    and a crash before that entry leaves pure orphans for ``vacuum``."""
     import time
 
     import pyarrow.compute as pc
@@ -664,7 +671,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     chunk_schema = to_arrow_schema(chunk_schema_for(spec))
     out = pa.Table.from_pylist(rows, schema=chunk_schema)
 
-    data_dir, ckpt_dir = io.join("data"), io.join("_checkpoints")
+    data_dir, ckpt_dir = io.join("data"), io.join(marker_dir)
     io.makedirs(data_dir)
     io.makedirs(ckpt_dir)
     tag = uuid.uuid4().hex[:8]
@@ -1012,7 +1019,8 @@ def decode_table(spark: SparkSession, out_dir: str,
                  columns: list[str] | None = None,
                  io: FsIO | None = None,
                  chunk_filter=None,
-                 as_of: int | None = None) -> DataFrame:
+                 as_of: int | None = None,
+                 meta_cols: list[str] | None = None) -> DataFrame:
     """Decode chunk files back to the source table, bit-identically.
 
     ``columns`` selects a subset — only those payload/validity columns are
@@ -1024,6 +1032,13 @@ def decode_table(spark: SparkSession, out_dir: str,
     table as of that commit-log index (appends/compactions after it are
     invisible; schema-on-read under the CURRENT sidecar schema, so columns
     added later decode as null at old versions).
+
+    ``meta_cols`` appends chunk-level ROW PROVENANCE columns, replicated per
+    decoded row: any chunk meta field (``run``, ``part_id``, ``chunk_id``,
+    ``chunk_seq``, ...) plus the synthetic ``__src_file`` (basename of the
+    chunk parquet file the row lives in — the copy-on-write rewrite unit
+    :func:`delete_where`/:func:`merge_table` operate on). ``chunk_filter``
+    may reference them too.
     """
     spec = read_table_spec(out_dir, io)
     logicals = spec.logicals
@@ -1033,8 +1048,22 @@ def decode_table(spark: SparkSession, out_dir: str,
         if missing:
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
         fields.sort(key=lambda f: columns.index(f.name))
+    meta_cols = list(meta_cols or [])
+    chunk_fields = {f.name: f for f in chunk_schema_for(spec).fields}
+    for m in meta_cols:
+        if m in {f.name for f in spec.schema.fields}:
+            raise ValueError(f"meta column {m!r} collides with a table column")
+        if m != "__src_file" and (
+            m not in chunk_fields or m.endswith(("__payload", "__valid"))
+        ):
+            raise ValueError(f"unknown meta column {m!r}")
+    meta_struct = [
+        T.StructField(m, T.StringType() if m == "__src_file"
+                      else chunk_fields[m].dataType, True)
+        for m in meta_cols
+    ]
     out_struct = T.StructType(
-        [T.StructField(f.name, f.dataType, True) for f in fields]
+        [T.StructField(f.name, f.dataType, True) for f in fields] + meta_struct
     )
 
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -1044,6 +1073,7 @@ def decode_table(spark: SparkSession, out_dir: str,
     select_cols = ["n_rows"]
     for name in names:
         select_cols += [f"{name}__valid", f"{name}__payload"]
+    select_cols += meta_cols
 
     def gen(it):
         for batch in it:
@@ -1063,9 +1093,16 @@ def decode_table(spark: SparkSession, out_dir: str,
                         _decode_column(vp, pl, logicals[name], n,
                                        arrow_out.field(name).type)
                     )
+                for m in meta_cols:
+                    arrays.append(pa.repeat(
+                        cols[m][i].cast(arrow_out.field(m).type), n))
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
     chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
+    if "__src_file" in meta_cols:
+        chunks = chunks.withColumn(
+            "__src_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
     if chunk_filter is not None:
         chunks = chunks.filter(chunk_filter)
     return chunks.select(*select_cols).mapInArrow(gen, schema=out_struct)
@@ -1317,3 +1354,252 @@ def column_range_filter(name: str, lo, hi):
     for conjunctive predicates. The caller applies the residual row filter
     after decode (zone maps prune chunks, not rows)."""
     return (F.col(f"{name}__max") >= F.lit(lo)) & (F.col(f"{name}__min") <= F.lit(hi))
+
+
+# ----------------------------------------------- metadata-only statistics
+
+
+def table_stats(spark: SparkSession, out_dir: str,
+                columns: list[str] | None = None,
+                io: FsIO | None = None,
+                as_of: int | None = None) -> DataFrame:
+    """Exact per-column statistics WITHOUT reading any payload byte.
+
+    Total rows, null count, min and max per column, aggregated from the
+    chunk zone maps alone — the same answer a full decode + aggregate gives,
+    because chunk stats are computed from the actual values at encode time
+    (never truncated the way parquet footer string stats can be). At 100 TB
+    this turns ``SELECT count(*), min(x), max(x)`` into a parquet scan of a
+    few small stat columns over the chunk rows (~1e-5 of the data), one
+    map-side-combined aggregate, zero decode.
+
+    Schema-evolved chunks predate added columns entirely (their stat cells
+    are null) and count as all-null — ``coalesce(col__nulls, n_rows)``.
+    Output: one row per column ``(column, n_rows, n_nulls, min_value,
+    max_value)`` with min/max stringified (binary hex-encoded), the
+    :func:`read_table_manifest` convention, so the row type is homogeneous
+    across columns.
+    """
+    spec = read_table_spec(out_dir, io)
+    fields = [f for f in spec.schema.fields if columns is None or f.name in columns]
+    if columns is not None:
+        missing = set(columns) - {f.name for f in fields}
+        if missing:
+            raise ValueError(f"columns not in encoded table: {sorted(missing)}")
+        fields.sort(key=lambda f: columns.index(f.name))
+    chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
+    aggs = [F.sum("n_rows").alias("__rows")]
+    for f in fields:
+        aggs += [
+            F.sum(F.coalesce(F.col(f"{f.name}__nulls"), F.col("n_rows")))
+            .alias(f"{f.name}__tn"),
+            F.min(f"{f.name}__min").alias(f"{f.name}__mn"),
+            F.max(f"{f.name}__max").alias(f"{f.name}__mx"),
+        ]
+
+    def _s(name: str, which: str):
+        col = F.col(f"{name}__{which}")
+        if spec.logicals[name] == "binary":
+            return F.hex(col).alias(f"{which}_value")
+        return col.cast("string").alias(f"{which}_value")
+
+    per_col = [
+        F.struct(
+            F.lit(f.name).alias("column"),
+            F.col("__rows").alias("n_rows"),
+            F.col(f"{f.name}__tn").alias("n_nulls"),
+            _s(f.name, "mn").alias("min_value"),
+            _s(f.name, "mx").alias("max_value"),
+        )
+        for f in fields
+    ]
+    return (
+        chunks.agg(*aggs)
+        .select(F.explode(F.array(*per_col)).alias("s"))
+        .select("s.*")
+    )
+
+
+# ------------------------------------------- row-level DELETE / MERGE (CoW)
+
+
+def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
+                 chunk_rows: int, pds: date, run: str) -> list[dict]:
+    """Run the grouped encode kernel for a copy-on-write rewrite and return
+    the ``add`` log dicts for every file it published. Markers go to
+    ``_rewrites/`` (not ``_checkpoints/``) so ``write_commit_log``'s marker
+    gate can never auto-commit a rewrite file: the rewrite becomes visible
+    only through its caller's single add+remove log entry, and a crash
+    before that entry leaves pure orphans for ``vacuum``."""
+    full = chunk_schema_for(spec)
+    manifest_struct = T.StructType(
+        [f for f in full.fields
+         if not (f.name.endswith("__payload") or f.name.endswith("__valid"))]
+    )
+
+    def kernel(table: pa.Table) -> pa.Table:
+        return _encode_table_partition(table, io, spec, chunk_rows, pds,
+                                       run=run, marker_dir="_rewrites")
+
+    (survivors.groupBy("part_id").applyInArrow(kernel, manifest_struct)
+     .write.format("noop").mode("overwrite").save())
+    adds: list[dict] = []
+    rw = io.join("_rewrites")
+    prefix = f"part-{run}-"
+    if io.isdir(rw):
+        for f in sorted(io.listdir(rw)):
+            if f.startswith(prefix) and f.endswith(".json"):
+                st = json.loads(io.read_text(posixpath.join(rw, f)))
+                adds.append({"add": {
+                    "path": st["file_name"], "size": st["file_size"],
+                    "sha256": st["file_sha256"],
+                    "partitionValues": {"pds": pds.isoformat()},
+                    "dataChange": True,
+                }})
+    return adds
+
+
+def _meta_entry(spec: TableSpec) -> dict:
+    chunk_schema = chunk_schema_for(spec)
+    return {"metaData": {"schemaString": chunk_schema.json(),
+                         "partitionColumns": ["pds"],
+                         "format": {"provider": "parquet"}}}
+
+
+def delete_where(spark: SparkSession, out_dir: str, condition,
+                 io: FsIO | None = None,
+                 chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                 pds: date | None = None,
+                 condition_cols: list[str] | None = None,
+                 chunk_filter=None) -> dict:
+    """Row-level DELETE with copy-on-write file rewrite + ONE atomic commit
+    (the Delta ``DELETE FROM`` contract over the reference's commit-log
+    protocol, ``DeltaLake.fs:176-444``).
+
+    ``condition`` is a Column over the table's source columns; rows where it
+    evaluates TRUE are deleted (FALSE *or NULL* rows survive — SQL DELETE
+    semantics). Two passes, both distributed:
+
+    1. *Detect*: decode (optionally only ``condition_cols``, and only chunks
+       passing ``chunk_filter`` — zone maps / blooms prune here) with
+       ``__src_file`` row provenance; one tiny aggregate yields the matched
+       file set + deleted-row count.
+    2. *Rewrite*: only matched files' chunks re-decode; survivors re-encode
+       grouped per original file (the CoW unit, so untouched files are never
+       rewritten). One ``append_log_entry`` holds the new adds AND the old
+       files' removes — log-gated readers switch atomically, ``as_of``
+       versions before the entry still see the pre-delete rows until
+       ``vacuum`` reclaims them.
+    """
+    from .encode import append_log_entry, committed_files
+
+    io = _io(out_dir, io)
+    if committed_files(out_dir, io) is None:
+        raise ValueError("delete_where requires a committed table (no _log found)")
+    spec = read_table_spec(out_dir, io)
+    pds = pds or date(2026, 1, 1)
+
+    probe = decode_table(spark, out_dir, columns=condition_cols, io=io,
+                         chunk_filter=chunk_filter, meta_cols=["__src_file"])
+    hits = probe.filter(condition).groupBy("__src_file").count().collect()
+    matched = sorted(r["__src_file"] for r in hits)
+    n_deleted = int(sum(r["count"] for r in hits))
+    if not matched:
+        return {"rows_deleted": 0, "files_rewritten": 0,
+                "files_removed": 0, "log": None}
+
+    run = f"dw{uuid.uuid4().hex[:8]}"
+    part_map = spark.createDataFrame(
+        [(f, i) for i, f in enumerate(matched)], "__src_file string, part_id int"
+    )
+    dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
+                       chunk_filter=F.col("__src_file").isin(matched))
+    survivors = (
+        dec.join(F.broadcast(part_map), "__src_file")
+        .filter(~F.coalesce(condition, F.lit(False)))
+        .drop("__src_file")
+    )
+    adds = _rewrite_job(survivors, io, spec, chunk_rows, pds, run)
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)] + adds
+        + [{"remove": {"path": f, "dataChange": True}} for f in matched],
+        io,
+    )
+    return {"rows_deleted": n_deleted, "files_rewritten": len(adds),
+            "files_removed": len(matched), "log": log}
+
+
+def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
+                io: FsIO | None = None,
+                chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                pds: date | None = None,
+                insert_parts: int = 8) -> dict:
+    """Upsert (Delta ``MERGE`` with whenMatchedUpdateAll +
+    whenNotMatchedInsertAll) keyed on the table's ``key_cols``, committed as
+    ONE atomic log entry.
+
+    Every target row whose key tuple appears in ``source`` is replaced by
+    the source rows carrying that key; source rows with unseen keys insert.
+    ``source`` must carry exactly the encoded schema (same names + types).
+    Plan: key-only provenance decode finds the matched file set (the
+    source's key side is the small one — AQE broadcasts it); matched files'
+    survivors (anti-join on keys) rewrite grouped per original file, source
+    rows encode into ``insert_parts`` fresh key-hashed files, and adds +
+    removes land in one ``append_log_entry`` so readers switch atomically.
+    Untouched files are never rewritten.
+    """
+    from .encode import append_log_entry, committed_files
+
+    io = _io(out_dir, io)
+    if committed_files(out_dir, io) is None:
+        raise ValueError("merge_table requires a committed table (no _log found)")
+    spec = read_table_spec(out_dir, io)
+    keys = spec.key_cols
+    want = {f.name: f.dataType for f in spec.schema.fields}
+    got = {f.name: f.dataType for f in source.schema.fields}
+    if got != want:
+        raise ValueError(
+            f"merge source schema must match the encoded table: want {want}, got {got}"
+        )
+    pds = pds or date(2026, 1, 1)
+    src = source.select(*[f.name for f in spec.schema.fields])
+    src_keys = src.select(*keys).distinct()
+
+    probe = decode_table(spark, out_dir, columns=list(keys), io=io,
+                         meta_cols=["__src_file"])
+    hits = (probe.join(src_keys, list(keys), "left_semi")
+            .groupBy("__src_file").count().collect())
+    matched = sorted(r["__src_file"] for r in hits)
+    n_replaced = int(sum(r["count"] for r in hits))
+
+    run = f"mg{uuid.uuid4().hex[:8]}"
+    inserts = src.withColumn(
+        "part_id",
+        (F.pmod(F.xxhash64(*keys), F.lit(insert_parts))
+         + F.lit(len(matched))).cast("int"),
+    )
+    if matched:
+        part_map = spark.createDataFrame(
+            [(f, i) for i, f in enumerate(matched)],
+            "__src_file string, part_id int",
+        )
+        dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
+                           chunk_filter=F.col("__src_file").isin(matched))
+        survivors = (
+            dec.join(F.broadcast(part_map), "__src_file")
+            .join(src_keys, list(keys), "left_anti")
+            .drop("__src_file")
+        )
+        new_rows = survivors.unionByName(inserts)
+    else:
+        new_rows = inserts
+    adds = _rewrite_job(new_rows, io, spec, chunk_rows, pds, run)
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)] + adds
+        + [{"remove": {"path": f, "dataChange": True}} for f in matched],
+        io,
+    )
+    return {"rows_replaced": n_replaced, "files_rewritten": len(adds),
+            "files_removed": len(matched), "log": log}

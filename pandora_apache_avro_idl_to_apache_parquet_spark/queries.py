@@ -413,6 +413,131 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def _mutable_table_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Cached encode that a row-level op (DELETE / MERGE) mutates exactly
+    once: the commit-log length is the 'already mutated' marker (encode
+    leaves one entry; the rewrite's atomic add+remove entry makes two), so
+    bench / oracle re-runs read the post-mutation table without rewriting
+    it again."""
+    from .operators.table import completed_table_parts, encode_table
+
+    key = hashlib.md5(
+        f"tblmut1:{kind}:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tblm_{kind}_{key}")
+    if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(
+            _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_returnflag",
+            ),
+            out,
+            key_cols=["l_orderkey", "l_linenumber"],
+            n_parts=_TABLE_ENCODE_PARTS,
+        )
+    return out
+
+
+def q_table_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the encoded store (Delta ``DELETE FROM``,
+    DeltaLake.fs:176-444): copy-on-write rewrite of only the files holding
+    matches, ONE atomic add+remove commit entry, untouched files never
+    rewritten. The decoded survivor set = the plain SQL anti-filter."""
+    from .operators.encode import log_versions
+    from .operators.table import decode_table, delete_where
+
+    out = _mutable_table_dir(spark, sf_dir, "del")
+    if len(log_versions(out)) < 2:
+        delete_where(spark, out, F.col("l_quantity") > 45.0,
+                     condition_cols=["l_quantity"])
+    return decode_table(spark, out)
+
+
+O_TABLE_DELETE_WHERE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE NOT (l_quantity > 45.0)
+"""
+
+
+def q_table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (Delta ``MERGE`` whenMatchedUpdateAll + whenNotMatchedInsertAll)
+    keyed on (l_orderkey, l_linenumber): line-1 rows get a doubled price
+    (updates), line-7 rows re-keyed past the key space insert as new rows;
+    ONE atomic commit entry. Decoded table = anti-join ∪ source in SQL."""
+    from .operators.encode import log_versions
+    from .operators.table import decode_table, merge_table
+
+    out = _mutable_table_dir(spark, sf_dir, "mrg")
+    if len(log_versions(out)) < 2:
+        base = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag",
+        )
+        updates = base.filter(F.col("l_linenumber") == 1).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") * 2
+        )
+        inserts = base.filter(F.col("l_linenumber") == 7).withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(100000000).cast("long")
+        )
+        merge_table(spark, out, updates.unionByName(inserts))
+    return decode_table(spark, out)
+
+
+O_TABLE_MERGE_UPSERT = """
+WITH src AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice * 2 AS l_extendedprice, l_returnflag
+  FROM lineitem WHERE l_linenumber = 1
+  UNION ALL
+  SELECT l_orderkey + 100000000, l_linenumber, l_quantity,
+         l_extendedprice, l_returnflag
+  FROM lineitem WHERE l_linenumber = 7
+)
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem t
+WHERE NOT EXISTS (SELECT 1 FROM src s
+                  WHERE s.l_orderkey = t.l_orderkey
+                    AND s.l_linenumber = t.l_linenumber)
+UNION ALL
+SELECT * FROM src
+"""
+
+
+def q_table_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only statistics: count / null-count / exact min & max per
+    column answered from the chunk zone maps alone — the plan is a stat-column
+    parquet scan + one aggregate, NO payload read, NO decode kernel
+    (pytest asserts the executed plan). At 100 TB this is the ~1e-5-of-data
+    path for ``SELECT count(*), min(x), max(x)``."""
+    from .operators.table import table_stats
+
+    out = _table_encode_dir(spark, sf_dir)
+    return table_stats(
+        spark, out,
+        columns=["l_orderkey", "l_quantity", "l_returnflag", "ship_date", "flag_n"],
+    ).withColumnRenamed("column", "col_name")
+
+
+O_TABLE_STATS_PUSHDOWN = """
+SELECT 'l_orderkey' AS col_name, count(*) AS n_rows, 0::BIGINT AS n_nulls,
+       min(l_orderkey)::VARCHAR AS min_value, max(l_orderkey)::VARCHAR AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', count(*), 0::BIGINT,
+       min(l_quantity)::VARCHAR, max(l_quantity)::VARCHAR FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), 0::BIGINT,
+       min(l_returnflag), max(l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'ship_date', count(*), 0::BIGINT,
+       min(l_shipdate::DATE)::VARCHAR, max(l_shipdate::DATE)::VARCHAR FROM lineitem
+UNION ALL
+SELECT 'flag_n', count(*), count(*) FILTER (WHERE l_returnflag = 'N'),
+       min(nullif(l_returnflag, 'N')), max(nullif(l_returnflag, 'N')) FROM lineitem
+"""
+
+
 def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import completed_table_parts, encode_table
 
@@ -2513,6 +2638,9 @@ QUERIES: dict[str, tuple] = {
     "table_manifest_stats": (q_table_manifest_stats, O_TABLE_MANIFEST_STATS),
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "table_bloom_lookup": (q_table_bloom_lookup, O_TABLE_BLOOM_LOOKUP),
+    "table_delete_where": (q_table_delete_where, O_TABLE_DELETE_WHERE),
+    "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
+    "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
     "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),
