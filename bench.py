@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "table_delete_where",
     "table_merge_upsert",
     "table_stats_pushdown",
+    "table_update_where",
+    "table_changes_feed",
     "avro_flatten",
     "avro_binary_flatten",
     "q1_pricing_summary",

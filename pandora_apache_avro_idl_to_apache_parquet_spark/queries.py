@@ -504,6 +504,65 @@ SELECT * FROM src
 """
 
 
+def q_table_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (Delta ``UPDATE ... SET ... WHERE``): assignments
+    evaluate against the PRE-update row (SQL UPDATE semantics); only files
+    holding matches rewrite (copy-on-write), ONE atomic commit entry. The
+    decoded table = the CASE WHEN projection in SQL."""
+    from .operators.encode import log_versions
+    from .operators.table import decode_table, update_where
+
+    out = _mutable_table_dir(spark, sf_dir, "upd")
+    if len(log_versions(out)) < 2:
+        update_where(
+            spark, out, F.col("l_returnflag") == "A",
+            {"l_quantity": F.col("l_quantity") + 100.0,
+             "l_returnflag": F.lit("X")},
+            condition_cols=["l_returnflag"],
+        )
+    return decode_table(spark, out)
+
+
+O_TABLE_UPDATE_WHERE = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'A' THEN l_quantity + 100.0
+            ELSE l_quantity END AS l_quantity,
+       l_extendedprice,
+       CASE WHEN l_returnflag = 'A' THEN 'X'
+            ELSE l_returnflag END AS l_returnflag
+FROM lineitem
+"""
+
+
+def q_table_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two table versions (Delta CDF): an UPDATE in
+    the range surfaces as its old row image (``delete``) plus its new image
+    (``insert``) — the exact multiset diff of the two version reads; an
+    append-only range takes the no-comparison fast path (pytest-proven)."""
+    from .operators.encode import log_versions
+    from .operators.table import table_diff, update_where
+
+    out = _mutable_table_dir(spark, sf_dir, "cdf")
+    if len(log_versions(out)) < 2:
+        update_where(
+            spark, out, F.col("l_linenumber") == 4,
+            {"l_extendedprice": F.col("l_extendedprice") * 2},
+            condition_cols=["l_linenumber"],
+        )
+    return table_diff(spark, out, 0, 1)
+
+
+O_TABLE_CHANGES_FEED = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+       'delete' AS _change_type
+FROM lineitem WHERE l_linenumber = 4
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * 2, l_returnflag,
+       'insert' AS _change_type
+FROM lineitem WHERE l_linenumber = 4
+"""
+
+
 def q_table_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: count / null-count / exact min & max per
     column answered from the chunk zone maps alone — the plan is a stat-column
@@ -2640,6 +2699,8 @@ QUERIES: dict[str, tuple] = {
     "table_bloom_lookup": (q_table_bloom_lookup, O_TABLE_BLOOM_LOOKUP),
     "table_delete_where": (q_table_delete_where, O_TABLE_DELETE_WHERE),
     "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
+    "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
+    "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),

@@ -218,3 +218,124 @@ def test_merge_insert_only_and_schema_mismatch(spark, tmp_path):
         merge_table(spark, out, df.drop("tag"))
     with pytest.raises(ValueError, match="schema must match"):
         merge_table(spark, out, df.withColumn("amt", F.col("amt").cast("float")))
+
+
+# ------------------------------------------------------------ update_where
+
+
+def test_update_where_applies_assignments_pre_image(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        update_where,
+    )
+
+    out = str(tmp_path / "t")
+    df = _mk(spark, out)
+    res = update_where(
+        spark, out, F.col("grp") < 10,
+        {"amt": F.col("amt") * 2 + F.col("grp"), "tag": F.lit("hit")},
+        condition_cols=["grp"],
+    )
+    hit = F.col("grp") < 10
+    want = df.select(
+        "k", "grp",
+        F.when(hit, F.col("amt") * 2 + F.col("grp")).otherwise(F.col("amt"))
+        .cast("double").alias("amt"),
+        F.when(hit, F.lit("hit")).otherwise(F.col("tag")).alias("tag"),
+        "maybe",
+    )
+    assert res["rows_updated"] == df.filter(hit).count() > 0
+    assert _rows(decode_table(spark, out)) == _rows(want)
+
+
+def test_update_where_rejects_key_and_unknown_columns(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        update_where,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=200, parts=1)
+    with pytest.raises(ValueError, match="key columns cannot be assigned"):
+        update_where(spark, out, F.lit(True), {"k": F.lit(0)})
+    with pytest.raises(ValueError, match="not in table"):
+        update_where(spark, out, F.lit(True), {"nope": F.lit(0)})
+    res = update_where(spark, out, F.col("grp") > 10**9, {"amt": F.lit(0.0)})
+    assert res["rows_updated"] == 0 and res["log"] is None
+
+
+# -------------------------------------------------------------- table_diff
+
+
+def test_table_diff_append_only_fast_path(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        table_diff,
+    )
+
+    out = str(tmp_path / "t")
+    df = spark.range(300).select(F.col("id").alias("k"),
+                                 (F.col("id") % 3).cast("int").alias("g"))
+    encode_table(df, out, key_cols=["k"], n_parts=2)
+    v0 = max(log_versions(out))
+    df2 = spark.range(300, 450).select(F.col("id").alias("k"),
+                                       (F.col("id") % 3).cast("int").alias("g"))
+    encode_table(df2, out, key_cols=["k"], n_parts=2, run="r1")
+    v1 = max(log_versions(out))
+    d = table_diff(spark, out, v0, v1)
+    assert {r["_change_type"] for r in d.select("_change_type").distinct().collect()} == {"insert"}
+    assert _rows(d.drop("_change_type")) == _rows(df2)
+    # fast path: append-only diff must not run a comparison pass
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "ExceptAll" not in plan and "exceptall" not in plan.lower()
+    # empty range
+    assert table_diff(spark, out, v1, v1).count() == 0
+
+
+def test_table_diff_delete_and_update_images(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        table_diff,
+        update_where,
+    )
+
+    out = str(tmp_path / "t")
+    df = _mk(spark, out, n=1000, parts=2)
+    v0 = max(log_versions(out))
+    delete_where(spark, out, F.col("k") < 10, condition_cols=["k"])
+    update_where(spark, out, F.col("k") == 500, {"tag": F.lit("changed")},
+                 condition_cols=["k"])
+    v2 = max(log_versions(out))
+    d = table_diff(spark, out, v0, v2)
+    by_type = {
+        r["_change_type"]: r["count"]
+        for r in d.groupBy("_change_type").count().collect()
+    }
+    # 10 deleted rows + old image of the updated row; new image inserted
+    assert by_type == {"delete": 11, "insert": 1}
+    ins = d.filter(F.col("_change_type") == "insert").collect()[0]
+    assert ins["k"] == 500 and ins["tag"] == "changed"
+
+
+def test_table_diff_compaction_is_content_neutral(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        compact_table,
+        table_diff,
+    )
+
+    out = str(tmp_path / "t")
+    _mk(spark, out, n=500, parts=2)
+    v0 = max(log_versions(out))
+    for r in ("a", "b", "c"):
+        encode_table(
+            spark.range(3).select((F.col("id") + 10_000).alias("k"),
+                                  F.lit(1).cast("int").alias("grp"),
+                                  F.lit(0.0).alias("amt"),
+                                  F.lit("x").alias("tag"),
+                                  F.lit(None).cast("long").alias("maybe")),
+            out, key_cols=["k"], n_parts=1, run=r,
+        )
+    compact_table(out, max_group_bytes=1 << 30)
+    v1 = max(log_versions(out))
+    d = table_diff(spark, out, v0, v1)
+    # the three tiny appends show as inserts; the compaction rewrite does not
+    assert d.filter(F.col("_change_type") == "delete").count() == 0
+    assert d.filter(F.col("_change_type") == "insert").count() == 9
+    with pytest.raises(ValueError, match="versions must be"):
+        table_diff(spark, out, 999, None)
