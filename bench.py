@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "table_stats_pushdown",
     "table_update_where",
     "table_changes_feed",
+    "table_zorder_range",
     "avro_flatten",
     "avro_binary_flatten",
     "q1_pricing_summary",

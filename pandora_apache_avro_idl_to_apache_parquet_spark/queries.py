@@ -413,6 +413,62 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def _zorder_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Cached encode clustered by a Morton key over (l_partkey, l_suppkey):
+    chunks cover small rectangles of that 2-D space, so BOTH columns' zone
+    maps prune a 2-D range predicate (a key-sorted layout prunes neither)."""
+    from .operators.clustering import zorder_bounds, zorder_key
+    from .operators.table import completed_table_parts, encode_table
+
+    key = hashlib.md5(
+        f"tblz1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tblz_{key}")
+    if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
+        shutil.rmtree(out, ignore_errors=True)
+        base = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_extendedprice",
+        )
+        bounds = zorder_bounds(base, ["l_partkey", "l_suppkey"])
+        encode_table(
+            base.withColumn("zkey", zorder_key(bounds)),
+            out,
+            key_cols=["zkey", "l_orderkey", "l_linenumber"],
+            n_parts=_TABLE_ENCODE_PARTS,
+        )
+    return out
+
+
+def q_table_zorder_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D range query over the z-ordered store (Delta ``OPTIMIZE ZORDER
+    BY`` layout): chunk pruning via BOTH columns' zone maps
+    (``column_range_filter`` conjunction), then the exact row filter —
+    result = the plain SQL 2-D predicate."""
+    from .operators.table import column_range_filter, decode_table
+
+    out = _zorder_table_dir(spark, sf_dir)
+    pred = (column_range_filter("l_partkey", 100, 300)
+            & column_range_filter("l_suppkey", 10, 40))
+    return (
+        decode_table(
+            spark, out,
+            columns=["l_orderkey", "l_linenumber", "l_partkey",
+                     "l_suppkey", "l_extendedprice"],
+            chunk_filter=pred,
+        )
+        .filter(F.col("l_partkey").between(100, 300)
+                & F.col("l_suppkey").between(10, 40))
+    )
+
+
+O_TABLE_ZORDER_RANGE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+"""
+
+
 def _mutable_table_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
     """Cached encode that a row-level op (DELETE / MERGE) mutates exactly
     once: the commit-log length is the 'already mutated' marker (encode
@@ -2701,6 +2757,7 @@ QUERIES: dict[str, tuple] = {
     "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
     "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
+    "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
     "table_sql_agg": (q_table_sql_agg, O_TABLE_SQL_AGG),
