@@ -487,3 +487,58 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     finally:
         edges.unpersist()
+
+
+def fuzzy_levenshtein_pairs(docs: DataFrame, max_dist: int = 20,
+                            prefix_len: int = 16, len_bucket: int = 64,
+                            max_block: int = 200,
+                            text_cap: int = 200) -> DataFrame:
+    """Blocked fuzzy dedup: exact edit-distance verification inside cheap
+    blocks (the classic entity-resolution shape; MinHash/SimHash approximate
+    *set* overlap, Levenshtein catches character-level edits they miss).
+
+    Blocking key = (first ``prefix_len`` chars of ``lower(text)``,
+    ``length(text) // len_bucket``): near-identical docs — the dedup target:
+    boilerplate edits, suffix truncation, small substitutions — share it.
+    Docs that diverge inside the prefix or by more than a length bucket are
+    out of scope by definition (the documented recall tradeoff every blocking
+    scheme makes; raise ``prefix_len``/``len_bucket`` to trade cost for
+    recall). Verification runs ``levenshtein`` on the first ``text_cap``
+    chars so the per-pair O(n²) DP is bounded.
+
+    Scale: the self-join key is the block, so only co-blocked docs ever meet
+    (shuffle ∝ corpus, pairs ∝ Σ block², never all-pairs); blocks larger than
+    ``max_block`` are dropped before the join — one boilerplate prefix would
+    otherwise contribute ``max_block²`` pair rows (same guard as
+    ``lsh_candidate_pairs.max_bucket``).
+
+    Output: ``(doc_a, doc_b, dist)`` for pairs with ``dist <= max_dist``.
+    """
+    d = docs.select(
+        "doc_id",
+        F.expr(f"substring(lower(text), 1, {prefix_len})").alias("bp"),
+        F.floor(F.length("text") / len_bucket).alias("bl"),
+        F.expr(f"substring(lower(text), 1, {text_cap})").alias("head"),
+    )
+    ok = (
+        d.groupBy("bp", "bl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= max_block)
+        .select("bp", "bl")
+    )
+    d = d.join(ok, ["bp", "bl"], "left_semi")
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bp") == F.col("b.bp"))
+            & (F.col("a.bl") == F.col("b.bl"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

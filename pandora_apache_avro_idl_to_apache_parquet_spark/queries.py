@@ -1872,6 +1872,145 @@ FROM g ORDER BY doc_id
 """
 
 
+# ------------------------------------------------- search / ranking operators
+
+
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a 3-term query over the inverted index: the query-term
+    filter runs map-side (shuffle ∝ the query's posting lists, not the
+    corpus), document length rides through the explode (no join back), idf
+    and corpus stats broadcast, and the final rank is
+    TakeOrderedAndProject — never a global window. Score rounded to 4
+    decimals BEFORE ranking so both engines break ties on doc_id."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["vector", "merge", "spark"], k=10
+    )
+
+
+O_TEXT_BM25 = """
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(len(ws)) AS avgdl FROM words),
+tok AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM words),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ('vector', 'merge', 'spark')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, count(*)::BIGINT AS n_terms,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+)
+SELECT doc_id, n_terms, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 documents per source by (n_chars DESC, doc_id): two-phase rank —
+    (group, md5-shard) then group over the ≤ shards·k survivors — so a hot
+    group parallelizes across shards instead of landing on one window task.
+    The oracle is the single-window definition; the two phases must agree
+    with it exactly."""
+    from .operators.search import grouped_topk
+
+    return grouped_topk(
+        _t(spark, sf_dir, "documents"), "source", "n_chars", 3, "doc_id"
+    ).select("source", "doc_id", "n_chars", "rnk")
+
+
+O_GROUPED_TOPK = """
+SELECT source, doc_id, n_chars, rnk::INTEGER AS rnk FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) t
+WHERE rnk <= 3
+"""
+
+
+def q_dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy dedup: (text prefix, length bucket) blocking keys, exact
+    ``levenshtein`` on capped heads inside each block — character-level edits
+    that set-based MinHash/SimHash miss. Shuffle key = block; oversized
+    blocks dropped pre-join (boilerplate guard). Oracle = the identical
+    block-join + edit-distance definition in SQL."""
+    from .operators.dedup import fuzzy_levenshtein_pairs
+
+    return fuzzy_levenshtein_pairs(_t(spark, sf_dir, "documents"))
+
+
+O_DEDUP_FUZZY_LEVENSHTEIN = """
+WITH d AS (
+  SELECT doc_id, substr(lower(text), 1, 16) AS bp,
+         (length(text) // 64)::BIGINT AS bl,
+         substr(lower(text), 1, 200) AS head
+  FROM documents
+),
+ok AS (SELECT bp, bl FROM d GROUP BY bp, bl HAVING count(*) <= 200),
+dd AS (SELECT d.* FROM d JOIN ok USING (bp, bl))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head)::INTEGER AS dist
+FROM dd a JOIN dd b ON a.bp = b.bp AND a.bl = b.bl AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 20
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage is the per-user
+    min(ts) of the stage event STRICTLY AFTER the previous stage's timestamp
+    (classic sequential-conversion semantics). Every step is a key-partitioned
+    aggregate or user_id join — partial aggregation applies, no window, no
+    driver loop. Output: one row per stage with the surviving user count."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.lit(name).alias("stage"),
+                      F.count(F.lit(1)).alias("n_users"))
+    return stage(v, "1_view").unionByName(stage(c, "2_click")).unionByName(
+        stage(p, "3_purchase"))
+
+
+O_EVENTS_FUNNEL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT '1_view' AS stage, count(*)::BIGINT AS n_users FROM v
+UNION ALL SELECT '2_click', count(*)::BIGINT FROM c
+UNION ALL SELECT '3_purchase', count(*)::BIGINT FROM p
+"""
+
+
 # ------------------------------------------ sampling / data-mix operators
 
 
@@ -2801,6 +2940,12 @@ QUERIES: dict[str, tuple] = {
     "ann_pq_topk": (q_pq_topk, _o_pq_topk()),
     # text analysis
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
+    "text_bm25_search": (q_text_bm25_search, O_TEXT_BM25),
+    "grouped_topk": (q_grouped_topk, O_GROUPED_TOPK),
+    "dedup_fuzzy_levenshtein": (
+        q_dedup_fuzzy_levenshtein, O_DEDUP_FUZZY_LEVENSHTEIN,
+    ),
+    "events_funnel": (q_events_funnel, O_EVENTS_FUNNEL),
     "text_langid": (q_text_langid, _o_text_langid()),
     "text_token_counts": (q_text_token_counts, O_TEXT_TOKEN_COUNTS),
     "text_fingerprint": (q_text_fingerprint, O_TEXT_FINGERPRINT),
