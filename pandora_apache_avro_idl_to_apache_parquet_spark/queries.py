@@ -619,6 +619,52 @@ FROM lineitem WHERE l_linenumber = 4
 """
 
 
+def q_table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change feed: the
+    per-returnflag SUM/COUNT state built once from the v0 snapshot, then
+    refreshed with the SIGNED aggregate of the v0→latest CDF (an UPDATE nets
+    to its value change, a DELETE subtracts) — never re-scanning the table.
+    Must equal the direct aggregate over the final state (the oracle)."""
+    from .operators.encode import log_versions
+    from .operators.incremental import incremental_sum
+    from .operators.table import delete_where, update_where
+
+    out = _mutable_table_dir(spark, sf_dir, "inc")
+    if len(log_versions(out)) < 2:
+        update_where(
+            spark, out, F.col("l_linenumber") == 2,
+            {"l_extendedprice": F.col("l_extendedprice") + 1000.0},
+            condition_cols=["l_linenumber"],
+        )
+    if len(log_versions(out)) < 3:
+        delete_where(spark, out, F.col("l_quantity") > 49.0,
+                     condition_cols=["l_quantity"])
+    inc = incremental_sum(
+        spark, out, ["l_returnflag"], ["l_extendedprice", "l_quantity"],
+        from_version=0,
+    )
+    return inc.select(
+        "l_returnflag",
+        F.round("sum_l_extendedprice", 2).alias("sum_price"),
+        F.round("sum_l_quantity", 2).alias("sum_qty"),
+        "n_rows",
+    )
+
+
+O_TABLE_INCREMENTAL_AGG = """
+WITH final AS (
+  SELECT l_returnflag, l_quantity,
+         CASE WHEN l_linenumber = 2 THEN l_extendedprice + 1000.0
+              ELSE l_extendedprice END AS l_extendedprice
+  FROM lineitem
+  WHERE NOT (l_quantity > 49.0)
+)
+SELECT l_returnflag, round(sum(l_extendedprice), 2) AS sum_price,
+       round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n_rows
+FROM final GROUP BY l_returnflag
+"""
+
+
 def q_table_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: count / null-count / exact min & max per
     column answered from the chunk zone maps alone — the plan is a stat-column
@@ -2896,6 +2942,7 @@ QUERIES: dict[str, tuple] = {
     "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
     "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
+    "table_incremental_agg": (q_table_incremental_agg, O_TABLE_INCREMENTAL_AGG),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
