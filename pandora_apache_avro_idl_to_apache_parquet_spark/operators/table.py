@@ -597,7 +597,8 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
 def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                             chunk_rows: int, pds: date,
                             fail_parts=None, run: str = "r0",
-                            marker_dir: str = "_checkpoints") -> pa.Table:
+                            marker_dir: str = "_checkpoints",
+                            sort_cols: list[str] | None = None) -> pa.Table:
     """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
     checkpoint marker (same publication contract as the token kernel).
     ``run`` namespaces files/markers so append runs into one table dir never
@@ -619,8 +620,14 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     if fail_parts and part_id in fail_parts:
         raise RuntimeError(f"injected failure for part {part_id}")
 
+    # ``sort_cols`` (recluster_table) re-orders rows physically WITHOUT
+    # changing key semantics: key_min/key_max below then fall back from the
+    # positional first/last (valid only under key order) to a true min/max
+    # scan, so key-range pruning stays correct under any layout.
+    key_sorted = sort_cols is None or list(sort_cols) == list(spec.key_cols)
+    order = sort_cols or spec.key_cols
     table = table.take(
-        pc.sort_indices(table, sort_keys=[(k, "ascending") for k in spec.key_cols])
+        pc.sort_indices(table, sort_keys=[(k, "ascending") for k in order])
     )
     n = table.num_rows
     logicals = spec.logicals
@@ -633,6 +640,10 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     payload_cols = [f.name for f in spec.schema.fields]
     for seq, lo in enumerate(range(0, n, chunk_rows)):
         hi = min(lo + chunk_rows, n)
+        key_mm = (
+            (key0[lo].as_py(), key0[hi - 1].as_py()) if key_sorted
+            else _min_max(key0.slice(lo, hi - lo))
+        )
         row: dict = {
             "run": run,
             "part_id": part_id,
@@ -640,8 +651,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
             "row_lo": lo,
             "row_hi": hi,
             "n_rows": hi - lo,
-            "key_min": key0[lo].as_py(),
-            "key_max": key0[hi - 1].as_py(),
+            "key_min": key_mm[0],
+            "key_max": key_mm[1],
             "pds": pds,
         }
         hasher_parts = []
@@ -1424,7 +1435,8 @@ def table_stats(spark: SparkSession, out_dir: str,
 
 
 def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
-                 chunk_rows: int, pds: date, run: str) -> list[dict]:
+                 chunk_rows: int, pds: date, run: str,
+                 sort_cols: list[str] | None = None) -> list[dict]:
     """Run the grouped encode kernel for a copy-on-write rewrite and return
     the ``add`` log dicts for every file it published. Markers go to
     ``_rewrites/`` (not ``_checkpoints/``) so ``write_commit_log``'s marker
@@ -1439,7 +1451,8 @@ def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
 
     def kernel(table: pa.Table) -> pa.Table:
         return _encode_table_partition(table, io, spec, chunk_rows, pds,
-                                       run=run, marker_dir="_rewrites")
+                                       run=run, marker_dir="_rewrites",
+                                       sort_cols=sort_cols)
 
     (survivors.groupBy("part_id").applyInArrow(kernel, manifest_struct)
      .write.format("noop").mode("overwrite").save())
@@ -1674,6 +1687,69 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     )
     return {"rows_updated": n_updated, "files_rewritten": len(adds),
             "files_removed": len(matched), "log": log}
+
+
+def recluster_table(spark: SparkSession, out_dir: str, by: list[str],
+                    io: FsIO | None = None, n_parts: int = 8,
+                    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                    pds: date | None = None,
+                    rel_err: float = 0.01) -> dict:
+    """Physically re-layout the live table clustered by ``by`` (Delta
+    ``OPTIMIZE ... ZORDER BY`` / ``CLUSTER BY`` analog): files are
+    range-bucketed on ``by[0]`` (sampled quantile boundaries — the same idea
+    as ``repartitionByRange``) and every chunk is sorted by ``by``, so the
+    per-column zone maps on the ``by`` columns become tight and
+    :func:`column_range_filter` pruning on them does real work. To z-order
+    recluster on two dimensions, materialize ``clustering.zorder_key`` as a
+    column at encode time and recluster ``by=["zkey"]``.
+
+    METADATA SEMANTICS ARE UNTOUCHED: the table's key columns, schema, and
+    sidecar stay exactly as encoded — this is a pure physical rewrite.
+    ``key_min``/``key_max`` remain the true per-chunk min/max of the first
+    key column (the encode kernel switches from positional endpoints to a
+    real min/max scan when the sort order differs), so key-range pruning
+    stays CORRECT, merely looser than on a key-sorted layout. Rows move as a
+    whole-table rewrite committed as ONE atomic add+remove log entry;
+    ``as_of`` versions before it still read the old layout, and a crash
+    before the entry leaves only orphan files for :func:`..operators.encode.vacuum`.
+
+    ``by[0]`` must be a non-null numeric/date column (quantile bucketing);
+    remaining ``by`` columns refine the within-chunk sort only.
+    """
+    from .encode import append_log_entry, committed_files
+
+    io = _io(out_dir, io)
+    live = committed_files(out_dir, io)
+    if live is None:
+        raise ValueError("recluster_table requires a committed table (no _log found)")
+    spec = read_table_spec(out_dir, io)
+    names = {f.name for f in spec.schema.fields}
+    missing = sorted(set(by) - names)
+    if not by or missing:
+        raise ValueError(f"cluster columns not in table: {missing or by}")
+    pds = pds or date(2026, 1, 1)
+
+    dec = decode_table(spark, out_dir, io=io)
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(
+        dec.select(F.col(by[0]).cast("double").alias("__c"))
+        .approxQuantile("__c", probs, rel_err)
+    )) if n_parts > 1 else []
+    part_expr = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + F.when(F.col(by[0]) > F.lit(b), 1).otherwise(0)
+    run = f"rc{uuid.uuid4().hex[:8]}"
+    clustered = dec.withColumn("part_id", part_expr.cast("int"))
+    adds = _rewrite_job(clustered, io, spec, chunk_rows, pds, run,
+                        sort_cols=list(by))
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)] + adds
+        + [{"remove": {"path": f, "dataChange": True}} for f in live],
+        io,
+    )
+    return {"files_before": len(live), "files_after": len(adds),
+            "buckets": len(bounds) + 1, "log": log}
 
 
 def table_diff(spark: SparkSession, out_dir: str,

@@ -469,7 +469,8 @@ WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
 """
 
 
-def _mutable_table_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+def _mutable_table_dir(spark: SparkSession, sf_dir: str, kind: str,
+                       extra_cols: list[str] | None = None) -> str:
     """Cached encode that a row-level op (DELETE / MERGE) mutates exactly
     once: the commit-log length is the 'already mutated' marker (encode
     leaves one entry; the rewrite's atomic add+remove entry makes two), so
@@ -486,7 +487,7 @@ def _mutable_table_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
         encode_table(
             _t(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_linenumber", "l_quantity",
-                "l_extendedprice", "l_returnflag",
+                "l_extendedprice", "l_returnflag", *(extra_cols or []),
             ),
             out,
             key_cols=["l_orderkey", "l_linenumber"],
@@ -616,6 +617,41 @@ UNION ALL
 SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice * 2, l_returnflag,
        'insert' AS _change_type
 FROM lineitem WHERE l_linenumber = 4
+"""
+
+
+def q_table_recluster_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/CLUSTER BY analog: the table is encoded key-sorted on
+    (l_orderkey, l_linenumber) — useless for l_partkey ranges — then
+    physically re-laid-out with ``recluster_table(by=["l_partkey"])``
+    (quantile range buckets + within-chunk sort, ONE atomic swap entry,
+    key/schema metadata untouched). The l_partkey zone maps become tight, so
+    ``column_range_filter`` pruning does real work; result = the plain SQL
+    range predicate."""
+    from .operators.encode import log_versions
+    from .operators.table import (
+        column_range_filter, decode_table, recluster_table,
+    )
+
+    out = _mutable_table_dir(spark, sf_dir, "rcl", extra_cols=["l_partkey"])
+    if len(log_versions(out)) < 2:
+        recluster_table(spark, out, ["l_partkey", "l_orderkey"],
+                        n_parts=_TABLE_ENCODE_PARTS)
+    return (
+        decode_table(
+            spark, out,
+            columns=["l_orderkey", "l_linenumber", "l_partkey",
+                     "l_extendedprice"],
+            chunk_filter=column_range_filter("l_partkey", 500, 700),
+        )
+        .filter(F.col("l_partkey").between(500, 700))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    )
+
+
+O_TABLE_RECLUSTER_RANGE = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice
+FROM lineitem WHERE l_partkey BETWEEN 500 AND 700
 """
 
 
@@ -2943,6 +2979,7 @@ QUERIES: dict[str, tuple] = {
     "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
     "table_incremental_agg": (q_table_incremental_agg, O_TABLE_INCREMENTAL_AGG),
+    "table_recluster_range": (q_table_recluster_range, O_TABLE_RECLUSTER_RANGE),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
