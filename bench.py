@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "shuffle_global_rank",
     "pack_sequences",
     "streaming_sessionize",
+    "text_bm25_search",
+    "grouped_topk",
+    "dedup_fuzzy_levenshtein",
+    "events_funnel",
+    "table_incremental_agg",
+    "table_recluster_range",
 ]
 
 
