@@ -478,3 +478,71 @@ def embedding_near_pairs_exact(emb: DataFrame, threshold: float = 0.9) -> DataFr
         .select("vec_a", "vec_b", "cos")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _l2sq(a: str, b: str) -> str:
+    """Squared L2 distance between two double arrays (codegen expression)."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame,
+                  id_col: str = "vec_id",
+                  vec_col: str = "ve") -> DataFrame:
+    """Nearest-centroid assignment: ``cents(cid int, ce array<double>)`` is
+    collapsed to ONE broadcast row, the per-vector argmin is a map-side
+    ``array_min`` over (rounded distance, cid) structs — the corpus never
+    shuffles (same shape as :func:`ivf_assign`). Distances are rounded to 6
+    decimals BEFORE the argmin so tie-breaks (lowest cid) are cross-engine
+    deterministic. Returns (id, cid, dist, the vector)."""
+    one = cents.agg(F.collect_list(F.struct("cid", "ce")).alias("cs"))
+    best = F.expr(
+        "array_min(transform(cs, c -> struct("
+        f"round({_l2sq(vec_col, 'c.ce')}, 6) as dist, c.cid as cid)))"
+    )
+    return (
+        vecs.join(F.broadcast(one))
+        .select(id_col, vec_col, best.alias("best"))
+        .select(id_col, F.col("best.cid").alias("cid"),
+                F.col("best.dist").alias("dist"), vec_col)
+    )
+
+
+def kmeans_train(emb: DataFrame, k: int = 4, n_iter: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column, returning the
+    final per-vector assignment ``(vec_id, cid, dist)``.
+
+    The iterative trainer behind :func:`ivf_assign`'s coarse quantizer:
+    * init: the ``k`` lowest-id vectors (deterministic seeding — no RNG);
+    * assign: map-side argmin against ONE broadcast centroid row (corpus
+      never shuffles; distance rounded to 6 before the argmin);
+    * update: per-dimension mean via ``posexplode → groupBy(cid, pos)``
+      (k·dim groups — sketch-sized, partial-aggregated), components rounded
+      to 6 so both engines hold bit-identical centroids between rounds.
+
+    Scale: each round shuffles k·dim aggregate cells, never vectors; the
+    broadcast is k·dim doubles. Empty clusters simply drop their centroid
+    (both engines agree because assignments agree). ``n_iter`` is a fixed
+    unroll — convergence-checked training would add a per-round driver
+    scalar like ``dedup.connected_components``."""
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("ve"),
+    )
+    cents = (
+        vecs.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("ve").alias("ce"))
+    )
+    for _ in range(n_iter):
+        assigned = kmeans_assign(vecs, cents)
+        cents = (
+            assigned.select("cid", F.posexplode("ve").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.expr(
+                "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+            ).alias("ce"))
+        )
+    return kmeans_assign(vecs, cents).select("vec_id", "cid", "dist")

@@ -1023,6 +1023,65 @@ GROUP BY l_returnflag
 """
 
 
+def _dstr_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Orders loaded through ``df.write.format("pandora_table")`` in TWO
+    commits (even/odd keys) — the shared fixture for the streaming-source
+    queries (commit-log tail = two micro-batches)."""
+    import tempfile
+
+    from .operators.encode import log_versions
+    from .sources.table_source import write_encoded_table
+
+    key = hashlib.md5(
+        f"dstr1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_dstr_{key}")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    if len(log_versions(out)) < 2:
+        shutil.rmtree(out, ignore_errors=True)
+        write_encoded_table(od.filter("o_orderkey % 2 = 0").repartition(4),
+                            out, key_cols=["o_orderkey"])
+        write_encoded_table(od.filter("o_orderkey % 2 = 1").repartition(4),
+                            out)
+    return out
+
+
+def q_streaming_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view: the store's commit-log tail feeds a
+    STREAMING groupBy — Spark's state store IS the incrementally maintained
+    aggregate (each micro-batch merges partial sums into state; complete
+    output mode publishes the view) — and the final view must equal the
+    batch aggregate over the whole table. The batch analog of this contract
+    is ``incremental_sum`` over the CDF; here Spark manages the state."""
+    import uuid as _uuid
+
+    from .sources.table_source import stream_encoded_table
+
+    out = _dstr_table_dir(spark, sf_dir)
+    name = f"mv_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream_encoded_table(spark, out)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("o_totalprice").alias("sum_price_raw"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        "o_orderstatus", "n", F.round("sum_price_raw", 2).alias("sum_price")
+    )
+
+
+O_STREAMING_MATERIALIZED = """
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def q_table_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write path + streaming source end-to-end: orders loads through
     ``df.write.format("pandora_table")`` in TWO commits (low/high keys), then
@@ -1033,21 +1092,9 @@ def q_table_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting fails rows/hash."""
     import tempfile
 
-    from .sources.table_source import stream_encoded_table, write_encoded_table
+    from .sources.table_source import stream_encoded_table
 
-    key = hashlib.md5(
-        f"dstr1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
-    ).hexdigest()[:10]
-    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_dstr_{key}")
-    od = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    from .operators.encode import log_versions
-    if len(log_versions(out)) < 2:
-        shutil.rmtree(out, ignore_errors=True)
-        write_encoded_table(od.filter("o_orderkey % 2 = 0").repartition(4),
-                            out, key_cols=["o_orderkey"])
-        write_encoded_table(od.filter("o_orderkey % 2 = 1").repartition(4),
-                            out)
+    out = _dstr_table_dir(spark, sf_dir)
     sink = tempfile.mkdtemp(prefix="pandora_dstr_sink_")
     ckpt = tempfile.mkdtemp(prefix="pandora_dstr_ckpt_")
     q = (stream_encoded_table(spark, out)
@@ -1951,6 +1998,61 @@ WITH g AS (
 )
 SELECT doc_id, list_min(hashes)::BIGINT AS fp_min, list_max(hashes)::BIGINT AS fp_max
 FROM g ORDER BY doc_id
+"""
+
+
+def q_ann_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=4, 2 unrolled iterations) over the
+    embedding corpus — the trainer behind the IVF coarse quantizer. Each
+    round: map-side argmin against ONE broadcast centroid row (corpus never
+    shuffles), then a k·dim-cell mean update; distances and centroid
+    components round to 6 before any decision so the SQL oracle (the same
+    two iterations unrolled as CTEs) agrees bit-for-bit."""
+    from .operators.similarity import kmeans_train
+
+    return kmeans_train(_t(spark, sf_dir, "embeddings"), k=4, n_iter=2)
+
+
+def _o_kmeans() -> str:
+    def d(ve: str, ce: str) -> str:
+        return (
+            f"round(list_sum(list_transform(generate_series(1, len({ve})), "
+            f"i -> (({ve})[i] - ({ce})[i]) * (({ve})[i] - ({ce})[i]))), 6)"
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT v.vec_id, c.cid, {d('v.ve', 'c.ce')} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d('v.ve', 'c.ce')}, c.cid) AS rn
+    FROM v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""
+{name} AS (
+  SELECT cid, list(m ORDER BY i) AS ce FROM (
+    SELECT cid, i, round(avg(ve[i]), 6) AS m FROM (
+      SELECT a.cid, v.ve, unnest(generate_series(1, len(v.ve))) AS i
+      FROM {assigned} a JOIN v USING (vec_id)
+    ) GROUP BY cid, i
+  ) GROUP BY cid
+)"""
+
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM embeddings
+),
+c0 AS (SELECT vec_id::INTEGER AS cid, ve AS ce FROM v WHERE vec_id < 4),
+{assign('a1', 'c0')},
+{update('c1', 'a1')},
+{assign('a2', 'c1')},
+{update('c2', 'a2')},
+{assign('a3', 'c2')}
+SELECT vec_id, cid, dist FROM a3
 """
 
 
@@ -2987,6 +3089,9 @@ QUERIES: dict[str, tuple] = {
     "table_sql_where": (q_table_sql_where, O_TABLE_SQL_WHERE),
     "table_datasource_sql": (q_table_datasource_sql, O_TABLE_DATASOURCE_SQL),
     "table_datasource_stream": (q_table_datasource_stream, O_TABLE_DATASOURCE_STREAM),
+    "streaming_materialized_agg": (
+        q_streaming_materialized_agg, O_STREAMING_MATERIALIZED,
+    ),
     "table_embeddings_roundtrip": (q_table_embeddings_roundtrip, O_TABLE_EMBEDDINGS_ROUNDTRIP),
     "table_time_travel": (q_table_time_travel, O_TABLE_TIME_TRAVEL),
     "doc_lookup": (q_doc_lookup, O_DOC_LOOKUP),
@@ -3022,6 +3127,7 @@ QUERIES: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, _o_ann_ivf_topk()),
     "ann_pq_encode": (q_pq_encode, O_PQ_ENCODE),
     "ann_pq_topk": (q_pq_topk, _o_pq_topk()),
+    "ann_kmeans_train": (q_ann_kmeans_train, _o_kmeans()),
     # text analysis
     "text_quality": (q_text_quality, O_TEXT_QUALITY),
     "text_bm25_search": (q_text_bm25_search, O_TEXT_BM25),
