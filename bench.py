@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "events_funnel",
     "table_incremental_agg",
     "table_recluster_range",
+    "ann_kmeans_train",
+    "streaming_materialized_agg",
 ]
 
 
