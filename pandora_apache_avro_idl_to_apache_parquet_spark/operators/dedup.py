@@ -448,41 +448,47 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # recompute paths are rooted at them); their blocks are ContextCleaner-
     # reclaimed once unreferenced, i.e. when this function returns.
     try:
+        # the generation whose cache/checkpoint currently backs `labels`
+        # (labels itself may be a projection over it, so unpersist must
+        # target this frame, not the projection)
+        backing = labels
         for it in range(max_iters):
             nbr = (
                 edges.join(labels, edges.b == labels.doc_id)
                 .groupBy("a")
                 .agg(F.min("component_id").alias("nbr_min"))
             )
-            new_labels = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
+            # carry the previous label so the convergence check below is a
+            # filter-count on THIS cached frame — one action per round, no
+            # extra old⋈new shuffle join
+            stepped = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
                 "doc_id",
                 F.least(
                     F.col("component_id"),
                     F.coalesce(F.col("nbr_min"), F.col("component_id")),
                 ).alias("component_id"),
+                F.col("component_id").alias("prev_id"),
             )
             if (it + 1) % 5 == 0:
                 # deep graphs (long paths) grow one join of lineage per round;
                 # a periodic localCheckpoint materializes AND truncates it, so
                 # an executor loss late in a 30-round run never replays the
                 # whole chain and the plan stays bounded
-                new_labels = new_labels.localCheckpoint()
+                stepped = stepped.localCheckpoint()
             else:
-                new_labels = new_labels.cache()
-            changed = (
-                labels.alias("o")
-                .join(new_labels.alias("n"), "doc_id")
-                .filter(F.col("o.component_id") != F.col("n.component_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+                stepped = stepped.cache()
+            changed = stepped.filter(
+                F.col("component_id") != F.col("prev_id")
+            ).count()
+            backing.unpersist()
+            backing = stepped
+            labels = stepped.select("doc_id", "component_id")
             if changed == 0:
                 # the caller gets a lineage-free, self-contained result; the
                 # last generation's cache is released (it was previously left
                 # cached forever — repeated calls leaked storage)
-                out = labels.select("doc_id", "component_id").localCheckpoint()
-                labels.unpersist()
+                out = labels.localCheckpoint()
+                backing.unpersist()
                 return out
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     finally:
