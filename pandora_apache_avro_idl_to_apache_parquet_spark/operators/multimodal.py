@@ -125,3 +125,53 @@ def media_feature_summary(docs: DataFrame) -> DataFrame:
             "feat_sum"
         ),
     ).orderBy("media_id")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("off", T.LongType(), False),
+        T.StructField("frame_text", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4,
+                 width: int = 32) -> DataFrame:
+    """Frame-sampling plumbing for video-ish payloads: ``n_frames`` evenly
+    spaced fixed-width byte windows per payload, one output row per frame.
+
+    The ``mapInPandas`` batch shape, offset math, and per-frame row fan-out
+    are the real contract a video pipeline needs; the decode itself is the
+    deterministic fake (the raw byte window — a real decoder would seek and
+    decode at these offsets, see :func:`decode_media_stub`), so the SQL
+    oracle reproduces frames exactly with ``substr``. Offsets:
+    ``i * max(n_bytes - width, 0) // max(n_frames - 1, 1)``.
+
+    Scale: pure map-side fan-out (no shuffle); output rows = n_frames per
+    payload regardless of payload size, so a 4-frame sample of a 1 GB blob
+    ships 4·width bytes downstream, not the blob."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, offs, texts = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                stride = max(len(b) - width, 0) // max(n_frames - 1, 1)
+                for i in range(n_frames):
+                    off = i * stride
+                    mids.append(mid)
+                    idxs.append(i)
+                    offs.append(off)
+                    texts.append(b[off:off + width].decode("utf-8", "replace"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "off": pd.Series(offs, dtype="int64"),
+                    "frame_text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

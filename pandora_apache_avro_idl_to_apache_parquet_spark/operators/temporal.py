@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join", "hypertable_rollup"]
+__all__ = ["asof_join", "range_join", "hypertable_rollup", "gap_fill"]
 
 _UNIT_US = {
     "second": 1_000_000, "seconds": 1_000_000,
@@ -182,3 +182,57 @@ def hypertable_rollup(df: DataFrame, ts: str, dims: list[str],
         GROUP BY GROUPING SETS ({sets})
     """
     return pre.sparkSession.sql(sql)
+
+
+def gap_fill(df: DataFrame, key: str, ts: str, value_col: str,
+             granule: str = "day") -> DataFrame:
+    """Dense per-key time series with carry-forward interpolation (the
+    TimescaleDB ``time_bucket_gapfill`` + ``locf`` contract): every
+    (key, bucket) between the GLOBAL min and max observed bucket exists in
+    the output; buckets with no observation carry the last observed value
+    forward (NULL before a key's first observation — no back-fill).
+
+    Shape: one one-row bounds aggregate (broadcast) × distinct keys →
+    per-key ``sequence()`` explode (executor-local, ≤ span/granule rows per
+    key); observed buckets aggregate with map-side partials; the
+    carry-forward is a per-key running ``last(ignorenulls)`` window —
+    parallel across keys, never a global sort. Output:
+    ``(key, bucket timestamp, v_fill, n_obs)`` where ``v_fill`` is the
+    bucket's avg (4 dp) or the carried value.
+    """
+    if granule not in ("hour", "day", "week"):
+        raise ValueError(f"granule must be hour/day/week, got {granule!r}")
+    bounds = df.select(
+        F.date_trunc(granule, F.min(ts)).alias("__lo"),
+        F.date_trunc(granule, F.max(ts)).alias("__hi"),
+    )
+    dense = (
+        df.select(key).distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key,
+            F.explode(
+                F.expr(f"sequence(__lo, __hi, interval 1 {granule})")
+            ).alias("bucket"),
+        )
+    )
+    obs = (
+        df.groupBy(key, F.date_trunc(granule, ts).alias("bucket"))
+        .agg(
+            F.round(F.avg(value_col), 4).alias("__v_obs"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )
+    w = (
+        Window.partitionBy(key).orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.join(obs, [key, "bucket"], "left")
+        .select(
+            key,
+            "bucket",
+            F.last("__v_obs", ignorenulls=True).over(w).alias("v_fill"),
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        )
+    )

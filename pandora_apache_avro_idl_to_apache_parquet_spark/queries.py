@@ -2056,6 +2056,137 @@ SELECT vec_id, cid, dist FROM a3
 """
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily per-user series with carry-forward interpolation
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf``): dense (user, day)
+    grid from a broadcast bounds row × per-key executor-local sequence
+    explode; the fill is a per-key running ``last(ignorenulls)`` window —
+    parallel across users, no global sort."""
+    from .operators.temporal import gap_fill
+
+    out = gap_fill(_t(spark, sf_dir, "events"), "user_id", "ts", "value",
+                   granule="day")
+    return out.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        # pre-first-observation buckets are NULL (no back-fill); project the
+        # -1.0 sentinel because the driver's value hash cannot canonicalize
+        # NaN cells (NaN != NaN under its tuple compare)
+        F.coalesce("v_fill", F.lit(-1.0)).alias("v_fill"),
+        "n_obs",
+    )
+
+
+O_EVENTS_GAP_FILL = """
+WITH b AS (
+  SELECT date_trunc('day', min(ts)) AS lo, date_trunc('day', max(ts)) AS hi
+  FROM events
+),
+days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket FROM b),
+keys AS (SELECT DISTINCT user_id FROM events),
+dense AS (SELECT user_id, bucket FROM keys CROSS JOIN days),
+obs AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket,
+         round(avg(value), 4) AS v_obs, count(*)::BIGINT AS n_obs
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, strftime(bucket, '%Y-%m-%d') AS day,
+       coalesce(last_value(v_obs IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS v_fill,
+       coalesce(n_obs, 0)::BIGINT AS n_obs
+FROM dense LEFT JOIN obs USING (user_id, bucket)
+"""
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE moving aggregate (1-hour trailing avg per user): the
+    window frame is an interval over the epoch-second ORDER BY, not a row
+    count — peers at the same second are included in both engines, so
+    results are tie-deterministic. Per-user windows parallelize across
+    users; at 100 TB a hot user would take the grouped-topk shard
+    treatment."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value",
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp'{_ANCHOR}', ts) div 1000000"
+        ).alias("epoch_s"),
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("epoch_s")
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "epoch_s",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+O_EVENTS_MOVING_AVG = f"""
+SELECT event_id, user_id, epoch_s,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+FROM (
+  SELECT event_id, user_id, value,
+         date_diff('microsecond', TIMESTAMP '{_ANCHOR}', ts) // 1000000 AS epoch_s
+  FROM events
+)
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide): per-user event counts, one column per event
+    type. Spark's ``pivot`` with an EXPLICIT value list plans a single
+    groupBy with pivot aggregates (no second values-discovery job, no
+    driver collect) — the explicit list is the 100-TB habit."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+O_PIVOT_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling over binary payloads: 4 evenly spaced
+    32-byte windows per payload via mapInPandas, one row per frame — the
+    seek-offset math and per-frame fan-out a real decoder plugs into
+    (``decode_media_stub`` marks the spot). Deterministic fake frames = the
+    raw byte windows, so the oracle reproduces them with ``substr``."""
+    from .operators.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return frame_sample(media, n_frames=4, width=32)
+
+
+O_MULTIMODAL_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text)::BIGINT AS n FROM documents
+),
+f AS (
+  SELECT media_id, unnest(generate_series(0, 3)) AS i, text, n FROM m
+)
+SELECT media_id, i::INTEGER AS frame_idx,
+       (i * (greatest(n - 32, 0) // 3))::BIGINT AS off,
+       substr(text, (i * (greatest(n - 32, 0) // 3))::INTEGER + 1, 32) AS frame_text
+FROM f
+"""
+
+
 # ------------------------------------------------- search / ranking operators
 
 
@@ -3106,6 +3237,9 @@ QUERIES: dict[str, tuple] = {
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
+    "events_gap_fill": (q_events_gap_fill, O_EVENTS_GAP_FILL),
+    "events_moving_avg": (q_events_moving_avg, O_EVENTS_MOVING_AVG),
+    "pivot_event_counts": (q_pivot_event_counts, O_PIVOT_EVENT_COUNTS),
     "scalar_kitchen_sink": (q_scalar_kitchen_sink, O_SCALAR_KITCHEN_SINK),
     "median_order_value": (q_median_order_value, O_MEDIAN_ORDER_VALUE),
     "users_above_own_avg": (q_users_above_own_avg, O_USERS_ABOVE_OWN_AVG),
@@ -3172,4 +3306,7 @@ QUERIES: dict[str, tuple] = {
     "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
     # multimodal plumbing
     "multimodal_features": (q_multimodal_features, O_MULTIMODAL_FEATURES),
+    "multimodal_frame_sample": (
+        q_multimodal_frame_sample, O_MULTIMODAL_FRAME_SAMPLE,
+    ),
 }

@@ -104,3 +104,26 @@ def test_fuzzy_block_cap_drops_boilerplate(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert fuzzy_levenshtein_pairs(df, max_block=10).count() == 0
     assert fuzzy_levenshtein_pairs(df, max_block=100).count() == 30 * 29 // 2
+
+
+def test_frame_sample_offsets_and_short_payloads(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.multimodal import (
+        documents_as_media, frame_sample,
+    )
+
+    long_text = "".join(chr(ord("a") + (i % 26)) for i in range(96 + 32))
+    rows = [(1, long_text, "en", "s", len(long_text)), (2, "tiny", "en", "s", 4)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r.media_id, r.frame_idx): (r.off, r.frame_text)
+        for r in frame_sample(documents_as_media(docs), n_frames=4, width=32).collect()
+    }
+    assert len(out) == 8
+    # stride = (128 - 32) // 3 = 32: frames tile the payload exactly
+    for i in range(4):
+        off, txt = out[(1, i)]
+        assert off == 32 * i and txt == long_text[off:off + 32]
+    # short payload: all frames are the whole payload at offset 0
+    assert all(out[(2, i)] == (0, "tiny") for i in range(4))

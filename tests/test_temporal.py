@@ -120,3 +120,48 @@ def test_hypertable_rejects_variable_units(spark):
     with pytest.raises(ValueError):
         hypertable_rollup(ev, "ts", ["et"], ["count(*) AS n"], ["1 month"])
     assert _interval_us("2 hours") == 2 * 3_600_000_000
+
+
+# --------------------------------------------------------------- gap_fill
+
+
+def test_gap_fill_dense_grid_and_carry_forward(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.temporal import (
+        gap_fill,
+    )
+
+    rows = [
+        ("a", "2024-01-01 10:00:00", 10.0),
+        ("a", "2024-01-04 09:00:00", 40.0),
+        ("b", "2024-01-03 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    out = {
+        (r.k, str(r.bucket.date())): (r.v_fill, r.n_obs)
+        for r in gap_fill(df, "k", "ts", "v", granule="day").collect()
+    }
+    # dense: 2 keys x 4 global days (01-01 .. 01-04)
+    assert len(out) == 8
+    assert out[("a", "2024-01-01")] == (10.0, 1)
+    assert out[("a", "2024-01-02")] == (10.0, 0)   # carried forward
+    assert out[("a", "2024-01-03")] == (10.0, 0)
+    assert out[("a", "2024-01-04")] == (40.0, 1)
+    assert out[("b", "2024-01-02")] == (None, 0)   # no back-fill
+    assert out[("b", "2024-01-03")] == (7.0, 1)
+    assert out[("b", "2024-01-04")] == (7.0, 0)
+
+
+def test_gap_fill_rejects_variable_granules(spark):
+    import pytest as _pytest
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.temporal import (
+        gap_fill,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", 1.0)], "k string, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    with _pytest.raises(ValueError):
+        gap_fill(df, "k", "ts", "v", granule="month")
