@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "table_recluster_range",
     "ann_kmeans_train",
     "streaming_materialized_agg",
+    "events_gap_fill",
+    "events_moving_avg",
+    "pivot_event_counts",
+    "multimodal_frame_sample",
 ]
 
 

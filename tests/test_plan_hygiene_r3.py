@@ -1,0 +1,49 @@
+"""Executed-plan hygiene for the round-3 search/ranking tier: the properties
+PLANS.md claims must hold in the actual physical plan, not just by intent."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators.search import (
+    bm25_topk,
+    grouped_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"spark merge vector w{i % 7} w{i % 11} filler text", f"s{i % 3}", 40 + i % 9)
+        for i in range(500)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int"
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_is_topk_not_window(docs):
+    import re
+
+    plan = _plan(bm25_topk(docs, ["spark", "vector"], k=10))
+    assert "TakeOrderedAndProject" in plan
+    # no Window operator node anywhere (ranking is bounded-heap top-k)
+    assert not re.search(r"(?m)^[\s:+-]*Window\b", plan)
+    # the query-term filter exists as its own operator (it runs in the scan
+    # stage below the postings exchange — the map-side pushdown PLANS.md
+    # documents; the exchanges above it belong to the aggregate/join stages)
+    assert re.search(r"Filter .*term.* IN \(spark,vector\)", plan)
+
+
+def test_grouped_topk_no_single_partition_exchange(docs):
+    import re
+
+    plan = _plan(grouped_topk(docs, "source", "n_chars", 3, "doc_id"))
+    assert "Exchange SinglePartition" not in plan
+    # exactly two Window operator NODES (phase 1 group+shard, phase 2 group),
+    # counted as nodes, not as occurrences of the word in expression text
+    nodes = re.findall(r"(?m)^[\s:+-]*Window\b", plan)
+    assert len(nodes) == 2, plan
