@@ -2519,6 +2519,77 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composed pipeline every stage above
+    exists for: keep documents that (1) score ≥ 0.5 on the heuristic quality
+    filter, (2) are the canonical representative of their near-dup cluster
+    (or belong to none — MinHash-LSH pairs → min-label components), and
+    (3) survive benchmark decontamination; then draw the deterministic
+    per-source stratified sample from the survivors. Each stage is the
+    already-oracled operator run on the full corpus; the composition is
+    set intersection, so the oracle reuses each stage's SQL verbatim.
+    Scale: the stages share the corpus scan shape and each is individually
+    100-TB-safe (capped LSH, broadcast decontamination, map-only filters);
+    the intersection is three semi/anti joins on doc_id."""
+    from .operators.dedup import (
+        connected_components, decontaminate, lsh_candidate_pairs,
+    )
+    from .operators.sampling import stratified_sample
+    from .operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    good = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
+    clusters = connected_components(lsh_candidate_pairs(docs))
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("component_id")
+    ).select("doc_id")
+    decon_kept = decontaminate(
+        docs, docs.where(F.col("doc_id") % 37 == 0), k=8
+    ).select("doc_id")
+    kept = (
+        docs.join(good, "doc_id", "left_semi")
+        .join(non_canonical, "doc_id", "left_anti")
+        .join(decon_kept, "doc_id", "left_semi")
+    )
+    return stratified_sample(
+        kept, "source", "doc_id", rates={"src0": 1.0}, default_rate=0.5,
+        seed=11,
+    ).select("doc_id", "source", "lang")
+
+
+def _o_curate_corpus() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_o_dedup_minhash()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(doc_id, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.doc_id
+),
+non_canonical AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(comp) AS component_id FROM reach GROUP BY doc_id
+  ) WHERE doc_id <> component_id
+),
+good AS (
+  SELECT doc_id FROM ({O_TEXT_QUALITY}) WHERE quality >= 0.5
+),
+decon_kept AS (
+  SELECT doc_id FROM ({O_DECONTAMINATE})
+)
+SELECT doc_id, source, lang FROM documents
+WHERE doc_id IN (SELECT doc_id FROM good)
+  AND doc_id NOT IN (SELECT doc_id FROM non_canonical)
+  AND doc_id IN (SELECT doc_id FROM decon_kept)
+  AND ('0x' || substr(md5('11:' || doc_id), 1, 8))::BIGINT / 4294967296.0 <
+      CASE source WHEN 'src0' THEN 1.0 ELSE 0.5 END
+"""
+
+
 # --------------------------------------------------- temporal operators
 
 
@@ -3281,6 +3352,7 @@ QUERIES: dict[str, tuple] = {
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "interleave_mix": (q_interleave_mix, O_INTERLEAVE_MIX),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),
+    "curate_corpus": (q_curate_corpus, _o_curate_corpus()),
     # approximate sketches
     "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
     "sketch_hll_merge": (q_sketch_hll_merge, O_SKETCH_HLL),
