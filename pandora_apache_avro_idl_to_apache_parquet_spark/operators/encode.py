@@ -424,7 +424,12 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
                             "path": f,
                             "size": info["file_size"],
                             "sha256": info["file_sha256"],
-                            "partitionValues": {"pds": pds.isoformat()},
+                            # date-partitioned encodes record each file's own
+                            # partition date in its marker; legacy markers
+                            # fall back to the run-level pds
+                            "partitionValues": {
+                                "pds": info.get("pds", pds.isoformat())
+                            },
                             "dataChange": True,
                             "modificationTime": io.mtime_ms(path),
                         }

@@ -598,7 +598,8 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
                             chunk_rows: int, pds: date,
                             fail_parts=None, run: str = "r0",
                             marker_dir: str = "_checkpoints",
-                            sort_cols: list[str] | None = None) -> pa.Table:
+                            sort_cols: list[str] | None = None,
+                            pds_from_col: bool = False) -> pa.Table:
     """Grouped-map kernel: one part_id's rows -> one chunk parquet file +
     checkpoint marker (same publication contract as the token kernel).
     ``run`` namespaces files/markers so append runs into one table dir never
@@ -619,6 +620,10 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     part_id = int(table.column("part_id")[0].as_py())
     if fail_parts and part_id in fail_parts:
         raise RuntimeError(f"injected failure for part {part_id}")
+    if pds_from_col:
+        # date-partitioned encode (encode_table's pds_col): every row of the
+        # group shares one partition date, carried in the helper column
+        pds = table.column("__pds")[0].as_py()
 
     # ``sort_cols`` (recluster_table) re-orders rows physically WITHOUT
     # changing key semantics: key_min/key_max below then fall back from the
@@ -706,6 +711,7 @@ def _encode_table_partition(table: pa.Table, io: FsIO, spec: TableSpec,
     stats = {
         "run": run,
         "part_id": part_id,
+        "pds": pds.isoformat(),
         "n_chunks": len(rows),
         "n_rows": n,
         "enc_bytes": sum(r[f"{c}__enc"] for r in rows for c in payload_cols),
@@ -748,7 +754,8 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
                  fail_parts: set[int] | None = None,
                  io: FsIO | None = None,
                  run: str = "r0",
-                 bloom_cols: list[str] | None = None) -> DataFrame:
+                 bloom_cols: list[str] | None = None,
+                 pds_col: str | None = None) -> DataFrame:
     """Encode any supported-typed DataFrame; returns the manifest (long form).
 
     Same plan as :func:`..operators.encode.encode_tokens`: salted shuffle on
@@ -760,6 +767,15 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
     new run id (its files/markers are namespaced ``part-<run>-``), and may
     carry an evolved schema — appended columns must be nullable; earlier
     runs' chunks decode them as null (:func:`_prepare_spec`).
+
+    ``pds_col`` (a non-null ``date`` column) turns on DATE-PARTITIONED
+    layout — the reference's ``partitionColumns=["pj_pds"]`` contract
+    (``DeltaLake.fs:288``): rows group by (date, salt), each file/chunk
+    carries its own date as ``pds`` (commit-log ``partitionValues``, chunk
+    zone column), so date-range reads prune whole files via
+    ``chunk_filter`` on ``pds`` exactly like Hive/Delta partition pruning.
+    The distinct-date set is collected to the driver (bounded — dates are a
+    partition key, not data); ``n_parts`` becomes parts PER DATE.
     """
     spark = df.sparkSession
     pds = pds or date(2026, 1, 1)
@@ -771,9 +787,25 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
             raise ValueError(f"key column {k!r} not in DataFrame")
     spec = _prepare_spec(io, df.schema, list(key_cols), bloom_cols)
 
-    keyed = df.withColumn(
-        "part_id", F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
-    )
+    salt = F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
+    if pds_col is not None:
+        if not isinstance(df.schema[pds_col].dataType, T.DateType):
+            raise ValueError(f"pds_col {pds_col!r} must be a date column")
+        raw = [r[0] for r in df.select(pds_col).distinct().collect()]
+        if any(d is None for d in raw):
+            raise ValueError(f"pds_col {pds_col!r} contains nulls")
+        dates = sorted(raw)
+        date_idx = spark.createDataFrame(
+            [(d, i) for i, d in enumerate(dates)], f"{pds_col} date, __didx int"
+        )
+        keyed = (
+            df.join(F.broadcast(date_idx), pds_col)
+            .withColumn("part_id", (F.col("__didx") * n_parts + salt).cast("int"))
+            .withColumn("__pds", F.col(pds_col))
+            .drop("__didx")
+        )
+    else:
+        keyed = df.withColumn("part_id", salt)
     done = completed_table_parts(out_dir, run, io)
     if done:
         done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
@@ -787,7 +819,8 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
 
     def kernel(table: pa.Table) -> pa.Table:
         return _encode_table_partition(table, io, spec, chunk_rows, pds,
-                                       fail_parts=fail_parts, run=run)
+                                       fail_parts=fail_parts, run=run,
+                                       pds_from_col=pds_col is not None)
 
     result = keyed.groupBy("part_id").applyInArrow(kernel, schema=manifest_struct)
     result.write.format("noop").mode("overwrite").save()

@@ -620,6 +620,52 @@ FROM lineitem WHERE l_linenumber = 4
 """
 
 
+def q_table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive/Delta-style DATE PARTITION PRUNING (the reference's
+    ``partitionColumns=["pj_pds"]``, DeltaLake.fs:288): events encode with
+    ``pds_col=date(ts)`` — every file/chunk carries its own partition date
+    in the commit log and the ``pds`` zone column — and a one-week read
+    prunes all other dates' files before any payload byte is touched.
+    Result = the plain SQL date-range filter."""
+    from .operators.table import (
+        completed_table_parts, decode_table, encode_table,
+    )
+
+    key = hashlib.md5(
+        f"tblpds1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_pds_{key}")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.to_date("ts").alias("day"),
+    )
+    if not completed_table_parts(out):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(ev, out, key_cols=["event_id"], n_parts=1,
+                     pds_col="day")
+    lo, hi = "2024-01-08", "2024-01-14"
+    return (
+        decode_table(
+            spark, out,
+            chunk_filter=F.col("pds").between(lo, hi),
+        )
+        .filter(F.col("day").between(lo, hi))
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .withColumn("day", F.date_format("day", "yyyy-MM-dd"))
+    )
+
+
+O_TABLE_PARTITION_PRUNING = """
+SELECT strftime(ts::DATE, '%Y-%m-%d') AS day, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM events
+WHERE ts::DATE BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+GROUP BY 1, 2
+"""
+
+
 def q_table_recluster_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE/CLUSTER BY analog: the table is encoded key-sorted on
     (l_orderkey, l_linenumber) — useless for l_partkey ranges — then
@@ -3284,6 +3330,9 @@ QUERIES: dict[str, tuple] = {
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
     "table_incremental_agg": (q_table_incremental_agg, O_TABLE_INCREMENTAL_AGG),
     "table_recluster_range": (q_table_recluster_range, O_TABLE_RECLUSTER_RANGE),
+    "table_partition_pruning": (
+        q_table_partition_pruning, O_TABLE_PARTITION_PRUNING,
+    ),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
