@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "events_moving_avg",
     "pivot_event_counts",
     "multimodal_frame_sample",
+    "table_partition_pruning",
+    "curate_corpus",
 ]
 
 
