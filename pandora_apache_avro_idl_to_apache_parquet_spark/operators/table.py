@@ -1857,3 +1857,139 @@ def table_diff(spark: SparkSession, out_dir: str,
         new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
         .unionByName(old.exceptAll(new).withColumn("_change_type", F.lit("delete")))
     )
+
+
+def check_table_integrity(spark: SparkSession, out_dir: str,
+                          io: FsIO | None = None,
+                          as_of: int | None = None) -> DataFrame:
+    """fsck for the encoded store: recompute each chunk's content hash over
+    its payload+validity bytes and compare to the ``sha`` written at encode
+    time (A23's SHA-256 contract, Hash.fs:9-37 — the same bytes the commit
+    log's per-file sha256 covers at file granularity). Returns ONE ROW PER
+    BAD CHUNK (``run, part_id, chunk_seq, chunk_id, reason``); a healthy
+    table returns 0 rows.
+
+    Shape: a map-only scan of the chunk files — payload bytes stream through
+    Arrow batches, nothing decodes and nothing shuffles. The per-row Python
+    loop is manifest-scale (one row per ≤ chunk_rows data rows), not
+    data-scale. Columns appended by schema evolution after a chunk was
+    written surface as NULL payloads and are skipped — exactly the byte set
+    the original hash covered.
+    """
+    import hashlib as _hashlib
+
+    spec = read_table_spec(out_dir, io)
+    payload_cols = [f.name for f in spec.schema.fields]
+    sel = ["run", "part_id", "chunk_seq", "chunk_id", "sha"]
+    sel += [f"{c}__payload" for c in payload_cols]
+    sel += [f"{c}__valid" for c in payload_cols]
+    chunks = read_table_chunks(spark, out_dir, io, as_of=as_of).select(*sel)
+    out_schema = T.StructType(
+        [
+            T.StructField("run", T.StringType(), False),
+            T.StructField("part_id", T.IntegerType(), False),
+            T.StructField("chunk_seq", T.IntegerType(), False),
+            T.StructField("chunk_id", T.StringType(), False),
+            T.StructField("reason", T.StringType(), False),
+        ]
+    )
+
+    def audit(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            bad = {k: [] for k in
+                   ("run", "part_id", "chunk_seq", "chunk_id", "reason")}
+            for i in range(t.num_rows):
+                parts = []
+                for c in payload_cols:
+                    p = t.column(f"{c}__payload")[i].as_py()
+                    if p is None:
+                        continue  # column appended after this chunk's encode
+                    parts.append(p)
+                    v = t.column(f"{c}__valid")[i].as_py()
+                    if v is not None:
+                        parts.append(v)
+                calc = _hashlib.sha256(b"".join(parts)).digest()
+                stored = t.column("sha")[i].as_py()
+                if calc != stored:
+                    bad["run"].append(t.column("run")[i].as_py())
+                    bad["part_id"].append(t.column("part_id")[i].as_py())
+                    bad["chunk_seq"].append(t.column("chunk_seq")[i].as_py())
+                    bad["chunk_id"].append(t.column("chunk_id")[i].as_py())
+                    bad["reason"].append("sha mismatch: payload bytes differ "
+                                         "from encode-time content hash")
+            yield pa.RecordBatch.from_pydict(
+                bad,
+                schema=pa.schema(
+                    [
+                        pa.field("run", pa.string()),
+                        pa.field("part_id", pa.int32()),
+                        pa.field("chunk_seq", pa.int32()),
+                        pa.field("chunk_id", pa.string()),
+                        pa.field("reason", pa.string()),
+                    ]
+                ),
+            )
+
+    return chunks.mapInArrow(audit, schema=out_schema)
+
+
+def validate_table(spark: SparkSession, out_dir: str,
+                   unique: list[str] | None = None,
+                   not_null: list[str] | None = None,
+                   checks: dict[str, "F.Column"] | None = None,
+                   check_cols: list[str] | None = None,
+                   io: FsIO | None = None) -> DataFrame:
+    """Constraint audit over the encoded store: one row per constraint with
+    its violation count (``constraint, n_bad``) — the data-quality gate a
+    warehouse runs after loads.
+
+    * ``not_null`` columns are answered from the chunk zone maps ALONE
+      (:func:`table_stats` null counts — zero payload read);
+    * ``unique`` (a composite key) decodes only the key columns and counts
+      surplus rows per duplicated key (``Σ (cnt − 1)``);
+    * ``checks`` maps constraint name → boolean Column over the source
+      columns; rows where the predicate is FALSE or NULL count as
+      violations (SQL CHECK semantics). ``check_cols`` limits the decode to
+      the referenced columns.
+    All pieces are lazy DataFrames unioned by name — the audit is one job.
+    """
+    frames: list[DataFrame] = []
+    if not_null:
+        frames.append(
+            table_stats(spark, out_dir, columns=list(not_null), io=io)
+            .select(
+                F.concat(F.lit("not_null("), F.col("column"), F.lit(")"))
+                .alias("constraint"),
+                F.col("n_nulls").alias("n_bad"),
+            )
+        )
+    if unique:
+        dup = (
+            decode_table(spark, out_dir, columns=list(unique), io=io)
+            .groupBy(*unique)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") > 1)
+        )
+        frames.append(
+            dup.agg(
+                F.lit(f"unique({', '.join(unique)})").alias("constraint"),
+                F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_bad"),
+            )
+        )
+    for name, cond in (checks or {}).items():
+        dec = decode_table(spark, out_dir, columns=check_cols, io=io)
+        frames.append(
+            dec.agg(
+                F.lit(f"check({name})").alias("constraint"),
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+                ).alias("n_bad"),
+            )
+        )
+    if not frames:
+        raise ValueError("validate_table: no constraints given")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

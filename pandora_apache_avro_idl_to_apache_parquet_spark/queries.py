@@ -620,6 +620,55 @@ FROM lineitem WHERE l_linenumber = 4
 """
 
 
+def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse-style constraint audit over the encoded store: NOT NULL
+    answered from zone maps alone (no payload read), UNIQUE decodes only the
+    key columns, CHECK predicates count FALSE-or-NULL rows (SQL CHECK
+    semantics). The oracle recomputes each violation count directly."""
+    from .operators.table import validate_table
+
+    out = _table_encode_dir(spark, sf_dir)
+    return validate_table(
+        spark, out,
+        unique=["l_orderkey", "l_linenumber"],
+        not_null=["l_quantity", "flag_n"],
+        checks={"qty_le_30": F.col("l_quantity") <= 30.0},
+        check_cols=["l_quantity"],
+    )
+
+
+O_TABLE_VALIDATE_CONSTRAINTS = """
+SELECT 'not_null(l_quantity)' AS "constraint", 0::BIGINT AS n_bad
+UNION ALL
+SELECT 'not_null(flag_n)',
+       count(*) FILTER (WHERE l_returnflag = 'N')::BIGINT FROM lineitem
+UNION ALL
+SELECT 'unique(l_orderkey, l_linenumber)',
+       (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT FROM lineitem
+UNION ALL
+SELECT 'check(qty_le_30)',
+       count(*) FILTER (WHERE NOT (l_quantity <= 30.0))::BIGINT FROM lineitem
+"""
+
+
+def q_table_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fsck over the encoded store: recompute every chunk's payload content
+    hash and compare to the encode-time sha — a healthy table yields ZERO
+    rows (the oracle is the empty relation with the same shape). Corruption
+    detection (a flipped payload byte) is pytest-proven."""
+    from .operators.table import check_table_integrity
+
+    out = _table_encode_dir(spark, sf_dir)
+    return check_table_integrity(spark, out)
+
+
+O_TABLE_INTEGRITY_AUDIT = """
+SELECT '' AS run, 0::INTEGER AS part_id, 0::INTEGER AS chunk_seq,
+       '' AS chunk_id, '' AS reason
+WHERE 1 = 0
+"""
+
+
 def q_table_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive/Delta-style DATE PARTITION PRUNING (the reference's
     ``partitionColumns=["pj_pds"]``, DeltaLake.fs:288): events encode with
@@ -3333,6 +3382,10 @@ QUERIES: dict[str, tuple] = {
     "table_partition_pruning": (
         q_table_partition_pruning, O_TABLE_PARTITION_PRUNING,
     ),
+    "table_validate_constraints": (
+        q_table_validate_constraints, O_TABLE_VALIDATE_CONSTRAINTS,
+    ),
+    "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
     "table_q1": (q_table_q1, O_Q1),
