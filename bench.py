@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "table_partition_pruning",
     "curate_corpus",
+    "table_validate_constraints",
+    "table_integrity_audit",
 ]
 
 

@@ -127,6 +127,22 @@ def _logical_of(dt: T.DataType) -> str:
             f"unsupported array element type {elem.simpleString()} — explode or "
             "flatten to extension tables first (operators.nested.flatten_table)"
         )
+    if isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                f"unsupported map key type {dt.keyType.simpleString()} — only "
+                "string keys (the reference's MAP contract, Parquet.fs:86-98)"
+            )
+        val = dt.valueType
+        for vt, name in ((T.IntegerType, "int"), (T.LongType, "long"),
+                         (T.FloatType, "float"), (T.DoubleType, "double"),
+                         (T.StringType, "string")):
+            if isinstance(val, vt):
+                return f"map<string,{name}>"
+        raise ValueError(
+            f"unsupported map value type {val.simpleString()} — explode to a "
+            "{key,value} extension table first (operators.nested.flatten_table)"
+        )
     raise ValueError(
         f"unsupported column type {dt.simpleString()} — nested types must be "
         "flattened to extension tables first (operators.nested.flatten_table)"
@@ -392,6 +408,16 @@ _ARRAY_LANES = {
     "array<double>": (pa.float64(), np.float64, 8),
 }
 
+# map<string,T> value lanes: the map rides three streams — entry lengths,
+# keys (a string stream), values (a string or typed stream) — the array
+# lane's composite layout with one more segment.
+_MAP_VAL_LANES = {
+    "int": (pa.int32(), np.int32, 4),
+    "long": (pa.int64(), np.int64, 8),
+    "float": (pa.float32(), np.float32, 4),
+    "double": (pa.float64(), np.float64, 8),
+}
+
 
 def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, int, int, str]:
     """One column chunk -> (valid_payload | None, payload, n_nulls, raw_bytes,
@@ -442,6 +468,41 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
             raw = 4 * n + width * len(values)
         payload = _struct.pack("<Q", len(lp)) + lp + vp
         name = f"{C.payload_codec_name(lp)}+{C.payload_codec_name(vp)}"
+        return valid_payload, payload, n_nulls, raw, name
+
+    if logical.startswith("map<string,"):
+        dense = dense.combine_chunks() if isinstance(dense, pa.ChunkedArray) else dense
+        # no list_value_length kernel for maps in this pyarrow: lengths come
+        # straight from the (slice-adjusted) offsets buffer
+        offsets = dense.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets).astype(np.int32)
+        keys, items = dense.keys, dense.items
+        if items.null_count:
+            raise ValueError("null values inside map columns are not supported")
+        lp = select_int_codec(lengths)
+        kl, kblob = C.bytes_to_blob(keys)
+        kp = select_str_codec(kl, kblob)
+        vlane = logical[len("map<string,"):-1]
+        if vlane == "string":
+            vl, vblob = C.bytes_to_blob(items)
+            vp = select_str_codec(vl, vblob)
+            raw = 4 * n + 4 * len(kl) + len(kblob) + 4 * len(vl) + len(vblob)
+        else:
+            lane_pa, lane_np, width = _MAP_VAL_LANES[vlane]
+            values = np.ascontiguousarray(
+                items.cast(lane_pa).to_numpy(zero_copy_only=False), dtype=lane_np
+            )
+            if lane_np is np.int32:
+                from ..plans.cost import encode_values
+
+                vp = encode_values(values, lengths)
+            else:
+                vp = select_typed_codec(values)
+            raw = 4 * n + 4 * len(kl) + len(kblob) + width * len(values)
+        payload = (_struct.pack("<Q", len(lp)) + lp
+                   + _struct.pack("<Q", len(kp)) + kp + vp)
+        name = (f"{C.payload_codec_name(lp)}+{C.payload_codec_name(kp)}"
+                f"+{C.payload_codec_name(vp)}")
         return valid_payload, payload, n_nulls, raw, name
 
     if logical in _STR_LOGICALS:
@@ -537,6 +598,49 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
         arr = pa.Array.from_buffers(
             pa.list_(lane_pa), n, [validity, pa.py_buffer(offs.tobytes())],
             children=[child],
+        )
+        return arr if arr.type == target else arr.cast(target)
+
+    if logical.startswith("map<string,"):
+        import struct as _struct
+
+        (llen,) = _struct.unpack_from("<Q", payload, 0)
+        lengths = C.decode_int32(payload[8 : 8 + llen])
+        rest = payload[8 + llen :]
+        (klen,) = _struct.unpack_from("<Q", rest, 0)
+        kl, kblob = C.decode_strings(rest[8 : 8 + klen])
+        keys = C.blob_to_strings(kl, kblob)
+        vbuf = rest[8 + klen :]
+        vlane = logical[len("map<string,"):-1]
+        if vlane == "string":
+            vl, vblob = C.decode_strings(vbuf)
+            items = C.blob_to_strings(vl, vblob)
+            lane_pa = pa.string()
+        else:
+            lane_pa, lane_np, _w = _MAP_VAL_LANES[vlane]
+            if C.payload_codec_name(vbuf) == "grouped":
+                values = C.decode_int32_grouped(vbuf, lengths)
+            else:
+                values = C.decode_typed(vbuf)
+            items = pa.Array.from_buffers(
+                lane_pa, len(values),
+                [None, pa.py_buffer(np.ascontiguousarray(values, dtype=lane_np).tobytes())],
+            )
+        if mask is not None:
+            full_len = np.zeros(n, dtype=np.int32)
+            full_len[mask] = lengths
+            lengths = full_len
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offs[1:])
+        map_t = pa.map_(pa.string(), lane_pa)
+        entries = pa.StructArray.from_arrays(
+            [keys, items],
+            fields=[pa.field("key", pa.string(), nullable=False),
+                    pa.field("value", lane_pa)],
+        )
+        arr = pa.Array.from_buffers(
+            map_t, n, [validity, pa.py_buffer(offs.tobytes())],
+            children=[entries],
         )
         return arr if arr.type == target else arr.cast(target)
 

@@ -620,6 +620,50 @@ FROM lineitem WHERE l_linenumber = 4
 """
 
 
+def q_table_map_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map<string,string> column through the encoded store: the map rides
+    three codec'd streams (entry lengths + keys + values — the reference's
+    MAP contract kept as a COLUMN instead of exploding to a child table,
+    Parquet.fs:948-1039). Variable sizes and NULL maps exercise the
+    validity stream; the decoded map explodes to (event_id, key, value)
+    rows so the driver hash can canonicalize it."""
+    from .operators.table import completed_table_parts, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tblmap1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_map_{key}")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, F.lit(None)).otherwise(
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.expr("map('type', event_type, 'user', cast(user_id as string), 'flag', 'x')"),
+            ).otherwise(
+                F.expr("map('type', event_type, 'user', cast(user_id as string))")
+            )
+        ).alias("props_map"),
+    )
+    if not completed_table_parts(out):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(ev, out, key_cols=["event_id"],
+                     n_parts=_TABLE_ENCODE_PARTS)
+    dec = decode_table(spark, out)
+    return dec.select("event_id", F.explode("props_map").alias("key", "value"))
+
+
+O_TABLE_MAP_ROUNDTRIP = """
+WITH base AS (
+  SELECT event_id, event_type, user_id FROM events WHERE event_id % 97 <> 0
+)
+SELECT event_id, 'type' AS key, event_type AS value FROM base
+UNION ALL
+SELECT event_id, 'user', user_id::VARCHAR FROM base
+UNION ALL
+SELECT event_id, 'flag', 'x' FROM base WHERE event_id % 5 = 0
+"""
+
+
 def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-style constraint audit over the encoded store: NOT NULL
     answered from zone maps alone (no payload read), UNIQUE decodes only the
@@ -2614,6 +2658,32 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-SQL surface with a CORRELATED scalar subquery (every order
+    above its customer's own average) — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution, unlike a naive interpreter);
+    written as SQL text to exercise the spark.sql front door rather than
+    the DataFrame builder."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o_totalprice) FROM v_orders i
+          WHERE i.o_custkey = o.o_custkey
+        )
+    """)
+
+
+O_CORRELATED_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice > 1.5 * (
+  SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+"""
+
+
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus curation — the composed pipeline every stage above
     exists for: keep documents that (1) score ≥ 0.5 on the heuristic quality
@@ -3385,6 +3455,7 @@ QUERIES: dict[str, tuple] = {
     "table_validate_constraints": (
         q_table_validate_constraints, O_TABLE_VALIDATE_CONSTRAINTS,
     ),
+    "table_map_roundtrip": (q_table_map_roundtrip, O_TABLE_MAP_ROUNDTRIP),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
@@ -3407,6 +3478,7 @@ QUERIES: dict[str, tuple] = {
     "topk_orders": (q_topk_orders, O_TOPK_ORDERS),
     "setop_part_types": (q_setop_part_types, O_SETOP_PART_TYPES),
     "semi_anti_customers": (q_semi_anti_customers, O_SEMI_ANTI_CUSTOMERS),
+    "correlated_subquery": (q_correlated_subquery, O_CORRELATED_SUBQUERY),
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),

@@ -188,9 +188,16 @@ def test_object_store_io_end_to_end(spark):
 
 
 def test_unsupported_shapes_rejected(spark):
-    nested = spark.createDataFrame([(1, {"a": 2})], "id int, m map<string,int>")
+    # map<string,int> is a supported lane since round 3; deep map values and
+    # non-string keys still reject toward the flatten path
+    deep = spark.createDataFrame(
+        [(1, {"a": [2]})], "id int, m map<string,array<int>>"
+    )
     with pytest.raises(ValueError, match="flatten"):
-        encode_table(nested, "/tmp/never", key_cols=["id"])
+        encode_table(deep, "/tmp/never", key_cols=["id"])
+    intkey = spark.createDataFrame([(1, {2: "v"})], "id int, m map<int,string>")
+    with pytest.raises(ValueError, match="string keys"):
+        encode_table(intkey, "/tmp/never", key_cols=["id"])
     structy = spark.createDataFrame([(1, (2, "x"))], "id int, s struct<a:int,b:string>")
     with pytest.raises(ValueError, match="flatten"):
         encode_table(structy, "/tmp/never", key_cols=["id"])
@@ -867,3 +874,56 @@ def test_table_sql_safety_gates(spark):
         spark.catalog.dropTempView("g")
         spark.catalog.dropTempView("g_manifest")
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_map_lane_roundtrip(spark, tmp_path):
+    """map<string,T> columns: three codec'd streams (entry lengths + keys +
+    values), null maps via the validity stream, variable entry counts,
+    string and numeric value lanes — bit-exact through encode/decode and
+    stable under selective decode."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        decode_table,
+        encode_table,
+    )
+
+    out = str(tmp_path / "tbl")
+    df = spark.range(800).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 0, F.lit(None)).otherwise(
+            F.when(F.col("id") % 3 == 0, F.expr("map()")).otherwise(
+                F.expr("map('a', cast(id as string), 'b', repeat('x', cast(id % 7 as int)))")
+            )
+        ).alias("ms"),
+        F.expr("map('n', id, 'sq', id * id)").alias("ml"),
+        F.expr("map('h', cast(id as double) / 3.0)").alias("md"),
+    )
+    encode_table(df, out, key_cols=["k"], n_parts=2, chunk_rows=128)
+
+    def canon(rows):
+        return sorted(
+            (r.k,
+             None if r.ms is None else sorted(r.ms.items()),
+             sorted(r.ml.items()),
+             sorted(r.md.items()))
+            for r in rows
+        )
+
+    assert canon(decode_table(spark, out).collect()) == canon(df.collect())
+    # selective decode of just one map column
+    sel = decode_table(spark, out, columns=["k", "ml"])
+    assert sel.columns == ["k", "ml"]
+    got = {r.k: sorted(r.ml.items()) for r in sel.collect()}
+    assert got[5] == [("n", 5), ("sq", 25)]
+
+
+def test_map_lane_rejects_bad_shapes(spark, tmp_path):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table,
+    )
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.expr("map(id, 'v')").alias("m"),  # non-string key
+    )
+    with pytest.raises(ValueError):
+        encode_table(df, str(tmp_path / "x"), key_cols=["k"])
