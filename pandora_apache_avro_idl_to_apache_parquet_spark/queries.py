@@ -2658,6 +2658,113 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PageRank (2 unrolled iterations, d=0.85) over the
+    supplier→part supply graph derived from lineitem. Each iteration = one
+    edge⋈rank join + one destination groupBy (map-side partials, nothing
+    quadratic); per-iteration sums round to 12 dp so the unrolled-CTE
+    oracle holds bit-identical state. The iterative-graph-analytics row
+    next to connected_components."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(200)).cast("long").alias("dst"),
+    )
+    out = pagerank(edges, n_iter=2, damping=0.85)
+    return out.select("node", F.round("pr", 9).alias("pr"))
+
+
+def _o_pagerank() -> str:
+    def step(prev: str, name: str) -> str:
+        return f"""
+c_{name} AS (
+  SELECT e.dst, round(sum(p.pr / o.outdeg), 12) AS s
+  FROM edges e JOIN {prev} p ON e.src = p.node JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+),
+{name} AS (
+  SELECT n.node,
+         round((1.0 - 0.85) / (SELECT cnt FROM nn)
+               + 0.85 * coalesce(c.s, 0.0), 12) AS pr
+  FROM nodes n LEFT JOIN c_{name} c ON n.node = c.dst
+)"""
+
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey::BIGINT AS src, (l_partkey % 200)::BIGINT AS dst
+  FROM lineitem
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::BIGINT AS cnt FROM nodes),
+outdeg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS pr FROM nodes),
+{step('pr0', 'pr1')},
+{step('pr1', 'pr2')}
+SELECT node, round(pr, 9) AS pr FROM pr2
+"""
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + customer saved as BUCKETED tables (8 buckets on the join
+    key, sorted within buckets): both sides hash-place rows at WRITE time,
+    so the join needs no Exchange at read time — the co-located-join lever
+    a 100-TB star schema is laid out around."""
+    key = hashlib.md5(
+        f"bkt1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    wh = os.path.join(tempfile.gettempdir(), f"pandora_engine_wh_{key}")
+    o_name, c_name = f"bkt_orders_{key}", f"bkt_customer_{key}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{wh}/bktdb'")
+    exists = {t.name for t in spark.catalog.listTables("bktdb")}
+    # the session catalog is in-memory: a table written by an earlier
+    # PROCESS leaves its location on disk but not in this catalog — clear
+    # the orphan location so saveAsTable can manage it fresh
+    for name in (o_name, c_name):
+        loc = os.path.join(wh, "bktdb", name)
+        if name not in exists and os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    if o_name not in exists:
+        (_t(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+         .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .mode("overwrite").saveAsTable(f"bktdb.{o_name}"))
+    if c_name not in exists:
+        (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_name", "c_mktsegment")
+         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .mode("overwrite").saveAsTable(f"bktdb.{c_name}"))
+    return f"bktdb.{o_name}", f"bktdb.{c_name}"
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED bucketed join: both tables bucketed 8-ways on the join
+    key at write time, so the per-segment revenue rollup joins with ZERO
+    shuffle of either side (the plan-hygiene pytest asserts no Exchange
+    below the join). At 100 TB this is the difference between re-shuffling
+    two fact tables per query and never shuffling them at all."""
+    o_name, c_name = _bucketed_tables(spark, sf_dir)
+    o, c = spark.table(o_name), spark.table(c_name)
+    # MERGE hint: at test scale the dimension fits a broadcast, which would
+    # bypass the bucket layout; force the sort-merge plan the 100-TB shape
+    # uses so the zero-Exchange property is what actually executes
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+O_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-SQL surface with a CORRELATED scalar subquery (every order
     above its customer's own average) — Catalyst decorrelates it into an
@@ -3479,6 +3586,8 @@ QUERIES: dict[str, tuple] = {
     "setop_part_types": (q_setop_part_types, O_SETOP_PART_TYPES),
     "semi_anti_customers": (q_semi_anti_customers, O_SEMI_ANTI_CUSTOMERS),
     "correlated_subquery": (q_correlated_subquery, O_CORRELATED_SUBQUERY),
+    "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
+    "graph_pagerank": (q_graph_pagerank, _o_pagerank()),
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),

@@ -47,3 +47,25 @@ def test_grouped_topk_no_single_partition_exchange(docs):
     # counted as nodes, not as occurrences of the word in expression text
     nodes = re.findall(r"(?m)^[\s:+-]*Window\b", plan)
     assert len(nodes) == 2, plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed 8-ways on the join key at write time: the
+    sort-merge join must read the buckets co-located — NO Exchange anywhere
+    below the join (the aggregate above it may still shuffle its 5 groups)."""
+    import re
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.queries import (
+        _bucketed_tables,
+    )
+
+    o_name, c_name = _bucketed_tables(spark, "/root/testdata/sf0.001")
+    o, c = spark.table(o_name), spark.table(c_name)
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    n = j.count()
+    assert n == spark.table(o_name).count()  # every order has a customer
