@@ -93,6 +93,10 @@ BENCH_QUERIES = [
     "curate_corpus",
     "table_validate_constraints",
     "table_integrity_audit",
+    "table_map_roundtrip",
+    "correlated_subquery",
+    "bucketed_join",
+    "graph_pagerank",
 ]
 
 
