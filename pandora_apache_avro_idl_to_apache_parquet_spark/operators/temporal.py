@@ -52,15 +52,21 @@ def _interval_us(g: str) -> int:
 
 def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
               value_cols: list[str] | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              direction: str = "backward") -> DataFrame:
     """For every left row, attach the latest right row with
-    ``right.ts <= left.ts`` of the same key (backward as-of, ties at equal
-    ts match — DuckDB/pandas ``merge_asof`` semantics).
+    ``right.ts <= left.ts`` of the same key (``direction="backward"``, the
+    default — DuckDB/pandas ``merge_asof`` semantics, ties at equal ts
+    match), or the EARLIEST right row with ``right.ts >= left.ts``
+    (``direction="forward"`` — "next reading at-or-after": the same
+    carry-forward machinery over the reversed time order).
 
     Right rows with duplicate (key, ts) must be pre-aggregated by the
     caller; otherwise which duplicate wins is tie-ordered by the carried
     columns' last sort position (deterministic only per partition layout).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, ts)
     ]
@@ -70,10 +76,13 @@ def asof_join(left: DataFrame, right: DataFrame, key: str, ts: str,
     ).withColumn("__emit", F.lit(1))
     l = left.withColumn("__emit", F.lit(0))
     u = l.unionByName(r, allowMissingColumns=True)
-    # at equal ts the right (emitter) row sorts first so the left row sees it
+    # at equal ts the right (emitter) row sorts first so the left row sees
+    # it; forward mode walks time descending, so "last seen" = next-at-or-
+    # after
+    order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("__emit").desc())
+        .orderBy(order, F.col("__emit").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = u.select(

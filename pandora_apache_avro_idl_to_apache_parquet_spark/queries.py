@@ -2910,6 +2910,50 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: every event attaches its user's NEXT daily snapshot
+    at-or-after the event time (the look-ahead mirror of `asof_join` —
+    same union + carry machinery over the reversed time order, still ONE
+    key shuffle). Last-day events past the final snapshot exercise the
+    no-match path; DuckDB verifies with ASOF LEFT JOIN on `<=`."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    snaps = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("DAY", "ts").alias("day"))
+        .agg(F.count("*").alias("n_day"))
+        .select(
+            "user_id",
+            (F.col("day") + F.expr("interval 1 hour")).alias("ts"),
+            "n_day",
+        )
+    )
+    out = asof_join(ev, snaps, key="user_id", ts="ts",
+                    value_cols=["n_day"], direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', ts)")
+        .alias("us"),
+        F.coalesce("n_day_asof", F.lit(-1)).cast("long").alias("n_day_fwd"),
+    )
+
+
+O_ASOF_JOIN_FORWARD = f"""
+WITH r AS (
+  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 HOUR AS rts,
+         count(*)::BIGINT AS n_day
+  FROM events GROUP BY user_id, date_trunc('day', ts)
+)
+SELECT e.event_id, e.user_id,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}', e.ts) AS us,
+       coalesce(r.n_day, -1)::BIGINT AS n_day_fwd
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts <= r.rts
+"""
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join planned as an equi-join: per-user 30-hour
     activity windows (opening daily at 12:00, so consecutive windows
@@ -3646,6 +3690,7 @@ QUERIES: dict[str, tuple] = {
     "decontaminate_bloom": (q_decontaminate_bloom, O_DECONTAMINATE),
     # temporal operators
     "asof_join": (q_asof_join, O_ASOF_JOIN),
+    "asof_join_forward": (q_asof_join_forward, O_ASOF_JOIN_FORWARD),
     "range_join": (q_range_join, O_RANGE_JOIN),
     "hypertable_rollup": (q_hypertable_rollup, O_HYPERTABLE_ROLLUP),
     # streaming (oracled: stream totals must equal the batch derivation)

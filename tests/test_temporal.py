@@ -165,3 +165,27 @@ def test_gap_fill_rejects_variable_granules(spark):
     ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
     with _pytest.raises(ValueError):
         gap_fill(df, "k", "ts", "v", granule="month")
+
+
+def test_asof_forward_direction(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [("a", 5), ("a", 10), ("a", 30), ("b", 1)], "k string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 20, "y")], "k string, ts long, v string"
+    )
+    out = {
+        (r.k, r.ts): r.v_asof
+        for r in asof_join(left, right, "k", "ts", direction="forward").collect()
+    }
+    assert out[("a", 5)] == "x"    # next at-or-after
+    assert out[("a", 10)] == "x"   # ties at equal ts match
+    assert out[("a", 30)] is None  # nothing after
+    assert out[("b", 1)] is None   # key never appears on the right
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", direction="sideways")
