@@ -26,7 +26,7 @@ import struct
 import numpy as np
 
 MAGIC = b"PC"
-VERSION = 3  # v3: int64/float dtypes + escape-aware (UTF-8-safe) FSST
+VERSION = 4  # v4: +STR_ZLIB general-purpose entropy codec for natural text
 
 # codec ids
 PLAIN = 0
@@ -41,6 +41,8 @@ GCD = 8
 STR_PLAIN = 10
 STR_DICT = 11
 STR_FSST = 12
+STR_ZLIB = 13  # DEFLATE over the blob: the entropy-codec fallback FSST's
+# substring table cannot reach on natural text (FSST ~2x, DEFLATE ~3-4x)
 
 DT_INT32 = 0
 DT_BYTES = 1
@@ -49,7 +51,7 @@ DT_FLOAT32 = 3  # float32 bit patterns through the int32 codec family
 DT_FLOAT64 = 4  # float64 bit patterns through the int64 codec family
 
 INT_CODECS = (PLAIN, BITPACK, FOR, RLE, DICT, DELTA)
-STR_CODECS = (STR_PLAIN, STR_DICT, STR_FSST)
+STR_CODECS = (STR_PLAIN, STR_DICT, STR_FSST, STR_ZLIB)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -64,9 +66,11 @@ CODEC_NAMES = {
     STR_PLAIN: "plain",
     STR_DICT: "dict",
     STR_FSST: "fsst",
+    STR_ZLIB: "zlib",
 }
 NAME_TO_CODEC_INT = {"plain": PLAIN, "bitpack": BITPACK, "for": FOR, "rle": RLE, "dict": DICT}
-NAME_TO_CODEC_STR = {"plain": STR_PLAIN, "dict": STR_DICT, "fsst": STR_FSST}
+NAME_TO_CODEC_STR = {"plain": STR_PLAIN, "dict": STR_DICT, "fsst": STR_FSST,
+                     "zlib": STR_ZLIB}
 
 _HDR = struct.Struct("<2sBBBQ")  # magic, version, codec, dtype, n_values
 
@@ -665,6 +669,26 @@ def _dec_str_plain(body: bytes) -> tuple[np.ndarray, bytes]:
     return lengths, body[8 + llen :]
 
 
+def _enc_str_zlib(lengths: np.ndarray, blob: bytes) -> bytes:
+    """DEFLATE the whole blob (lengths ride the usual int stream). The
+    general-purpose entropy fallback: wins on natural-language text where
+    FSST's 255-symbol substring table saturates; loses on short/categorical
+    streams where DICT/FSST exploit structure zlib cannot see — the cost
+    model decides per chunk."""
+    import zlib
+
+    lb = encode_int32(lengths, FOR)
+    return struct.pack("<Q", len(lb)) + lb + zlib.compress(blob, 6)
+
+
+def _dec_str_zlib(body: bytes) -> tuple[np.ndarray, bytes]:
+    import zlib
+
+    (llen,) = struct.unpack_from("<Q", body, 0)
+    lengths = decode_int32(body[8 : 8 + llen])
+    return lengths, zlib.decompress(body[8 + llen :])
+
+
 def _enc_str_dict(lengths: np.ndarray, blob: bytes) -> bytes:
     """Dictionary-encode a string stream via pyarrow's C++ dictionary_encode."""
     arr = blob_to_strings(lengths, blob)
@@ -823,6 +847,8 @@ def encode_strings(lengths: np.ndarray, blob: bytes, codec: int) -> bytes | None
         body = _enc_str_dict(lengths, blob)
     elif codec == STR_FSST:
         body = _enc_str_fsst(lengths, blob)
+    elif codec == STR_ZLIB:
+        body = _enc_str_zlib(lengths, blob)
     else:
         raise ValueError(f"unknown string codec {codec}")
     if body is None:
@@ -841,6 +867,8 @@ def decode_strings(buf: bytes) -> tuple[np.ndarray, bytes]:
         return _dec_str_dict(body, n)
     if codec == STR_FSST:
         return _dec_str_fsst(body)
+    if codec == STR_ZLIB:
+        return _dec_str_zlib(body)
     raise ValueError(f"unknown string codec {codec}")
 
 

@@ -120,7 +120,7 @@ def select_str_codec(lengths: np.ndarray, blob: bytes,
     scale = n / k
     plain_full = C.encode_strings(lengths, blob, C.STR_PLAIN)
     best_codec, best_est = C.STR_PLAIN, float(len(plain_full))
-    for codec in (C.STR_DICT, C.STR_FSST):
+    for codec in (C.STR_DICT, C.STR_FSST, C.STR_ZLIB):
         enc = C.encode_strings(s_len, s_blob, codec)
         if enc is None:
             continue

@@ -115,7 +115,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v5"  # bump to bust the /tmp encode cache on payload-affecting changes
+_FORMAT_TAG = "v6"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
