@@ -2097,3 +2097,90 @@ def validate_table(spark: SparkSession, out_dir: str,
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def restore_table(out_dir: str, version: int, io: FsIO | None = None) -> dict:
+    """Delta ``RESTORE TABLE ... TO VERSION`` analog: ONE metadata-only log
+    entry returns the live file set to exactly what commit ``version`` left
+    — files live then but removed since are RE-ADDED (their original add
+    records, still on disk because :func:`..operators.encode.vacuum` hasn't
+    reclaimed them), files added since are REMOVED. No data byte moves;
+    history is preserved (``as_of`` reads of intermediate versions still
+    work, and the restore itself is a new version that can be restored
+    away). Raises if any needed file has already been vacuumed."""
+    from .encode import append_log_entry, committed_files, read_commit_log
+
+    io = _io(out_dir, io)
+    cur = committed_files(out_dir, io)
+    old = committed_files(out_dir, io, as_of=version)
+    if cur is None or old is None:
+        raise ValueError("restore_table requires a committed table (no _log found)")
+    add_records = {
+        e["add"]["path"]: e["add"] for e in read_commit_log(out_dir, io)
+        if "add" in e
+    }
+    re_add = sorted(set(old) - set(cur))
+    remove = sorted(set(cur) - set(old))
+    data_dir = io.join("data")
+    gone = [f for f in re_add
+            if not io.exists(posixpath.join(data_dir, f))]
+    if gone:
+        raise ValueError(
+            f"cannot restore to version {version}: {len(gone)} file(s) already "
+            f"vacuumed (e.g. {gone[0]!r})"
+        )
+    if not re_add and not remove:
+        return {"restored_to": version, "files_readded": 0,
+                "files_removed": 0, "log": None}
+    spec = read_table_spec(out_dir, io)
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)]
+        + [{"add": dict(add_records[f], dataChange=True)} for f in re_add]
+        + [{"remove": {"path": f, "dataChange": True}} for f in remove],
+        io,
+    )
+    return {"restored_to": version, "files_readded": len(re_add),
+            "files_removed": len(remove), "log": log}
+
+
+def clone_table(src_dir: str, dst_dir: str, as_of: int | None = None,
+                src_io: FsIO | None = None,
+                dst_io: FsIO | None = None) -> dict:
+    """DEEP CLONE: physically copy the live data files of ``src_dir`` (at
+    ``as_of``, default latest) plus the schema sidecar into a fresh table
+    dir and commit them as the clone's version 0 — the snapshot/export/
+    backup primitive (Delta ``CREATE TABLE ... DEEP CLONE``). The clone's
+    history is independent: mutations, compaction and vacuum on either side
+    never touch the other. File bytes stream through FsIO (works across
+    filesystems); sizes/hashes are carried from the source's add records —
+    commit never re-reads what it just wrote."""
+    from .encode import append_log_entry, committed_files, read_commit_log
+
+    src_io = _io(src_dir, src_io)
+    dst_io = _io(dst_dir, dst_io)
+    live = committed_files(src_dir, src_io, as_of=as_of)
+    if live is None:
+        raise ValueError("clone_table requires a committed source (no _log found)")
+    if dst_io.isdir(dst_io.join("_log")):
+        raise ValueError(f"clone destination {dst_dir!r} already has a table")
+    add_records = {
+        e["add"]["path"]: e["add"] for e in read_commit_log(src_dir, src_io)
+        if "add" in e
+    }
+    spec = read_table_spec(src_dir, src_io)
+    dst_io.makedirs(dst_io.join("data"))
+    tag = uuid.uuid4().hex[:8]
+    dst_io.publish_bytes(dst_io.join("_schema.json"),
+                         spec.to_json().encode(), attempt_tag=tag)
+    src_data, dst_data = src_io.join("data"), dst_io.join("data")
+    for f in live:
+        data = src_io.open_input_file(posixpath.join(src_data, f)).read()
+        dst_io.publish_bytes(posixpath.join(dst_data, f), data, attempt_tag=tag)
+    log = append_log_entry(
+        dst_dir,
+        [_meta_entry(spec)]
+        + [{"add": dict(add_records[f], dataChange=True)} for f in live],
+        dst_io,
+    )
+    return {"files_cloned": len(live), "log": log}

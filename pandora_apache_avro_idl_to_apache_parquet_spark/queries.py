@@ -840,6 +840,55 @@ FROM final GROUP BY l_returnflag
 """
 
 
+def q_table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE analog: a DELETE is rolled back by ONE metadata-only
+    log entry re-adding the pre-delete files and removing the rewrite —
+    no data byte moves, intermediate versions stay time-travelable. The
+    restored table must equal the original (the plain SQL table)."""
+    from .operators.encode import log_versions
+    from .operators.table import decode_table, delete_where, restore_table
+
+    out = _mutable_table_dir(spark, sf_dir, "rst")
+    if len(log_versions(out)) < 2:
+        delete_where(spark, out, F.col("l_quantity") > 30.0,
+                     condition_cols=["l_quantity"])
+    if len(log_versions(out)) < 3:
+        restore_table(out, 0)
+    return decode_table(spark, out)
+
+
+O_TABLE_RESTORE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+"""
+
+
+def q_table_clone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE of the restore fixture at its POST-DELETE version (v1)
+    into an independent table dir: the clone's decode must equal the
+    deleted-state SQL even though the source has since been restored —
+    clone history is physically independent of the source's."""
+    from .operators.encode import log_versions
+    from .operators.table import clone_table, decode_table
+
+    src = _mutable_table_dir(spark, sf_dir, "rst")
+    q_table_restore(spark, sf_dir)  # ensure delete(v1) + restore(v2) exist
+    key = hashlib.md5(
+        f"tblcln1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    dst = os.path.join(tempfile.gettempdir(), f"pandora_engine_cln_{key}")
+    if not log_versions(dst):
+        shutil.rmtree(dst, ignore_errors=True)
+        clone_table(src, dst, as_of=1)
+    return decode_table(spark, dst)
+
+
+O_TABLE_CLONE_SNAPSHOT = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem WHERE NOT (l_quantity > 30.0)
+"""
+
+
 def q_table_stats_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only statistics: count / null-count / exact min & max per
     column answered from the chunk zone maps alone — the plan is a stat-column
@@ -3607,6 +3656,8 @@ QUERIES: dict[str, tuple] = {
         q_table_validate_constraints, O_TABLE_VALIDATE_CONSTRAINTS,
     ),
     "table_map_roundtrip": (q_table_map_roundtrip, O_TABLE_MAP_ROUNDTRIP),
+    "table_restore": (q_table_restore, O_TABLE_RESTORE),
+    "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
     "table_zorder_range": (q_table_zorder_range, O_TABLE_ZORDER_RANGE),
     "table_stats_pushdown": (q_table_stats_pushdown, O_TABLE_STATS_PUSHDOWN),
