@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "correlated_subquery",
     "bucketed_join",
     "graph_pagerank",
+    "asof_join_forward",
+    "table_restore",
+    "table_clone_snapshot",
 ]
 
 

@@ -3440,6 +3440,86 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_merge(partials, ["l_returnflag"], p=8)
 
 
+def q_sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set-algebra: |A∩B| ≈ hll(A) + hll(B) − hll(A∪B) (inclusion–
+    exclusion over mergeable sketches — the cardinality-overlap question
+    'how many customers have BOTH open and fulfilled orders' answered from
+    three sketch-sized aggregates, never a distinct-join). All three
+    estimates ride ONE tagged union scan; the oracle recomputes the same
+    registers."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.lit("a").alias("tag"), "o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("b").alias("tag"), "o_custkey")
+    ab = o.filter(F.col("o_orderstatus").isin("O", "F")).select(
+        F.lit("ab").alias("tag"), "o_custkey")
+    est = sketches.hll_distinct(
+        a.unionByName(b).unionByName(ab), ["tag"], "o_custkey", p=8
+    )
+    m = {t: F.max(F.when(F.col("tag") == t, F.col("est_distinct"))) for t in
+         ("a", "b", "ab")}
+    return est.agg(
+        m["a"].alias("est_open"),
+        m["b"].alias("est_fulfilled"),
+        m["ab"].alias("est_union"),
+        F.round(m["a"] + m["b"] - m["ab"], 4).alias("est_intersect"),
+    )
+
+
+def _o_hll_intersect() -> str:
+    inner = sketches.hll_distinct_sql("tagged", ["tag"], "o_custkey", p=8)
+    return f"""
+WITH tagged AS (
+  SELECT 'a' AS tag, o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT 'b', o_custkey FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT 'ab', o_custkey FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+est AS ({inner})
+SELECT max(CASE WHEN tag = 'a' THEN est_distinct END) AS est_open,
+       max(CASE WHEN tag = 'b' THEN est_distinct END) AS est_fulfilled,
+       max(CASE WHEN tag = 'ab' THEN est_distinct END) AS est_union,
+       round(max(CASE WHEN tag = 'a' THEN est_distinct END)
+             + max(CASE WHEN tag = 'b' THEN est_distinct END)
+             - max(CASE WHEN tag = 'ab' THEN est_distinct END), 4)
+         AS est_intersect
+FROM est
+"""
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE ranking coverage: order-value quartiles WITHIN each order
+    priority (partitioned window — parallel across priorities, never the
+    global single-partition NTILE), rolled up to (priority, quartile)
+    stats. Ties broken on o_orderkey so bucket boundaries are
+    cross-engine deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+O_NTILE_QUARTILES = """
+SELECT o_orderpriority,
+       ntile::INTEGER AS quartile,
+       count(*)::BIGINT AS n,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS ntile
+  FROM orders
+) GROUP BY o_orderpriority, ntile
+"""
+
+
 def q_sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Histogram-sketch quantiles of l_extendedprice (128 bins): deterministic
     approximate percentiles with error ≤ one bin width, no data-sized
@@ -3734,6 +3814,8 @@ QUERIES: dict[str, tuple] = {
     # approximate sketches
     "sketch_hll_distinct": (q_sketch_hll, O_SKETCH_HLL),
     "sketch_hll_merge": (q_sketch_hll_merge, O_SKETCH_HLL),
+    "sketch_hll_intersect": (q_sketch_hll_intersect, _o_hll_intersect()),
+    "ntile_quartiles": (q_ntile_quartiles, O_NTILE_QUARTILES),
     "sketch_histogram_quantile": (q_sketch_quantile, O_SKETCH_QUANTILE),
     "sketch_cms_frequency": (q_sketch_cms, O_SKETCH_CMS),
     "sketch_grouped_quantile": (q_sketch_grouped_quantile, O_SKETCH_GROUPED_QUANTILE),
