@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "asof_join_forward",
     "table_restore",
     "table_clone_snapshot",
+    "sketch_hll_intersect",
+    "ntile_quartiles",
 ]
 
 
