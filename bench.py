@@ -102,6 +102,8 @@ BENCH_QUERIES = [
     "table_clone_snapshot",
     "sketch_hll_intersect",
     "ntile_quartiles",
+    "csv_source_scan",
+    "json_source_scan",
 ]
 
 

@@ -2814,6 +2814,72 @@ GROUP BY c_mktsegment
 """
 
 
+def q_csv_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source coverage: orders staged to CSV once (headered), read back
+    with an EXPLICIT schema (never inferSchema — a second full scan at
+    100 TB), aggregated per status. The oracle aggregates the parquet view
+    directly, so the gate proves the CSV round-trip is value-exact
+    (numeric text formatting, date parsing)."""
+    key = hashlib.md5(
+        f"csv1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pandora_engine_csv_{key}")
+    if not os.path.isdir(d):
+        _t(spark, sf_dir, "orders").write.mode("overwrite").option(
+            "header", "true").csv(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    o = spark.read.schema(schema).option("header", "true").csv(d)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+             F.min(F.to_date("o_orderdate")).cast("string").alias("first_day"))
+    )
+
+
+O_CSV_SOURCE_SCAN = """
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(o_orderdate::DATE)::VARCHAR AS first_day
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_json_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source coverage: documents staged to line-delimited JSON once,
+    read back with an explicit schema (UTF-8 text payloads round-trip
+    through JSON string escaping), per-source length stats. Oracle =
+    the parquet view, so escaping fidelity is what the hash proves."""
+    key = hashlib.md5(
+        f"jsonl1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pandora_engine_jsonl_{key}")
+    if not os.path.isdir(d):
+        _t(spark, sf_dir, "documents").write.mode("overwrite").json(d + ".tmp")
+        os.rename(d + ".tmp", d)
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    docs = spark.read.schema(schema).json(d)
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"),
+             # 40-bit hashes: the per-source SUM stays far inside int64
+             F.expr(f"sum({spark_md5_long('text', nibbles=10)})")
+             .alias("text_hash_sum"))
+    )
+
+
+O_JSON_SOURCE_SCAN = f"""
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS total_chars,
+       sum({duck_md5_long('text', nibbles=10)})::BIGINT AS text_hash_sum
+FROM documents GROUP BY source
+"""
+
+
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-SQL surface with a CORRELATED scalar subquery (every order
     above its customer's own average) — Catalyst decorrelates it into an
@@ -3762,6 +3828,8 @@ QUERIES: dict[str, tuple] = {
     "semi_anti_customers": (q_semi_anti_customers, O_SEMI_ANTI_CUSTOMERS),
     "correlated_subquery": (q_correlated_subquery, O_CORRELATED_SUBQUERY),
     "bucketed_join": (q_bucketed_join, O_BUCKETED_JOIN),
+    "csv_source_scan": (q_csv_source_scan, O_CSV_SOURCE_SCAN),
+    "json_source_scan": (q_json_source_scan, O_JSON_SOURCE_SCAN),
     "graph_pagerank": (q_graph_pagerank, _o_pagerank()),
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
