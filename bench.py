@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "ntile_quartiles",
     "csv_source_scan",
     "json_source_scan",
+    "sample_weighted_topk",
 ]
 
 

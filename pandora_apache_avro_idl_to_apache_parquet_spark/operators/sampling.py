@@ -210,3 +210,31 @@ def upsample_by_weight(df: DataFrame, weight_col: str,
     return df.where(w >= 1).withColumn(
         copy_name, F.explode(F.sequence(F.lit(1).cast("long"), bounded))
     )
+
+
+def weighted_sample_topk(df: DataFrame, weight_col: str, key_col: str,
+                         k: int, seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    each row draws the deterministic uniform ``u = md5-fraction(seed:key)``
+    and ranks by ``u^(1/w)`` — the top ``k`` keys are an exact weighted
+    sample without replacement (heavier rows win proportionally more
+    often). The missing quadrant of the data-mix family: `hash_sample`
+    is unweighted WITH fixed rate, `upsample_by_weight` is weighted WITH
+    replacement; this is weighted, exact-size, without replacement —
+    e.g. "take the best 1M documents, biased by quality score".
+
+    Scale: map-only scoring + ``orderBy().limit(k)`` —
+    TakeOrderedAndProject's bounded per-partition heaps, never a global
+    sort/window. Determinism: no RNG (md5 of the key), and the rank key is
+    rounded to 9 decimals BEFORE the top-k so cross-engine ties break on
+    ``key_col``. Weights must be strictly positive.
+    """
+    u = hash_fraction(F.col(key_col).cast("string"), seed)
+    es = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 9
+    ).alias("es_key")
+    return (
+        df.withColumn("es_key", es)
+        .orderBy(F.desc("es_key"), key_col)
+        .limit(k)
+    )

@@ -2565,6 +2565,29 @@ SELECT doc_id, source FROM (
 """
 
 
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): top-50
+    documents by ``u^(1/n_chars)`` with the deterministic md5 uniform —
+    longer docs win proportionally more often, every engine picks the
+    IDENTICAL set (rank key rounded to 9 before the top-k; ties on
+    doc_id). Plan is map-only scoring + TakeOrderedAndProject."""
+    from .operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_topk(docs, "n_chars", "doc_id", k=50, seed=13) \
+        .select("doc_id", "source", "es_key")
+
+
+O_SAMPLE_WEIGHTED_TOPK = """
+SELECT doc_id, source,
+       round(pow(('0x' || substr(md5('13:' || doc_id), 1, 8))::BIGINT
+                 / 4294967296.0, 1.0 / n_chars), 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-then-chunk packing manifest at seq_len=512 over the seeded
     md5 stream order: every (sequence, document) incidence with its token
@@ -3875,6 +3898,7 @@ QUERIES: dict[str, tuple] = {
     "quota_sample": (q_quota_sample, O_QUOTA_SAMPLE),
     "shuffle_global_rank": (q_shuffle_global_rank, O_SHUFFLE_GLOBAL_RANK),
     "upsample_weighted": (q_upsample_weighted, O_UPSAMPLE_WEIGHTED),
+    "sample_weighted_topk": (q_sample_weighted_topk, O_SAMPLE_WEIGHTED_TOPK),
     "pack_sequences": (q_pack_sequences, O_PACK_SEQUENCES),
     "interleave_mix": (q_interleave_mix, O_INTERLEAVE_MIX),
     "decontaminate": (q_decontaminate, O_DECONTAMINATE),

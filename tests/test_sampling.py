@@ -152,3 +152,25 @@ def test_interleave_mix_validation(spark, docs):
         interleave_mix(docs, "source", "doc_id", weights={"a": -1})
     with pytest.raises(ValueError):
         interleave_mix(docs, "source", "doc_id", weights={"a": 0})
+
+
+def test_weighted_sample_topk_bias_and_determinism(spark):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, 1000.0 if i < 100 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample_topk(df, "w", "doc_id", k=50, seed=3)
+    picked = [r.doc_id for r in out.collect()]
+    assert len(picked) == len(set(picked)) == 50  # exact size, no replacement
+    # 100 heavy rows (1000x weight) should dominate the sample
+    assert sum(1 for d in picked if d < 100) >= 40
+    again = [
+        r.doc_id
+        for r in weighted_sample_topk(df.repartition(9), "w", "doc_id",
+                                      k=50, seed=3).collect()
+    ]
+    assert picked == again  # partition-invariant, deterministic
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
