@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "csv_source_scan",
     "json_source_scan",
     "sample_weighted_topk",
+    "events_sliding_window",
 ]
 
 

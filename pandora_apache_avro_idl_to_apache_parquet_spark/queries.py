@@ -2244,6 +2244,35 @@ SELECT vec_id, cid, dist FROM a3
 """
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows: 2-hour windows sliding by 1 hour — every
+    event lands in exactly two windows (`F.window(ts, '2 hours', '1 hour')`,
+    the overlap shape tumbling can't express). The oracle derives each
+    event's two candidate hour-aligned starts and re-aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+O_EVENTS_SLIDING_WINDOW = """
+WITH cand AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - INTERVAL (i) HOUR AS wstart
+  FROM events, (SELECT unnest([0, 1]) AS i)
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+FROM cand GROUP BY wstart, event_type
+"""
+
+
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily per-user series with carry-forward interpolation
     (TimescaleDB ``time_bucket_gapfill`` + ``locf``): dense (user, day)
@@ -3857,6 +3886,7 @@ QUERIES: dict[str, tuple] = {
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
     "events_sessionize": (q_events_sessionize, O_EVENTS_SESSIONIZE),
+    "events_sliding_window": (q_events_sliding_window, O_EVENTS_SLIDING_WINDOW),
     "events_gap_fill": (q_events_gap_fill, O_EVENTS_GAP_FILL),
     "events_moving_avg": (q_events_moving_avg, O_EVENTS_MOVING_AVG),
     "pivot_event_counts": (q_pivot_event_counts, O_PIVOT_EVENT_COUNTS),
