@@ -157,6 +157,9 @@ class TableSpec:
     schema: T.StructType
     key_cols: list[str]
     bloom_cols: list[str] = field(default_factory=list)
+    #: the date column the table is PARTITIONED by (``encode_table(pds_col=…)``)
+    #: — persisted so appends/DML keep routing rows to their date partitions
+    pds_col: str | None = None
 
     @property
     def logicals(self) -> dict[str, str]:
@@ -165,14 +168,15 @@ class TableSpec:
     def to_json(self) -> str:
         return json.dumps(
             {"schema": self.schema.jsonValue(), "key": self.key_cols,
-             "bloom": self.bloom_cols, "logical": self.logicals}
+             "bloom": self.bloom_cols, "pds_col": self.pds_col,
+             "logical": self.logicals}
         )
 
     @classmethod
     def from_json(cls, s: str) -> "TableSpec":
         d = json.loads(s)
         return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"],
-                   bloom_cols=d.get("bloom", []))
+                   bloom_cols=d.get("bloom", []), pds_col=d.get("pds_col"))
 
 
 def _meta_fields(spec: "TableSpec") -> list[T.StructField]:
@@ -293,14 +297,15 @@ def bloom_value_predicate(column: str, value) -> "F.Column":
 
 def _prepare_spec(io: FsIO, df_schema: T.StructType,
                   key_cols: list[str],
-                  bloom_cols: list[str] | None = None) -> TableSpec:
+                  bloom_cols: list[str] | None = None,
+                  pds_col: str | None = None) -> TableSpec:
     """Create or evolve the ``_schema.json`` sidecar (append-only schema
     evolution, the reference's Delta ``metaData`` schema-evolve contract,
     ``DeltaLake.fs:176-444``): new columns may be ADDED if nullable; existing
     columns must keep name+type; key columns are immutable. Old chunk files
     simply lack the new columns' payloads and decode as nulls."""
     new_spec = TableSpec(schema=df_schema, key_cols=list(key_cols),
-                         bloom_cols=list(bloom_cols or []))
+                         bloom_cols=list(bloom_cols or []), pds_col=pds_col)
     logicals = new_spec.logicals  # validates every column type is supported
     for b in new_spec.bloom_cols:
         if b not in logicals:
@@ -318,6 +323,11 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
         return new_spec
 
     old = TableSpec.from_json(io.read_text(sidecar))
+    if pds_col is not None and old.pds_col != pds_col:
+        raise ValueError(
+            f"partition column is immutable: encoded with {old.pds_col!r}, "
+            f"got {pds_col!r}"
+        )
     if old.key_cols != list(key_cols):
         raise ValueError(
             f"key columns are immutable: encoded with {old.key_cols}, got {list(key_cols)}"
@@ -347,6 +357,7 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
     merged = TableSpec(
         schema=T.StructType(list(old.schema.fields) + added),
         key_cols=list(key_cols), bloom_cols=old.bloom_cols,
+        pds_col=old.pds_col,
     )
     io.publish_bytes(sidecar, merged.to_json().encode(),
                      attempt_tag=uuid.uuid4().hex[:8])
@@ -889,7 +900,9 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-    spec = _prepare_spec(io, df.schema, list(key_cols), bloom_cols)
+    spec = _prepare_spec(io, df.schema, list(key_cols), bloom_cols, pds_col)
+    # appends into a date-partitioned table inherit its partition column
+    pds_col = pds_col or spec.pds_col
 
     salt = F.pmod(F.xxhash64(*key_cols), F.lit(n_parts)).cast("int")
     if pds_col is not None:
@@ -1571,9 +1584,25 @@ def table_stats(spark: SparkSession, out_dir: str,
 # ------------------------------------------- row-level DELETE / MERGE (CoW)
 
 
+def _file_pds_map(out_dir: str, io: FsIO) -> dict[str, date]:
+    """Each live-or-historical file's partition date from its commit-log add
+    record — the source of truth a rewrite must PRESERVE per file so
+    date-partitioned (``pds_col``) tables keep pruning correctly after DML."""
+    from .encode import read_commit_log
+
+    out: dict[str, date] = {}
+    for e in read_commit_log(out_dir, io):
+        if "add" in e:
+            v = e["add"].get("partitionValues", {}).get("pds")
+            if v:
+                out[e["add"]["path"]] = date.fromisoformat(v)
+    return out
+
+
 def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
                  chunk_rows: int, pds: date, run: str,
-                 sort_cols: list[str] | None = None) -> list[dict]:
+                 sort_cols: list[str] | None = None,
+                 pds_from_col: bool = False) -> list[dict]:
     """Run the grouped encode kernel for a copy-on-write rewrite and return
     the ``add`` log dicts for every file it published. Markers go to
     ``_rewrites/`` (not ``_checkpoints/``) so ``write_commit_log``'s marker
@@ -1589,7 +1618,8 @@ def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
     def kernel(table: pa.Table) -> pa.Table:
         return _encode_table_partition(table, io, spec, chunk_rows, pds,
                                        run=run, marker_dir="_rewrites",
-                                       sort_cols=sort_cols)
+                                       sort_cols=sort_cols,
+                                       pds_from_col=pds_from_col)
 
     (survivors.groupBy("part_id").applyInArrow(kernel, manifest_struct)
      .write.format("noop").mode("overwrite").save())
@@ -1603,7 +1633,10 @@ def _rewrite_job(survivors: DataFrame, io: FsIO, spec: TableSpec,
                 adds.append({"add": {
                     "path": st["file_name"], "size": st["file_size"],
                     "sha256": st["file_sha256"],
-                    "partitionValues": {"pds": pds.isoformat()},
+                    # per-file partition date from the rewrite marker: a DML
+                    # rewrite of a date-partitioned file keeps ITS date
+                    "partitionValues": {"pds": st.get("pds",
+                                                      pds.isoformat())},
                     "dataChange": True,
                 }})
     return adds
@@ -1659,8 +1692,10 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
                 "files_removed": 0, "log": None}
 
     run = f"dw{uuid.uuid4().hex[:8]}"
+    fp = _file_pds_map(out_dir, io)
     part_map = spark.createDataFrame(
-        [(f, i) for i, f in enumerate(matched)], "__src_file string, part_id int"
+        [(f, i, fp.get(f, pds)) for i, f in enumerate(matched)],
+        "__src_file string, part_id int, __pds date",
     )
     dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
                        chunk_filter=F.col("__src_file").isin(matched))
@@ -1669,7 +1704,8 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
         .filter(~F.coalesce(condition, F.lit(False)))
         .drop("__src_file")
     )
-    adds = _rewrite_job(survivors, io, spec, chunk_rows, pds, run)
+    adds = _rewrite_job(survivors, io, spec, chunk_rows, pds, run,
+                        pds_from_col=True)
     log = append_log_entry(
         out_dir,
         [_meta_entry(spec)] + adds
@@ -1724,15 +1760,35 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
     n_replaced = int(sum(r["count"] for r in hits))
 
     run = f"mg{uuid.uuid4().hex[:8]}"
-    inserts = src.withColumn(
-        "part_id",
-        (F.pmod(F.xxhash64(*keys), F.lit(insert_parts))
-         + F.lit(len(matched))).cast("int"),
-    )
+    # rewritten files each keep THEIR OWN partition date; inserts route by
+    # the table's persisted partition column when it has one (fresh files
+    # per (date, salt)), else they stamp the call's pds — date-partitioned
+    # tables keep pruning correctly after a merge either way
+    insert_salt = (F.pmod(F.xxhash64(*keys), F.lit(insert_parts))
+                   + F.lit(len(matched))).cast("int")
+    if spec.pds_col:
+        raw = [r[0] for r in src.select(spec.pds_col).distinct().collect()]
+        if any(d is None for d in raw):
+            raise ValueError(f"pds_col {spec.pds_col!r} contains nulls in the merge source")
+        date_idx = spark.createDataFrame(
+            [(d, i) for i, d in enumerate(sorted(raw))],
+            f"{spec.pds_col} date, __didx int",
+        )
+        inserts = (
+            src.join(F.broadcast(date_idx), spec.pds_col)
+            .withColumn("part_id",
+                        (insert_salt + F.col("__didx") * insert_parts).cast("int"))
+            .withColumn("__pds", F.col(spec.pds_col))
+            .drop("__didx")
+        )
+    else:
+        inserts = (src.withColumn("part_id", insert_salt)
+                   .withColumn("__pds", F.lit(pds)))
     if matched:
+        fp = _file_pds_map(out_dir, io)
         part_map = spark.createDataFrame(
-            [(f, i) for i, f in enumerate(matched)],
-            "__src_file string, part_id int",
+            [(f, i, fp.get(f, pds)) for i, f in enumerate(matched)],
+            "__src_file string, part_id int, __pds date",
         )
         dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
                            chunk_filter=F.col("__src_file").isin(matched))
@@ -1744,7 +1800,8 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
         new_rows = survivors.unionByName(inserts)
     else:
         new_rows = inserts
-    adds = _rewrite_job(new_rows, io, spec, chunk_rows, pds, run)
+    adds = _rewrite_job(new_rows, io, spec, chunk_rows, pds, run,
+                        pds_from_col=True)
     log = append_log_entry(
         out_dir,
         [_meta_entry(spec)] + adds
@@ -1800,8 +1857,10 @@ def update_where(spark: SparkSession, out_dir: str, condition,
                 "files_removed": 0, "log": None}
 
     run = f"up{uuid.uuid4().hex[:8]}"
+    fp = _file_pds_map(out_dir, io)
     part_map = spark.createDataFrame(
-        [(f, i) for i, f in enumerate(matched)], "__src_file string, part_id int"
+        [(f, i, fp.get(f, pds)) for i, f in enumerate(matched)],
+        "__src_file string, part_id int, __pds date",
     )
     dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
                        chunk_filter=F.col("__src_file").isin(matched))
@@ -1814,8 +1873,10 @@ def update_where(spark: SparkSession, out_dir: str, condition,
             for f in spec.schema.fields
         ],
         "part_id",
+        "__pds",
     )
-    adds = _rewrite_job(updated, io, spec, chunk_rows, pds, run)
+    adds = _rewrite_job(updated, io, spec, chunk_rows, pds, run,
+                        pds_from_col=True)
     log = append_log_entry(
         out_dir,
         [_meta_entry(spec)] + adds
@@ -1864,7 +1925,16 @@ def recluster_table(spark: SparkSession, out_dir: str, by: list[str],
     missing = sorted(set(by) - names)
     if not by or missing:
         raise ValueError(f"cluster columns not in table: {missing or by}")
-    pds = pds or date(2026, 1, 1)
+    live_pds = sorted({d for f, d in _file_pds_map(out_dir, io).items()
+                       if f in set(live)})
+    if len(live_pds) > 1:
+        raise ValueError(
+            "recluster_table does not support date-partitioned tables "
+            f"(live files span {len(live_pds)} pds partitions — quantile "
+            "buckets would merge dates and break partition pruning)"
+        )
+    # a single-date table keeps ITS date through the rewrite
+    pds = pds or (live_pds[0] if live_pds else date(2026, 1, 1))
 
     dec = decode_table(spark, out_dir, io=io)
     probs = [i / n_parts for i in range(1, n_parts)]
