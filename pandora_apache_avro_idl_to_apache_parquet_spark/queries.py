@@ -3965,3 +3965,81 @@ QUERIES: dict[str, tuple] = {
         q_multimodal_frame_sample, O_MULTIMODAL_FRAME_SAMPLE,
     ),
 }
+
+# ------------------------------------------------------- driver 50-slot window
+#
+# The driver's correctness harness emits CORRECTNESS rows for exactly the
+# first 50 registry entries.  Rounds 1-3 left 39 registered queries without a
+# driver row (VERDICT r03 "Next round" #1).  _DRIVER_WINDOW rotates those 39
+# into the window, plus new round-4 queries and the most load-bearing
+# regulars; everything else keeps its relative order after the window.
+# `scripts/coverage_ledger.py` verifies rotation debt is zero.
+# `manifest_codecs` (no DuckDB oracle by design) is deliberately outside.
+_DRIVER_WINDOW: list[str] = [
+    # -- 39 never driver-run before round 4 -------------------------------
+    "events_sliding_window",
+    "events_gap_fill",
+    "events_moving_avg",
+    "pivot_event_counts",
+    "dedup_ngram_jaccard_exact",
+    "ann_pq_encode",
+    "ann_pq_topk",
+    "ann_kmeans_train",
+    "text_bm25_search",
+    "grouped_topk",
+    "dedup_fuzzy_levenshtein",
+    "events_funnel",
+    "sample_stratified",
+    "quota_sample",
+    "shuffle_global_rank",
+    "upsample_weighted",
+    "sample_weighted_topk",
+    "pack_sequences",
+    "interleave_mix",
+    "decontaminate",
+    "curate_corpus",
+    "sketch_hll_distinct",
+    "sketch_hll_merge",
+    "sketch_hll_intersect",
+    "ntile_quartiles",
+    "sketch_histogram_quantile",
+    "sketch_cms_frequency",
+    "sketch_grouped_quantile",
+    "sketch_bloom_membership",
+    "decontaminate_bloom",
+    "asof_join",
+    "asof_join_forward",
+    "range_join",
+    "hypertable_rollup",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "skew_salted_join",
+    "avro_binary_flatten",
+    "multimodal_frame_sample",
+    # -- load-bearing regulars (keep continuous hard signal) --------------
+    "tokens_roundtrip",
+    "table_encode_roundtrip",
+    "table_merge_upsert",
+    "table_changes_feed",
+    "table_datasource_sql",
+    "table_datasource_stream",
+    "streaming_materialized_agg",
+    # -- new round-4 queries appended below as they land ------------------
+]
+
+assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"
+assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
+_missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
+assert not _missing, f"window names not in registry: {_missing}"
+# `manifest_codecs` has no DuckDB oracle by design (codec choice is the
+# engine's own cost model); keep it last so it never burns a window slot.
+_DEMOTED = ["manifest_codecs"]
+QUERIES = (
+    {name: QUERIES[name] for name in _DRIVER_WINDOW}
+    | {
+        name: spec
+        for name, spec in QUERIES.items()
+        if name not in _DRIVER_WINDOW and name not in _DEMOTED
+    }
+    | {name: QUERIES[name] for name in _DEMOTED}
+)
