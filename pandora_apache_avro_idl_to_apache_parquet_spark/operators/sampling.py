@@ -90,21 +90,29 @@ def quota_sample(df: DataFrame, strata_col: str, key_col: str, quota: int,
     quota) keeps a superset of a smaller one: quotas are monotone, which is
     what makes mix ablations comparable.
 
-    Shape: ``row_number`` over a window PARTITIONED by the stratum — the
-    standard top-K-per-group; parallel across strata, and within one
-    stratum Spark's WindowExec sorts only that stratum's partition. For a
-    pathologically dominant single stratum, pre-thin with
-    :func:`hash_sample` at ``rate ≈ 2·quota/|stratum|`` first (the md5
-    order makes the composition exact: the hash-prefix kept by the
-    pre-thin is itself the quota order's prefix)."""
+    Shape: two-phase sharded top-K (the :func:`~..search.grouped_topk`
+    discipline) — phase 1 ranks within (stratum, md5-shard of key) and
+    keeps ≤ quota per shard, so a pathologically dominant stratum spreads
+    over ``shards`` parallel window tasks instead of funnelling through
+    one; phase 2 ranks the ≤ shards·quota survivors per stratum. Per-shard
+    top-quota is a superset of the stratum's global top-quota, so the
+    output is row-identical to the single-window form at any shard
+    count."""
+    from .search import grouped_topk
+
     if quota < 0:
         raise ValueError(f"quota must be >= 0, got {quota}")
     h = hash_fraction(F.col(key_col), seed)
-    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= quota)
-        .drop("__rn")
+        grouped_topk(
+            df.withColumn("__h", h),
+            group_col=strata_col,
+            order_col="__h",
+            k=quota,
+            id_col=key_col,
+            descending=False,
+        )
+        .drop("__h", "rnk")
     )
 
 

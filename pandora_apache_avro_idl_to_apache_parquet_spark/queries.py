@@ -1241,24 +1241,36 @@ def q_streaming_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (each micro-batch merges partial sums into state; complete
     output mode publishes the view) — and the final view must equal the
     batch aggregate over the whole table. The batch analog of this contract
-    is ``incremental_sum`` over the CDF; here Spark manages the state."""
-    import uuid as _uuid
+    is ``incremental_sum`` over the CDF; here Spark manages the state.
 
-    from .sources.table_source import stream_encoded_table
+    Round 4: the view PUBLISHES through the streaming *sink*
+    (``writeStream.format("pandora_table")``, complete mode) into a second
+    encoded store — each epoch atomically swaps the MV's live file set — and
+    the returned rows are decoded back from that store, so the whole
+    store → stream → aggregate → store loop is inside the engine."""
+    from .operators.table import decode_table
+    from .sources.table_source import (
+        stream_encoded_table,
+        stream_write_encoded_table,
+    )
 
     out = _dstr_table_dir(spark, sf_dir)
-    name = f"mv_{_uuid.uuid4().hex[:8]}"
-    q = (
+    mv_dir, ckpt = out + "_mv", out + "_mv_ckpt"
+    shutil.rmtree(mv_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    view = (
         stream_encoded_table(spark, out)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("o_totalprice").alias("sum_price_raw"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
     )
+    q = stream_write_encoded_table(
+        view, mv_dir, ckpt, key_cols=["o_orderstatus"],
+        app_id="mv-orderstatus", output_mode="complete",
+    ).start()
     q.processAllAvailable()
     q.stop()
-    return spark.table(name).select(
+    return decode_table(spark, mv_dir).select(
         "o_orderstatus", "n", F.round("sum_price_raw", 2).alias("sum_price")
     )
 
@@ -3321,21 +3333,31 @@ def q_avro_binary_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "words", "type": {"type": "array", "items": "string"}},
             ],
         }
-        rows = sorted(
-            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect(),
-            key=lambda r: r["doc_id"],
-        )
-        for part in range(4):
-            write_avro_container(
-                os.path.join(d, f"part-{part}.avro"), schema,
-                [
+        # Containers are written PARTITION-SIDE (no driver collect): rows
+        # route to 4 hash partitions on doc_id % 4, and each task writes the
+        # container(s) for the part values it holds. Works in local mode
+        # (shared FS); on a cluster, point ``d`` at shared storage.
+        def _write_parts(it):
+            buckets: dict[int, list[dict]] = {}
+            for r in it:
+                buckets.setdefault(r["part"], []).append(
                     {"doc_id": r["doc_id"], "lang": r["lang"],
                      "words": [w for w in r["text"].split(" ") if w]}
-                    for r in rows
-                    if r["doc_id"] % 4 == part
-                ],
-                codec="deflate",
-            )
+                )
+            for part, recs in buckets.items():
+                recs.sort(key=lambda rec: rec["doc_id"])
+                write_avro_container(
+                    os.path.join(d, f"part-{part}.avro"), schema, recs,
+                    codec="deflate",
+                )
+
+        (
+            _t(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "text",
+                    (F.col("doc_id") % 4).alias("part"))
+            .repartition(4, "part")
+            .foreachPartition(_write_parts)
+        )
         with open(done, "w") as fh:
             fh.write("ok")
     df, _info = read_avro(spark, d)
@@ -3433,6 +3455,59 @@ O_STREAMING_ENCODE = f"""
 WITH {DUCK_TOKS}
 SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
 FROM toks GROUP BY source ORDER BY source
+"""
+
+
+def q_table_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming *sink* end-to-end (`DataSourceStreamWriter`,
+    ``DeltaLake.fs:176-444`` write-side contract): the events table drops as
+    3 parquet files consumed one-per-micro-batch
+    (``maxFilesPerTrigger=1`` → ≥3 epochs, each its own atomic commit-log
+    entry with a ``txn`` idempotence line), streamed into the encoded store
+    via ``writeStream.format("pandora_table")``, then decoded back whole.
+    The oracle recomputes the same rows from the parquet source, so a
+    dropped, duplicated, or corrupted epoch surfaces as a hash mismatch."""
+    from .operators.table import decode_table
+    from .sources.table_source import stream_write_encoded_table
+
+    key = hashlib.md5(
+        f"{_FORMAT_TAG}:swrite:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    work = os.path.join(tempfile.gettempdir(), f"pandora_engine_swrite_{key}")
+    drops, store, ckpt = f"{work}/drops", f"{work}/store", f"{work}/ckpt"
+    done = f"{work}/_done"
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        ev = _t(spark, sf_dir, "events")
+        ev.repartition(3, "event_id").write.parquet(drops)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(drops)
+        )
+        q = (
+            stream_write_encoded_table(
+                stream, store, ckpt, key_cols=["event_id"],
+                app_id="swrite-oracle",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return decode_table(spark, store).select(
+        "event_id", "user_id", "event_type", "value",
+        F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz '{_ANCHOR}', ts)"
+        ).alias("ts_us"),
+    ).orderBy("event_id")
+
+
+O_TABLE_STREAM_WRITE = f"""
+SELECT event_id, user_id, event_type, value,
+       date_diff('microsecond', TIMESTAMP '{_ANCHOR}', ts) AS ts_us
+FROM events ORDER BY event_id
 """
 
 
@@ -3950,6 +4025,7 @@ QUERIES: dict[str, tuple] = {
     "hypertable_rollup": (q_hypertable_rollup, O_HYPERTABLE_ROLLUP),
     # streaming (oracled: stream totals must equal the batch derivation)
     "streaming_encode": (q_streaming_encode, O_STREAMING_ENCODE),
+    "table_stream_write": (q_table_stream_write, O_TABLE_STREAM_WRITE),
     "streaming_sessionize": (q_streaming_sessionize, O_STREAMING_SESSIONIZE),
     "streaming_dedup": (q_streaming_dedup, O_STREAMING_DEDUP),
     # skew handling
@@ -4025,6 +4101,7 @@ _DRIVER_WINDOW: list[str] = [
     "table_datasource_stream",
     "streaming_materialized_agg",
     # -- new round-4 queries appended below as they land ------------------
+    "table_stream_write",
 ]
 
 assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"

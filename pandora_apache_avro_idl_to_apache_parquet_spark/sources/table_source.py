@@ -40,10 +40,14 @@ index, same semantics as :func:`operators.table.decode_table`), ``plan_prune``
 
 The format is also a **sink** (``df.write.format("pandora_table")`` — map-only
 per-task encode, one atomic commit-log entry per save, append/overwrite modes;
-options ``key_cols``, ``chunk_rows``) and a **streaming source**
+options ``key_cols``, ``chunk_rows``), a **streaming source**
 (``spark.readStream.format("pandora_table")`` — tails the commit log by
 numbered index, exactly-once per appended row, compaction-rewrite entries
-skipped via their ``dataChange: false`` tag).
+skipped via their ``dataChange: false`` tag), and a **streaming sink**
+(``df.writeStream.format("pandora_table")`` — one atomic commit-log entry per
+micro-batch carrying a ``txn`` idempotence line, so epoch replay after a
+crash never duplicates rows; ``outputMode("complete")`` atomically replaces
+the live file set each epoch — a materialized view inside the store).
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -145,10 +150,9 @@ class PandoraTableDataSource(DataSource):
             plan_prune=self.options.get("plan_prune", "true").lower() != "false",
         )
 
-    def writer(self, schema: T.StructType, overwrite: bool) -> "PandoraTableWriter":
-        import uuid
-
-        from ..operators.encode import committed_files
+    def _sink_spec(self, schema: T.StructType):
+        """Shared batch/stream sink setup: resolve key columns and
+        create/evolve the ``_schema.json`` sidecar BEFORE tasks run."""
         from ..operators.table import _io, _prepare_spec, read_table_spec
 
         path = self.options.get("path")
@@ -169,8 +173,14 @@ class PandoraTableDataSource(DataSource):
         missing = [k for k in key_cols if k not in schema.fieldNames()]
         if missing:
             raise ValueError(f"key columns not in DataFrame: {missing}")
-        # driver-side: create/evolve the _schema.json sidecar BEFORE tasks run
-        spec = _prepare_spec(io, schema, key_cols)
+        return path, io, _prepare_spec(io, schema, key_cols)
+
+    def writer(self, schema: T.StructType, overwrite: bool) -> "PandoraTableWriter":
+        import uuid
+
+        from ..operators.encode import committed_files
+
+        path, io, spec = self._sink_spec(schema)
         prev_live = committed_files(path, io) if overwrite else None
         return PandoraTableWriter(
             path=path,
@@ -178,6 +188,17 @@ class PandoraTableDataSource(DataSource):
             run="w" + uuid.uuid4().hex[:10],
             chunk_rows=int(self.options.get("chunk_rows", "65536")),
             prev_live=prev_live or [],
+        )
+
+    def streamWriter(self, schema: T.StructType,
+                     overwrite: bool) -> "PandoraTableStreamWriter":
+        path, _io_, spec = self._sink_spec(schema)
+        return PandoraTableStreamWriter(
+            path=path,
+            spec_json=spec.to_json(),
+            chunk_rows=int(self.options.get("chunk_rows", "65536")),
+            app_id=self.options.get("app_id", "pandora-stream-sink"),
+            overwrite=overwrite,
         )
 
     def streamReader(self, schema: T.StructType) -> "PandoraTableStreamReader":
@@ -398,6 +419,45 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
 
+def _encode_partition_task(path: str, spec_json: str, chunk_rows: int,
+                           run: str, iterator: Iterator[Any]) -> "_FileCommit":
+    """Executor task shared by the batch and streaming sinks: drain one
+    partition's Arrow batches into ONE published chunk file (the map-only
+    :func:`operators.table.encode_table_scan` shape) and return its
+    add-entry ingredients. Publication order (data file, then checkpoint
+    marker, then — driver-side — the log entry) is the crash contract."""
+    import json as _json
+    from datetime import date
+
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark import TaskContext
+
+    from ..operators.table import TableSpec, _encode_table_partition, _io
+
+    pid = TaskContext.get().partitionId()
+    collected = [b for b in iterator if b.num_rows]
+    if not collected:
+        return _FileCommit()
+    spec = TableSpec.from_json(spec_json)
+    table = pa.Table.from_batches(collected)
+    # align to spec order (evolved sidecar may order columns differently)
+    table = table.select([f.name for f in spec.schema.fields])
+    table = table.append_column(
+        "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
+    )
+    io = _io(path, None)
+    _encode_table_partition(
+        table, io, spec, chunk_rows, date(2026, 1, 1), run=run
+    )
+    marker = io.join(f"_checkpoints/part-{run}-{pid:05d}.json")
+    st = _json.loads(io.read_text(marker))
+    return _FileCommit(file_name=st["file_name"],
+                       file_size=st["file_size"],
+                       file_sha=st["file_sha256"])
+
+
 @dataclass
 class _FileCommit(WriterCommitMessage):
     """Per-task result: the chunk file this task published (None if its
@@ -434,38 +494,9 @@ class PandoraTableWriter(DataSourceArrowWriter):
         self._prev_live = prev_live
 
     def write(self, iterator: Iterator[Any]) -> _FileCommit:
-        import json as _json
-        from datetime import date
-
-        import pyarrow as pa
-        import numpy as np
-
-        from pyspark import TaskContext
-
-        from ..operators.table import (
-            TableSpec, _encode_table_partition, _io,
+        return _encode_partition_task(
+            self._path, self._spec_json, self._chunk_rows, self._run, iterator
         )
-
-        pid = TaskContext.get().partitionId()
-        collected = [b for b in iterator if b.num_rows]
-        if not collected:
-            return _FileCommit()
-        spec = TableSpec.from_json(self._spec_json)
-        table = pa.Table.from_batches(collected)
-        # align to spec order (evolved sidecar may order columns differently)
-        table = table.select([f.name for f in spec.schema.fields])
-        table = table.append_column(
-            "part_id", pa.array(np.full(table.num_rows, pid, np.int32))
-        )
-        io = _io(self._path, None)
-        _encode_table_partition(
-            table, io, spec, self._chunk_rows, date(2026, 1, 1), run=self._run
-        )
-        marker = io.join(f"_checkpoints/part-{self._run}-{pid:05d}.json")
-        st = _json.loads(io.read_text(marker))
-        return _FileCommit(file_name=st["file_name"],
-                           file_size=st["file_size"],
-                           file_sha=st["file_sha256"])
 
     def commit(self, messages) -> None:
         from ..operators.encode import PROTOCOL, append_log_entry
@@ -510,6 +541,125 @@ class PandoraTableWriter(DataSourceArrowWriter):
                                                      m.file_name))
                 except Exception:
                     pass  # vacuum() reclaims whatever abort could not reach
+
+
+def _last_txn_version(path: str, app_id: str) -> int | None:
+    """Highest committed streaming-epoch version for ``app_id`` per the
+    commit log's ``txn`` lines (the Delta SetTransaction idempotence axis,
+    ``DeltaLake.fs:176-444`` contract). None when the app never committed."""
+    import json as _json
+    import posixpath
+
+    from ..operators.table import _io
+
+    io = _io(path, None)
+    log_dir = io.join("_log")
+    if not io.isdir(log_dir):
+        return None
+    best: int | None = None
+    for f in sorted(io.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+            txn = _json.loads(line).get("txn")
+            if txn and txn.get("appId") == app_id:
+                v = int(txn["version"])
+                best = v if best is None else max(best, v)
+    return best
+
+
+class PandoraTableStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pandora_table")`` — exactly-once micro-batch
+    appends into the encoded store.
+
+    Each epoch's tasks blind-publish chunk files under a fresh run id; the
+    driver folds every task's add into ONE atomic commit-log entry that also
+    carries a ``{"txn": {appId, version=batchId}}`` line. On epoch replay
+    (sink ahead of Spark's streaming checkpoint after a crash) the recorded
+    txn version gates the commit: the duplicate attempt's files are deleted,
+    nothing is re-logged, so downstream readers — including the
+    ``pandora_table`` streaming *source* tailing the same log — see every
+    input row exactly once. ``app_id`` defaults to a constant per sink dir;
+    distinct concurrent queries into one store must set their own
+    ``.option("app_id", ...)``.
+
+    ``overwrite=True`` (complete output mode) additionally removes the
+    previously-live file set in the same entry — the store then always holds
+    exactly the latest materialized result, still time-travelable."""
+
+    def __init__(self, path: str, spec_json: str, chunk_rows: int,
+                 app_id: str, overwrite: bool):
+        self._path = path
+        self._spec_json = spec_json
+        self._chunk_rows = chunk_rows
+        self._app_id = app_id
+        self._overwrite = overwrite
+
+    def write(self, iterator: Iterator[Any]) -> _FileCommit:
+        import uuid
+
+        run = "se" + uuid.uuid4().hex[:10]
+        return _encode_partition_task(
+            self._path, self._spec_json, self._chunk_rows, run, iterator
+        )
+
+    def _drop_files(self, messages) -> None:
+        import posixpath
+
+        from ..operators.table import _io
+
+        io = _io(self._path, None)
+        for m in messages:
+            if m is not None and getattr(m, "file_name", None):
+                try:
+                    io.fs.delete_file(
+                        posixpath.join(io.join("data"), m.file_name)
+                    )
+                except Exception:
+                    pass  # vacuum() reclaims stragglers
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..operators.encode import (
+            PROTOCOL, append_log_entry, committed_files,
+        )
+        from ..operators.table import TableSpec, _io, chunk_schema_for
+
+        last = _last_txn_version(self._path, self._app_id)
+        if last is not None and last >= batchId:
+            # replayed epoch: the original commit stands; this attempt's
+            # files are orphans — reclaim them now
+            self._drop_files(messages)
+            return
+        adds = [m for m in messages if m is not None and m.file_name]
+        spec = TableSpec.from_json(self._spec_json)
+        io = _io(self._path, None)
+        lines: list[dict] = [
+            {"protocol": PROTOCOL},
+            {"metaData": {
+                "schemaString": chunk_schema_for(spec).json(),
+                "partitionColumns": ["pds"],
+                "format": {"provider": "parquet"},
+            }},
+            {"txn": {"appId": self._app_id, "version": batchId}},
+        ]
+        prev_live = committed_files(self._path, io) if self._overwrite else None
+        for m in adds:
+            lines.append({"add": {
+                "path": m.file_name,
+                "size": m.file_size,
+                "sha256": m.file_sha,
+                "partitionValues": {"pds": "2026-01-01"},
+                "dataChange": True,
+                "modificationTime": io.mtime_ms(
+                    io.join("data/" + m.file_name)),
+            }})
+        lines += [{"remove": {"path": f, "dataChange": True}}
+                  for f in (prev_live or [])]
+        # the txn line makes even an empty epoch a commit: replay stays gated
+        append_log_entry(self._path, lines)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._drop_files(messages)
 
 
 class PandoraTableStreamReader(DataSourceStreamReader):
@@ -622,3 +772,28 @@ def stream_encoded_table(spark, out_dir: str,
     if columns:
         r = r.option("columns", ",".join(columns))
     return r.load(out_dir)
+
+
+def stream_write_encoded_table(df, out_dir: str, checkpoint: str,
+                               key_cols: list[str] | None = None,
+                               app_id: str | None = None,
+                               output_mode: str = "append",
+                               chunk_rows: int | None = None):
+    """``df.writeStream.format("pandora_table")`` with the options wired —
+    returns the un-started :class:`DataStreamWriter` so callers pick the
+    trigger. ``output_mode="complete"`` turns each epoch into an atomic
+    replace-all (streaming materialized view inside the store)."""
+    register_table_datasource(df.sparkSession)
+    w = (
+        df.writeStream.format(FORMAT_NAME)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if key_cols:
+        w = w.option("key_cols", ",".join(key_cols))
+    if app_id:
+        w = w.option("app_id", app_id)
+    if chunk_rows is not None:
+        w = w.option("chunk_rows", str(chunk_rows))
+    return w

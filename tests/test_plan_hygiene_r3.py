@@ -69,3 +69,23 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "Exchange" not in plan, plan
     n = j.count()
     assert n == spark.table(o_name).count()  # every order has a customer
+
+def test_quota_sample_plan_is_two_phase_sharded(docs):
+    """quota_sample routes through the grouped_topk discipline: a hot stratum
+    must spread over shards — two Window nodes, each partitioned by more than
+    just the stratum in phase 1, and no single-partition exchange."""
+    import re
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        quota_sample,
+    )
+
+    out = quota_sample(docs.withColumn("doc_id", F.col("doc_id").cast("string")),
+                       "source", "doc_id", 3)
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    nodes = re.findall(r"(?m)^[\s:+-]*Window\b", plan)
+    assert len(nodes) == 2, plan
+    # phase 1 partitions by (source, __shard): the shard column appears in a
+    # Window partition spec
+    assert "__shard" in plan

@@ -148,3 +148,117 @@ def test_stream_skips_compaction_rewrites(spark, out_dir):
     final = _drain_to_parquet(spark, out_dir, ckpt, sink)
     assert final.count() == 120
     assert final.select("id").distinct().count() == 120
+
+
+# ---------------------------------------------------------- streaming SINK
+
+def _drops(spark, out, lo, hi, n_files):
+    _df(spark, lo, hi).repartition(n_files, "id").write.mode(
+        "append"
+    ).parquet(out)
+
+
+def _run_stream_into(spark, drops, store, ckpt, output_mode="append",
+                     app_id=None, agg=None):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
+        stream_write_encoded_table,
+    )
+
+    schema = spark.read.parquet(drops).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(drops)
+    )
+    if agg is not None:
+        stream = agg(stream)
+    key = ["grp"] if agg is not None else ["id"]
+    q = (
+        stream_write_encoded_table(
+            stream, store, ckpt, key_cols=key, app_id=app_id,
+            output_mode=output_mode,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_write_exactly_once_and_multi_epoch(spark, out_dir):
+    """Each micro-batch is one atomic commit with a txn line; decoded rows
+    equal the batch input exactly."""
+    drops, store, ckpt = out_dir + "/d", out_dir + "/s", out_dir + "/c"
+    _drops(spark, drops, 0, 3000, 3)
+    _run_stream_into(spark, drops, store, ckpt)
+    assert log_versions(store) == [0, 1, 2]
+    got = decode_table(spark, store).orderBy("id")
+    assert got.collect() == _df(spark, 0, 3000).orderBy("id").collect()
+    txns = [e["txn"] for e in read_commit_log(store) if "txn" in e]
+    assert [t["version"] for t in txns] == [0, 1, 2]
+
+
+def test_stream_write_replay_is_idempotent(spark, out_dir):
+    """Restart with a wiped Spark checkpoint replays every epoch from 0; the
+    sink's txn gate must drop the duplicate attempts (no extra adds, decoded
+    rows unchanged, orphan files reclaimed)."""
+    import glob
+    import shutil as _sh
+
+    drops, store, ckpt = out_dir + "/d", out_dir + "/s", out_dir + "/c"
+    _drops(spark, drops, 0, 2000, 2)
+    _run_stream_into(spark, drops, store, ckpt)
+    before = decode_table(spark, store).orderBy("id").collect()
+    n_files_before = len(committed_files(store))
+    # wipe the streaming checkpoint: the replayed run re-sees ALL input
+    _sh.rmtree(ckpt)
+    _run_stream_into(spark, drops, store, ckpt)
+    after = decode_table(spark, store).orderBy("id").collect()
+    assert after == before
+    assert len(committed_files(store)) == n_files_before
+    # replayed attempts' blind-published files were dropped in commit()
+    live = set(committed_files(store))
+    on_disk = {f.split("/")[-1] for f in glob.glob(store + "/data/*.parquet")}
+    assert on_disk == live
+
+
+def test_stream_write_new_data_after_restart_appends_once(spark, out_dir):
+    """Replayed epochs are gated, but genuinely new files after the restart
+    still land: versions beyond the recorded txn commit normally."""
+    import shutil as _sh
+
+    drops, store, ckpt = out_dir + "/d", out_dir + "/s", out_dir + "/c"
+    _drops(spark, drops, 0, 1000, 1)
+    _run_stream_into(spark, drops, store, ckpt)
+    _sh.rmtree(ckpt)
+    _drops(spark, drops, 1000, 1500, 1)
+    _run_stream_into(spark, drops, store, ckpt)
+    got = decode_table(spark, store).orderBy("id")
+    assert got.collect() == _df(spark, 0, 1500).orderBy("id").collect()
+
+
+def test_stream_write_complete_mode_replaces(spark, out_dir):
+    """outputMode('complete') = materialized view in the store: every epoch
+    atomically swaps the live file set for the new aggregate."""
+    drops, store, ckpt = out_dir + "/d", out_dir + "/s", out_dir + "/c"
+    _drops(spark, drops, 0, 3000, 3)
+
+    def agg(stream):
+        return stream.groupBy("grp").agg(
+            F.count("*").alias("n"), F.sum("id").alias("total")
+        )
+
+    _run_stream_into(spark, drops, store, ckpt, output_mode="complete",
+                     agg=agg)
+    got = {(r.grp, r.n, r.total) for r in decode_table(spark, store).collect()}
+    want = {
+        (r.grp, r.n, r.total)
+        for r in _df(spark, 0, 3000)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("total"))
+        .collect()
+    }
+    assert got == want
+    # the final epoch's removes hid every earlier epoch's files
+    live = committed_files(store)
+    adds_total = sum(1 for e in read_commit_log(store) if "add" in e)
+    assert len(live) < adds_total
