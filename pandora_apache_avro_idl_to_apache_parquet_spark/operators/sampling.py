@@ -173,8 +173,16 @@ def interleave_mix(df: DataFrame, strata_col: str, key_col: str,
     rounding. Sorting by (``mix_key``, stratum, key) IS the mix order;
     materialize positions with :func:`shuffle_rank`-style two-phase
     ranking if needed. Strata absent from ``weights`` are dropped
-    (weight 0). Shape: one per-stratum window (parallel across strata),
-    no global sort."""
+    (weight 0).
+
+    Shape (round 4): the per-stratum rank is TWO-PHASE like
+    :func:`shuffle_rank` — md5-hex-prefix buckets spread each stratum over
+    256 parallel window tasks, per-(stratum, bucket) counts fold into base
+    offsets on the driver (≤ 256·|strata| scalars, never data), so a
+    dominant stratum no longer funnels through one window task. The
+    hex-prefix bucket order is a prefix of the hash-fraction order, so the
+    rank — and therefore every mix key — is bit-identical to the
+    single-window form."""
     import math
 
     for s, w in weights.items():
@@ -188,13 +196,47 @@ def interleave_mix(df: DataFrame, strata_col: str, key_col: str,
     for s, w in live.items():
         pairs += [F.lit(s), F.lit(lcm // w)]
     stride = F.create_map(*pairs)[F.col(strata_col)]
-    h = hash_fraction(F.col(key_col), seed)
-    w_rank = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
-    return (
+    spark = df.sparkSession
+    hm = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    )
+    hashed = (
         df.where(F.col(strata_col).isin(*live.keys()))
-        .withColumn("__rn", F.row_number().over(w_rank).cast("long"))
-        .withColumn(key_name, (F.lit(2) * F.col("__rn") - 1) * stride.cast("long"))
-        .drop("__rn")
+        .withColumn("__h", hm)
+        .withColumn(
+            "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = (
+        hashed.groupBy(strata_col, "__b").agg(F.count("*").alias("n")).collect()
+    )
+    per_stratum: dict[str, list] = {}
+    for r in counts:
+        per_stratum.setdefault(r[strata_col], []).append((r["__b"], r["n"]))
+    bases = []
+    for s, buckets in per_stratum.items():
+        running = 0
+        for b, n in sorted(buckets):
+            bases.append((s, b, running))
+            running += n
+    base_df = spark.createDataFrame(
+        bases or [("", 0, 0)], f"{strata_col} string, __b int, __base long"
+    )
+    # within-bucket order (first-8-hex, key) ≡ (hash_fraction, key): the
+    # bucket digits are a prefix of the ordering digits
+    w_rank = Window.partitionBy(strata_col, "__b").orderBy(
+        F.substring("__h", 1, 8).asc(), F.col(key_col).asc()
+    )
+    return (
+        hashed.join(F.broadcast(base_df), [strata_col, "__b"])
+        .withColumn(
+            "__rn",
+            (F.col("__base") + F.row_number().over(w_rank)).cast("long"),
+        )
+        .withColumn(
+            key_name, (F.lit(2) * F.col("__rn") - 1) * stride.cast("long")
+        )
+        .drop("__rn", "__h", "__b", "__base")
     )
 
 

@@ -3327,6 +3327,63 @@ def q_avro_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOC_AVDL = """
+@namespace("engine.test")
+protocol DocFeed {
+  record Meta {
+    string lang;
+    string source;
+  }
+  record Doc {
+    long doc_id;
+    engine.test.Meta meta;
+    array<string> words = [];
+  }
+}
+"""
+
+
+def q_avdl_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro **IDL** front door end-to-end: the schema arrives as authored
+    ``.avdl`` protocol source (``sources/avro_idl.py`` — parity-plus over the
+    reference, whose corpus ships ``.avdl`` but consumes compiled ``.avsc``),
+    is compiled to canonical Avro-JSON, then runs the exact ``avro_flatten``
+    pipeline (conform → flatten → recombine via ``pj_pid = pj_uid``). Same
+    oracle as ``avro_flatten``: the two front doors must be indistinguishable
+    downstream."""
+    from .operators import nested
+    from .sources.avro_idl import avdl_schema, parse_avdl_text
+    from .sources.avro_schema import avsc_to_struct, conform
+
+    proto = parse_avdl_text(_DOC_AVDL)
+    info = avsc_to_struct(avdl_schema(proto, "Doc"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.struct("lang", "source").alias("meta"),
+        F.expr(_WORDS).alias("words"),
+    )
+    conformed = conform(docs, info.struct)
+    tables = nested.flatten_table(
+        conformed, root_name=info.name,
+        uid_expr=spark_md5_long("cast(doc_id as string)"),
+    )
+    root, meta, words = tables["Doc"], tables["Doc.Meta"], tables["Doc.Words"]
+    return (
+        words.join(root.select("pj_uid", "doc_id"), words.pj_pid == root.pj_uid)
+        .join(
+            meta.select(F.col("pj_pid").alias("meta_pid"), "lang"),
+            F.col("pj_pid") == F.col("meta_pid"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("pj_pos").alias("pos"),
+            F.col("item").alias("word"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
 def q_avro_binary_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro *binary* ingestion end-to-end (A21 complete, ``Avro.fs:858-905``):
     documents are serialized into real ``.avro`` Object Container Files
@@ -4052,6 +4109,7 @@ QUERIES: dict[str, tuple] = {
     # nested flatten + JSON scalars
     "nested_flatten_words": (q_nested_flatten_words, O_NESTED_FLATTEN_WORDS),
     "avro_flatten": (q_avro_flatten, O_AVRO_FLATTEN),
+    "avdl_flatten": (q_avdl_flatten, O_AVRO_FLATTEN),
     "avro_binary_flatten": (q_avro_binary_flatten, O_AVRO_BINARY_FLATTEN),
     "json_props_stats": (q_json_props_stats, O_JSON_PROPS_STATS),
     # multimodal plumbing
@@ -4121,6 +4179,7 @@ _DRIVER_WINDOW: list[str] = [
     "streaming_materialized_agg",
     # -- new round-4 queries appended below as they land ------------------
     "table_stream_write",
+    "avdl_flatten",
 ]
 
 assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"

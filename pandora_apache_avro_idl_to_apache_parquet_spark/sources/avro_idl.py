@@ -355,6 +355,12 @@ def parse_avdl(path: str) -> AvdlProtocol:
                            set())
 
 
+def parse_avdl_text(text: str, base_dir: str | None = None) -> AvdlProtocol:
+    """Parse ``.avdl`` protocol source text (``import idl`` resolves against
+    ``base_dir`` when given)."""
+    return _parse_text(text, base_dir, set())
+
+
 def avdl_schema(proto: AvdlProtocol, name: str) -> dict:
     """Self-contained Avro-JSON schema for one named type: first use of each
     named type expands inline (carrying its namespace), later uses and

@@ -89,3 +89,23 @@ def test_quota_sample_plan_is_two_phase_sharded(docs):
     # phase 1 partitions by (source, __shard): the shard column appears in a
     # Window partition spec
     assert "__shard" in plan
+
+def test_interleave_mix_rank_is_bucketed(docs):
+    """interleave_mix's per-stratum rank is two-phase: the Window partitions
+    by (stratum, bucket) — 256-way parallel even for one dominant stratum —
+    and no single-partition exchange exists."""
+    import re
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        interleave_mix,
+    )
+
+    out = interleave_mix(
+        docs.withColumn("doc_id", F.col("doc_id").cast("string")),
+        "source", "doc_id", weights={"s0": 3, "s1": 1, "s2": 2},
+    )
+    plan = _plan(out)
+    assert "Exchange SinglePartition" not in plan
+    nodes = re.findall(r"(?m)^[\s:+-]*Window\b", plan)
+    assert len(nodes) == 1, plan
+    assert "__b" in plan  # bucket column in the window partition spec
