@@ -106,6 +106,11 @@ BENCH_QUERIES = [
     "json_source_scan",
     "sample_weighted_topk",
     "events_sliding_window",
+    # round 4
+    "table_stream_write",
+    "avdl_flatten",
+    "quota_sample",
+    "table_struct_roundtrip",
 ]
 
 

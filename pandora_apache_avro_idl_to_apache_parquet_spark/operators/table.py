@@ -157,10 +157,106 @@ def _logical_of(dt: T.DataType) -> str:
     )
 
 
+# ------------------------------------------------------ struct column lane
+# A struct column rides the store as independent per-leaf lanes (round 4):
+# the encode boundary projects ``s`` into ``s·__set`` (presence: struct
+# non-null) plus one flat column per leaf ``s·leaf`` (nested structs chain
+# the separator), each codec'd/zone-mapped like any scalar lane — exactly
+# the reference's flatten-to-columns instinct (Parquet.fs:768-878) applied
+# INSIDE one table instead of across extension tables. ``decode_table``
+# reassembles the original shape; presence decides struct-null vs
+# struct-of-nulls. All projection, no kernel changes: Catalyst expressions
+# on both sides. ``·`` (U+00B7) keeps flat names parse-safe for the plain
+# identifier paths the store uses internally.
+
+_STRUCT_SEP = "·"
+_STRUCT_SET = "__set"
+
+
+def _flatten_struct_exprs(col, name: str, dt: T.DataType) -> list:
+    if not isinstance(dt, T.StructType):
+        return [col.alias(name)]
+    out = [col.isNotNull().alias(f"{name}{_STRUCT_SEP}{_STRUCT_SET}")]
+    for f in dt.fields:
+        out += _flatten_struct_exprs(
+            col.getField(f.name), f"{name}{_STRUCT_SEP}{f.name}", f.dataType
+        )
+    return out
+
+
+def _struct_lane_nullable(schema: T.StructType, structs: dict) -> T.StructType:
+    """Spec schema for a flattened frame: every struct-derived lane is
+    recorded nullable, so appending a NEW struct column passes the
+    append-only evolution rule (old chunks decode the whole struct as
+    null via its null presence lane)."""
+    if not structs.get("cols"):
+        return schema
+    covered: set[str] = set()
+    for name, tj in structs["cols"].items():
+        covered.update(_struct_flat_names(name, T.StructType.fromJson(tj)))
+    return T.StructType(
+        [T.StructField(f.name, f.dataType,
+                       True if f.name in covered else f.nullable)
+         for f in schema.fields]
+    )
+
+
+def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
+    """(flat df, structs sidecar entry). No struct columns → (df, {})."""
+    has = [f for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+    if not has:
+        return df, {}
+    clash = [c for c in df.columns if _STRUCT_SEP in c]
+    if clash:
+        raise ValueError(
+            f"column names may not contain {_STRUCT_SEP!r} "
+            f"(struct-lane separator): {clash}"
+        )
+    exprs, cols, order = [], {}, []
+    for f in df.schema.fields:
+        order.append(f.name)
+        if isinstance(f.dataType, T.StructType):
+            cols[f.name] = f.dataType.jsonValue()
+            exprs += _flatten_struct_exprs(df[f.name], f.name, f.dataType)
+        else:
+            exprs.append(df[f.name])
+    return df.select(*exprs), {"cols": cols, "order": order}
+
+
+def _struct_flat_names(name: str, dt: T.DataType) -> list[str]:
+    if not isinstance(dt, T.StructType):
+        return [name]
+    out = [f"{name}{_STRUCT_SEP}{_STRUCT_SET}"]
+    for f in dt.fields:
+        out += _struct_flat_names(f"{name}{_STRUCT_SEP}{f.name}", f.dataType)
+    return out
+
+
+def _rebuild_struct_expr(df: DataFrame, name: str, dt: T.StructType):
+    leaves = []
+    for f in dt.fields:
+        child = f"{name}{_STRUCT_SEP}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            leaves.append(_rebuild_struct_expr(df, child, f.dataType).alias(f.name))
+        else:
+            leaves.append(df[child].alias(f.name))
+    # __set null (chunk predates the column) or false → struct is null
+    return F.when(
+        df[f"{name}{_STRUCT_SEP}{_STRUCT_SET}"] == F.lit(True),
+        F.struct(*leaves),
+    )
+
+
 @dataclass
 class TableSpec:
     """Source schema + key columns (+ optional per-chunk bloom columns),
-    serialized to the ``_schema.json`` sidecar."""
+    serialized to the ``_schema.json`` sidecar.
+
+    ``structs`` records struct columns the encode boundary auto-flattened
+    (``{"cols": {name: struct type json}, "order": [original col names]}``):
+    ``schema`` is always the FLAT physical schema (each struct leaf is its
+    own codec'd lane ``s·leaf`` plus a ``s·__set`` presence lane), and
+    :func:`decode_table` reassembles the original shape from it."""
 
     schema: T.StructType
     key_cols: list[str]
@@ -168,6 +264,7 @@ class TableSpec:
     #: the date column the table is PARTITIONED by (``encode_table(pds_col=…)``)
     #: — persisted so appends/DML keep routing rows to their date partitions
     pds_col: str | None = None
+    structs: dict = field(default_factory=dict)
 
     @property
     def logicals(self) -> dict[str, str]:
@@ -177,6 +274,7 @@ class TableSpec:
         return json.dumps(
             {"schema": self.schema.jsonValue(), "key": self.key_cols,
              "bloom": self.bloom_cols, "pds_col": self.pds_col,
+             "structs": self.structs,
              "logical": self.logicals}
         )
 
@@ -184,7 +282,8 @@ class TableSpec:
     def from_json(cls, s: str) -> "TableSpec":
         d = json.loads(s)
         return cls(schema=T.StructType.fromJson(d["schema"]), key_cols=d["key"],
-                   bloom_cols=d.get("bloom", []), pds_col=d.get("pds_col"))
+                   bloom_cols=d.get("bloom", []), pds_col=d.get("pds_col"),
+                   structs=d.get("structs", {}))
 
 
 def _meta_fields(spec: "TableSpec") -> list[T.StructField]:
@@ -306,14 +405,21 @@ def bloom_value_predicate(column: str, value) -> "F.Column":
 def _prepare_spec(io: FsIO, df_schema: T.StructType,
                   key_cols: list[str],
                   bloom_cols: list[str] | None = None,
-                  pds_col: str | None = None) -> TableSpec:
+                  pds_col: str | None = None,
+                  structs: dict | None = None) -> TableSpec:
     """Create or evolve the ``_schema.json`` sidecar (append-only schema
     evolution, the reference's Delta ``metaData`` schema-evolve contract,
     ``DeltaLake.fs:176-444``): new columns may be ADDED if nullable; existing
     columns must keep name+type; key columns are immutable. Old chunk files
-    simply lack the new columns' payloads and decode as nulls."""
+    simply lack the new columns' payloads and decode as nulls.
+
+    ``df_schema`` is the FLAT physical schema (struct columns already split
+    by :func:`flatten_struct_columns`); ``structs`` is that split's sidecar
+    entry. An existing struct column's shape is immutable (its leaves are
+    its flat type); NEW struct columns may be appended."""
     new_spec = TableSpec(schema=df_schema, key_cols=list(key_cols),
-                         bloom_cols=list(bloom_cols or []), pds_col=pds_col)
+                         bloom_cols=list(bloom_cols or []), pds_col=pds_col,
+                         structs=structs or {})
     logicals = new_spec.logicals  # validates every column type is supported
     for b in new_spec.bloom_cols:
         if b not in logicals:
@@ -356,8 +462,29 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
                 f"column {name!r} type change "
                 f"{f.dataType.simpleString()} -> {new_fields[name].dataType.simpleString()}"
             )
+    # struct-lane evolution: an existing struct column's shape is immutable
+    # (its leaves ARE its flat type); new struct columns may be appended
+    old_structs = old.structs or {"cols": {}, "order": []}
+    new_structs = structs or {"cols": {}, "order": []}
+    for name, tj in old_structs.get("cols", {}).items():
+        if name in new_structs.get("cols", {}) and \
+                new_structs["cols"][name] != tj:
+            raise ValueError(f"struct column {name!r} shape change is not "
+                             "supported (append a new column instead)")
+    merged_structs = old_structs
+    added_struct_cols = {
+        n: tj for n, tj in new_structs.get("cols", {}).items()
+        if n not in old_structs.get("cols", {})
+    }
+    if added_struct_cols:
+        merged_structs = {
+            "cols": {**old_structs.get("cols", {}), **added_struct_cols},
+            "order": old_structs.get("order", [])
+            + [n for n in new_structs.get("order", [])
+               if n not in old_structs.get("order", [])],
+        }
     added = [f for f in df_schema.fields if f.name not in old_fields]
-    if not added:
+    if not added and not added_struct_cols:
         return old
     bad = [f.name for f in added if not f.nullable]
     if bad:
@@ -366,6 +493,7 @@ def _prepare_spec(io: FsIO, df_schema: T.StructType,
         schema=T.StructType(list(old.schema.fields) + added),
         key_cols=list(key_cols), bloom_cols=old.bloom_cols,
         pds_col=old.pds_col,
+        structs=merged_structs if merged_structs.get("cols") else {},
     )
     io.publish_bytes(sidecar, merged.to_json().encode(),
                      attempt_tag=uuid.uuid4().hex[:8])
@@ -908,7 +1036,13 @@ def encode_table(df: DataFrame, out_dir: str, key_cols: list[str],
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-    spec = _prepare_spec(io, df.schema, list(key_cols), bloom_cols, pds_col)
+        if isinstance(df.schema[k].dataType, T.StructType):
+            raise ValueError(f"key column {k!r} may not be a struct")
+    # struct columns split into per-leaf lanes here (decode reassembles)
+    df, structs = flatten_struct_columns(df)
+    spec = _prepare_spec(io, _struct_lane_nullable(df.schema, structs),
+                         list(key_cols), bloom_cols, pds_col,
+                         structs=structs)
     # appends into a date-partitioned table inherit its partition column
     pds_col = pds_col or spec.pds_col
 
@@ -973,7 +1107,11 @@ def encode_table_scan(df: DataFrame, out_dir: str, key_cols: list[str],
     for k in key_cols:
         if k not in df.columns:
             raise ValueError(f"key column {k!r} not in DataFrame")
-    spec = _prepare_spec(io, df.schema, list(key_cols))
+        if isinstance(df.schema[k].dataType, T.StructType):
+            raise ValueError(f"key column {k!r} may not be a struct")
+    df, structs = flatten_struct_columns(df)
+    spec = _prepare_spec(io, _struct_lane_nullable(df.schema, structs),
+                         list(key_cols), structs=structs)
     done = set(completed_table_parts(out_dir, run, io))
 
     full = chunk_schema_for(spec)
@@ -1208,8 +1346,73 @@ def decode_table(spark: SparkSession, out_dir: str,
     chunk parquet file the row lives in — the copy-on-write rewrite unit
     :func:`delete_where`/:func:`merge_table` operate on). ``chunk_filter``
     may reference them too.
+
+    Struct columns (auto-flattened at encode, :func:`flatten_struct_columns`)
+    reassemble here: pass the ORIGINAL struct name in ``columns`` to get the
+    struct back (its leaves decode selectively); pass a flat leaf name
+    (``s·leaf``) to read just that lane. ``chunk_filter`` predicates address
+    the flat lanes (each leaf has its own zone map).
     """
     spec = read_table_spec(out_dir, io)
+    structs = spec.structs or {}
+    if structs.get("cols"):
+        scols = {n: T.StructType.fromJson(tj)
+                 for n, tj in structs["cols"].items()}
+        flat_names = {f.name for f in spec.schema.fields}
+        wanted = list(columns) if columns is not None else _orig_columns(spec)
+        flat_needed: list[str] = []
+        missing = []
+        for c in wanted:
+            if c in scols:
+                flat_needed += [
+                    n for n in _struct_flat_names(c, scols[c])
+                    if n not in flat_needed
+                ]
+            elif c in flat_names:
+                if c not in flat_needed:
+                    flat_needed.append(c)
+            else:
+                missing.append(c)
+        if missing:
+            raise ValueError(f"columns not in encoded table: {missing}")
+        flat = _decode_table_flat(spark, out_dir, flat_needed, io,
+                                  chunk_filter, as_of, meta_cols, spec)
+        exprs = []
+        for c in wanted:
+            if c in scols:
+                exprs.append(_rebuild_struct_expr(flat, c, scols[c]).alias(c))
+            else:
+                exprs.append(flat[c])
+        exprs += [flat[m] for m in (meta_cols or [])]
+        return flat.select(*exprs)
+    return _decode_table_flat(spark, out_dir, columns, io, chunk_filter,
+                              as_of, meta_cols, spec)
+
+
+def _orig_columns(spec: TableSpec) -> list[str]:
+    """Original-shape column list: the recorded declaration order, plus any
+    later-appended flat columns not covered by a struct."""
+    st = spec.structs or {}
+    if not st.get("cols"):
+        return [f.name for f in spec.schema.fields]
+    covered: set[str] = set()
+    for name, tj in st["cols"].items():
+        covered.update(_struct_flat_names(name, T.StructType.fromJson(tj)))
+    out = list(st.get("order", []))
+    seen = set(out)
+    for f in spec.schema.fields:
+        if f.name not in covered and f.name not in seen:
+            out.append(f.name)
+    return out
+
+
+def _decode_table_flat(spark: SparkSession, out_dir: str,
+                       columns: list[str] | None,
+                       io: FsIO | None,
+                       chunk_filter,
+                       as_of: int | None,
+                       meta_cols: list[str] | None,
+                       spec: TableSpec) -> DataFrame:
     logicals = spec.logicals
     fields = [f for f in spec.schema.fields if columns is None or f.name in columns]
     if columns is not None:

@@ -664,6 +664,58 @@ SELECT event_id, 'flag', 'x' FROM base WHERE event_id % 5 = 0
 """
 
 
+def q_table_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct<...> column through the encoded store (round 4): the struct
+    rides as independent per-leaf codec'd lanes plus a presence lane
+    (``flatten_struct_columns`` — the reference's flatten-to-columns
+    contract, Parquet.fs:768-878, applied INSIDE one table); decode
+    reassembles the original shape. Exercises a NULL struct (presence
+    false ⇒ whole struct null), a null leaf inside a non-null struct, and
+    a nested inner struct; the decoded struct projects back to flat
+    columns so the driver hash can canonicalize it."""
+    from .operators.table import completed_table_parts, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tblstruct1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_struct_{key}")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 101 == 0, F.lit(None)).otherwise(
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.when(F.col("event_id") % 7 == 0, F.lit(None))
+                .otherwise(F.col("user_id")).alias("uid"),
+                F.struct(F.col("value").alias("val")).alias("inner"),
+            )
+        ).alias("ctx"),
+    )
+    if not completed_table_parts(out):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(ev, out, key_cols=["event_id"],
+                     n_parts=_TABLE_ENCODE_PARTS)
+    dec = decode_table(spark, out)
+    # nulls coalesce to sentinels ONLY in the compare projection (the
+    # driver's value hash can't hold NaN); a sentinel appearing at all
+    # proves decode returned the null correctly
+    return dec.select(
+        "event_id",
+        F.coalesce(F.col("ctx.etype"), F.lit("<null>")).alias("etype"),
+        F.coalesce(F.col("ctx.uid"), F.lit(-1)).alias("uid"),
+        F.coalesce(F.col("ctx.inner.val"), F.lit(-1.0)).alias("val"),
+    )
+
+
+O_TABLE_STRUCT_ROUNDTRIP = """
+SELECT event_id,
+       CASE WHEN event_id % 101 = 0 THEN '<null>' ELSE event_type END AS etype,
+       CASE WHEN event_id % 101 = 0 OR event_id % 7 = 0
+            THEN -1 ELSE user_id END AS uid,
+       CASE WHEN event_id % 101 = 0 THEN -1.0 ELSE value END AS val
+FROM events
+"""
+
+
 def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-style constraint audit over the encoded store: NOT NULL
     answered from zone maps alone (no payload read), UNIQUE decodes only the
@@ -4005,6 +4057,7 @@ QUERIES: dict[str, tuple] = {
         q_table_validate_constraints, O_TABLE_VALIDATE_CONSTRAINTS,
     ),
     "table_map_roundtrip": (q_table_map_roundtrip, O_TABLE_MAP_ROUNDTRIP),
+    "table_struct_roundtrip": (q_table_struct_roundtrip, O_TABLE_STRUCT_ROUNDTRIP),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4180,6 +4233,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- new round-4 queries appended below as they land ------------------
     "table_stream_write",
     "avdl_flatten",
+    "table_struct_roundtrip",
 ]
 
 assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"

@@ -1,0 +1,129 @@
+"""Struct column lane (round 4): encode_table auto-flattens struct columns
+into per-leaf codec'd lanes (+ a presence lane) and decode_table reassembles
+the original shape — bit-identical, selectively decodable, zone-prunable per
+leaf, evolvable."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+    decode_table,
+    encode_table,
+    flatten_struct_columns,
+    read_table_spec,
+)
+
+
+@pytest.fixture()
+def out_dir():
+    out = tempfile.mkdtemp(prefix="struct_lane_")
+    shutil.rmtree(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _df(spark, lo=0, hi=1000):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        F.when(F.col("id") % 7 != 0, F.struct(
+            (F.col("id") % 5).cast("int").alias("a"),
+            F.concat(F.lit("v"), F.col("id")).alias("b"),
+            F.when(F.col("id") % 3 == 0, F.struct(
+                (F.col("id") * 2).alias("x"),
+            )).alias("inner"),
+        )).alias("s"),
+        (F.col("id") % 3).alias("grp"),
+    )
+
+
+def test_struct_roundtrip_bit_identical(spark, out_dir):
+    df = _df(spark)
+    encode_table(df, out_dir, key_cols=["id"], n_parts=4)
+    back = decode_table(spark, out_dir).orderBy("id")
+    assert [f.name for f in back.schema.fields] == ["id", "s", "grp"]
+    assert back.schema["s"].dataType.simpleString() == (
+        "struct<a:int,b:string,inner:struct<x:bigint>>"
+    )
+    assert back.collect() == _df(spark).orderBy("id").collect()
+
+
+def test_struct_null_vs_struct_of_nulls(spark, out_dir):
+    """Presence lane distinguishes a NULL struct from a struct whose every
+    leaf is null."""
+    rows = [(1, None), (2, (None, None)), (3, ("x", 9))]
+    df = spark.createDataFrame(
+        rows, "id long, s struct<a:string,b:long>"
+    )
+    encode_table(df, out_dir, key_cols=["id"], n_parts=2)
+    got = {r.id: r.s for r in decode_table(spark, out_dir).collect()}
+    assert got[1] is None
+    assert got[2] is not None and got[2].a is None and got[2].b is None
+    assert got[3].a == "x" and got[3].b == 9
+
+
+def test_struct_selective_decode_and_leaf_lane(spark, out_dir):
+    encode_table(_df(spark), out_dir, key_cols=["id"], n_parts=4)
+    only_s = decode_table(spark, out_dir, columns=["s"])
+    assert [f.name for f in only_s.schema.fields] == ["s"]
+    leaf = decode_table(spark, out_dir, columns=["s·a", "id"]).orderBy("id")
+    assert [f.name for f in leaf.schema.fields] == ["s·a", "id"]
+    want = {r.id: (r.s.a if r.s else None) for r in _df(spark).collect()}
+    assert {r.id: r["s·a"] for r in leaf.collect()} == want
+
+
+def test_struct_leaf_zone_pruning(spark, out_dir):
+    """Each leaf is a first-class lane: a chunk_filter on its zone map prunes
+    like any scalar column."""
+    encode_table(_df(spark), out_dir, key_cols=["id"], n_parts=4,
+                 chunk_rows=100)
+    pruned = decode_table(
+        spark, out_dir, columns=["id", "s"],
+        chunk_filter=(F.col("key_min") <= 50) & (F.col("key_max") >= 50),
+    )
+    assert 0 < pruned.count() < 1000
+    rows = {r.id for r in pruned.collect()}
+    assert 50 in rows
+
+
+def test_struct_schema_evolution_appends_struct(spark, out_dir):
+    base = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"))
+    encode_table(base, out_dir, key_cols=["id"], n_parts=2)
+    evolved = spark.range(100, 150).select(
+        F.col("id"), (F.col("id") % 3).alias("grp"),
+        F.struct(F.lit("n").alias("tag")).alias("meta"),
+    )
+    encode_table(evolved, out_dir, key_cols=["id"], n_parts=2, run="r1")
+    got = decode_table(spark, out_dir).orderBy("id").collect()
+    assert len(got) == 150
+    # old rows decode the appended struct as null (presence lane is null)
+    assert got[0].meta is None
+    assert got[149].meta.tag == "n"
+    # shape is recorded in the sidecar
+    spec = read_table_spec(out_dir)
+    assert "meta" in spec.structs["cols"]
+
+
+def test_struct_shape_immutable(spark, out_dir):
+    df = spark.range(0, 10).select(
+        F.col("id"), F.struct(F.lit(1).alias("a")).alias("s"))
+    encode_table(df, out_dir, key_cols=["id"], n_parts=1)
+    changed = spark.range(10, 20).select(
+        F.col("id"),
+        F.struct(F.lit(1).alias("a"), F.lit("y").alias("b")).alias("s"),
+    )
+    with pytest.raises(ValueError, match="shape change"):
+        encode_table(changed, out_dir, key_cols=["id"], n_parts=1, run="r1")
+
+
+def test_struct_key_col_rejected_and_separator_collision(spark, out_dir):
+    df = spark.range(0, 10).select(
+        F.col("id"), F.struct(F.lit(1).alias("a")).alias("s"))
+    with pytest.raises(ValueError, match="may not be a struct"):
+        encode_table(df, out_dir, key_cols=["s"], n_parts=1)
+    clash = df.withColumnRenamed("id", "x·y")
+    with pytest.raises(ValueError, match="separator"):
+        flatten_struct_columns(clash)

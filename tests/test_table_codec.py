@@ -198,9 +198,11 @@ def test_unsupported_shapes_rejected(spark):
     intkey = spark.createDataFrame([(1, {2: "v"})], "id int, m map<int,string>")
     with pytest.raises(ValueError, match="string keys"):
         encode_table(intkey, "/tmp/never", key_cols=["id"])
+    # struct<...> is a supported lane since round 4 (auto-flattened to
+    # per-leaf columns); a struct KEY still rejects
     structy = spark.createDataFrame([(1, (2, "x"))], "id int, s struct<a:int,b:string>")
-    with pytest.raises(ValueError, match="flatten"):
-        encode_table(structy, "/tmp/never", key_cols=["id"])
+    with pytest.raises(ValueError, match="may not be a struct"):
+        encode_table(structy, "/tmp/never", key_cols=["s"])
     from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import _logical_of
 
     with pytest.raises(ValueError, match="precision"):
