@@ -1316,10 +1316,19 @@ def q_streaming_materialized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum("o_totalprice").alias("sum_price_raw"))
     )
-    q = stream_write_encoded_table(
-        view, mv_dir, ckpt, key_cols=["o_orderstatus"],
-        app_id="mv-orderstatus", output_mode="complete",
-    ).start()
+    # state-partition sizing: the aggregate holds 3 groups — the session
+    # default (32) would commit 32 state-store partitions per epoch for 3
+    # rows of state; the stream's shuffle-partition count is pinned into
+    # the checkpoint at first batch, so set it only around .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = stream_write_encoded_table(
+            view, mv_dir, ckpt, key_cols=["o_orderstatus"],
+            app_id="mv-orderstatus", output_mode="complete",
+        ).start()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.processAllAvailable()
     q.stop()
     return decode_table(spark, mv_dir).select(
