@@ -1860,6 +1860,18 @@ def _meta_entry(spec: TableSpec) -> dict:
                          "format": {"provider": "parquet"}}}
 
 
+def _flat_for_rewrite(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """DML frames are built in the table's ORIGINAL shape (structs
+    reassembled, so conditions/assignments address ``s.a`` naturally); the
+    rewrite kernel works on the FLAT physical schema. Re-split struct
+    columns here — pure projection, Catalyst folds it into the decode
+    projection. Helper columns (``part_id``/``__pds``) pass through."""
+    if not (spec.structs or {}).get("cols"):
+        return df
+    flat, _ = flatten_struct_columns(df)
+    return flat
+
+
 def delete_where(spark: SparkSession, out_dir: str, condition,
                  io: FsIO | None = None,
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
@@ -1915,8 +1927,8 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
         .filter(~F.coalesce(condition, F.lit(False)))
         .drop("__src_file")
     )
-    adds = _rewrite_job(survivors, io, spec, chunk_rows, pds, run,
-                        pds_from_col=True)
+    adds = _rewrite_job(_flat_for_rewrite(survivors, spec), io, spec,
+                        chunk_rows, pds, run, pds_from_col=True)
     log = append_log_entry(
         out_dir,
         [_meta_entry(spec)] + adds
@@ -1953,14 +1965,18 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
         raise ValueError("merge_table requires a committed table (no _log found)")
     spec = read_table_spec(out_dir, io)
     keys = spec.key_cols
+    # the source arrives in the table's ORIGINAL shape; struct columns
+    # split into their physical lanes before the schema check, so shape
+    # mismatches surface as flat-lane name/type diffs
+    source_flat = _flat_for_rewrite(source, spec)
     want = {f.name: f.dataType for f in spec.schema.fields}
-    got = {f.name: f.dataType for f in source.schema.fields}
+    got = {f.name: f.dataType for f in source_flat.schema.fields}
     if got != want:
         raise ValueError(
             f"merge source schema must match the encoded table: want {want}, got {got}"
         )
     pds = pds or date(2026, 1, 1)
-    src = source.select(*[f.name for f in spec.schema.fields])
+    src = source_flat.select(*[f.name for f in spec.schema.fields])
     src_keys = src.select(*keys).distinct()
 
     probe = decode_table(spark, out_dir, columns=list(keys), io=io,
@@ -2001,7 +2017,11 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
             [(f, i, fp.get(f, pds)) for i, f in enumerate(matched)],
             "__src_file string, part_id int, __pds date",
         )
-        dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
+        # decode the FLAT physical lanes directly (keys are always scalar
+        # lanes), matching the flattened source side of the union
+        dec = decode_table(spark, out_dir, io=io,
+                           columns=[f.name for f in spec.schema.fields],
+                           meta_cols=["__src_file"],
                            chunk_filter=F.col("__src_file").isin(matched))
         survivors = (
             dec.join(F.broadcast(part_map), "__src_file")
@@ -2047,7 +2067,28 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     if committed_files(out_dir, io) is None:
         raise ValueError("update_where requires a committed table (no _log found)")
     spec = read_table_spec(out_dir, io)
-    names = {f.name for f in spec.schema.fields}
+    # assignments address the table's ORIGINAL shape: a struct column is
+    # assigned as a whole (produce the full struct value); leaf-level
+    # assignment composes naturally via F.struct over the PRE-update row.
+    # Cast targets relax to fully-nullable (the physical lanes are nullable
+    # anyway — decode reassembles through the presence lane)
+    def _relax_nulls(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [T.StructField(f.name, _relax_nulls(f.dataType), True)
+                 for f in dt.fields]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_relax_nulls(dt.elementType), True)
+        return dt
+
+    scols = {n: _relax_nulls(T.StructType.fromJson(tj))
+             for n, tj in (spec.structs or {}).get("cols", {}).items()}
+    orig_fields = [
+        (n, scols.get(n) or spec.schema[n].dataType)
+        for n in _orig_columns(spec)
+    ]
+    names = {n for n, _ in orig_fields}
     bad = sorted(set(assignments) - names)
     if bad:
         raise ValueError(f"assigned columns not in table: {bad}")
@@ -2078,16 +2119,16 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     hit = F.coalesce(condition, F.lit(False))
     updated = dec.join(F.broadcast(part_map), "__src_file").select(
         *[
-            F.when(hit, assignments[f.name]).otherwise(F.col(f.name))
-            .cast(f.dataType).alias(f.name)
-            if f.name in assignments else F.col(f.name)
-            for f in spec.schema.fields
+            F.when(hit, assignments[name]).otherwise(F.col(name))
+            .cast(dtype).alias(name)
+            if name in assignments else F.col(name)
+            for name, dtype in orig_fields
         ],
         "part_id",
         "__pds",
     )
-    adds = _rewrite_job(updated, io, spec, chunk_rows, pds, run,
-                        pds_from_col=True)
+    adds = _rewrite_job(_flat_for_rewrite(updated, spec), io, spec,
+                        chunk_rows, pds, run, pds_from_col=True)
     log = append_log_entry(
         out_dir,
         [_meta_entry(spec)] + adds

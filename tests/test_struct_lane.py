@@ -119,6 +119,62 @@ def test_struct_shape_immutable(spark, out_dir):
         encode_table(changed, out_dir, key_cols=["id"], n_parts=1, run="r1")
 
 
+def test_struct_dml_roundtrip(spark, out_dir):
+    """DELETE / UPDATE / MERGE on a struct table: conditions and assignments
+    address the ORIGINAL shape (s.a), the copy-on-write rewrite re-splits
+    the struct into its physical lanes."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        delete_where, merge_table, update_where,
+    )
+
+    encode_table(_df(spark, 0, 200), out_dir, key_cols=["id"], n_parts=2)
+
+    # DELETE rows via a struct-leaf predicate
+    res = delete_where(spark, out_dir, F.col("s.a") == 4)
+    assert res["rows_deleted"] > 0
+    back = decode_table(spark, out_dir)
+    assert back.filter(F.col("s.a") == 4).count() == 0
+    expect = _df(spark, 0, 200).filter(
+        ~F.coalesce(F.col("s.a") == 4, F.lit(False)))
+    assert back.count() == expect.count()
+
+    # UPDATE a whole struct from its pre-update value
+    res = update_where(
+        spark, out_dir, F.col("s.a") == 1,
+        {"s": F.struct(
+            (F.col("s.a") + 10).alias("a"),
+            F.concat(F.col("s.b"), F.lit("!")).alias("b"),
+            F.col("s.inner").alias("inner"),
+        )},
+    )
+    assert res["rows_updated"] > 0
+    back = decode_table(spark, out_dir)
+    assert back.filter(F.col("s.a") == 1).count() == 0
+    assert back.filter(F.col("s.a") == 11).count() == res["rows_updated"]
+    assert back.filter(F.col("s.a") == 11).filter(
+        ~F.col("s.b").endswith("!")).count() == 0
+
+    # MERGE a source in the original (struct) shape: replace + insert
+    source = _df(spark, 195, 210).withColumn(
+        "s", F.when(F.col("s").isNotNull(), F.struct(
+            F.lit(99).cast("int").alias("a"),
+            F.lit("merged").alias("b"),
+            F.col("s.inner").alias("inner"),
+        )))
+    res = merge_table(spark, out_dir, source)
+    back = decode_table(spark, out_dir).cache()
+    assert back.filter(F.col("id") >= 200).count() == 10  # inserts landed
+    merged = back.filter((F.col("id") >= 195) & F.col("s").isNotNull())
+    assert merged.filter(F.col("s.b") != "merged").count() == 0
+    # a wrong-shaped source still rejects
+    bad = spark.range(0, 3).select(
+        F.col("id"), F.struct(F.lit(1).alias("zz")).alias("s"),
+        F.lit(0).cast("long").alias("grp"))
+    with pytest.raises(ValueError, match="must match"):
+        merge_table(spark, out_dir, bad)
+    back.unpersist()
+
+
 def test_struct_key_col_rejected_and_separator_collision(spark, out_dir):
     df = spark.range(0, 10).select(
         F.col("id"), F.struct(F.lit(1).alias("a")).alias("s"))
