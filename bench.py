@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "avdl_flatten",
     "quota_sample",
     "table_struct_roundtrip",
+    "table_compact_stable",
 ]
 
 

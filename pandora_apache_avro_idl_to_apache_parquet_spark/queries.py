@@ -716,6 +716,44 @@ FROM events
 """
 
 
+def q_table_compact_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style file compaction is content-neutral: two append runs
+    leave 16 small chunk files; ``compact_table`` regroups them into few
+    large ones behind ONE atomic add+remove log entry (chunk rows move
+    verbatim — no re-encode). The decoded table must equal the union of
+    both appends exactly; a row lost or duplicated in the swap fails
+    rows/hash."""
+    from .operators.encode import log_versions
+    from .operators.table import compact_table, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tblcompact1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_compact_{key}")
+    # log length is the 'already compacted' marker: two appends + one swap
+    if len(log_versions(out)) < 3:
+        shutil.rmtree(out, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag",
+        )
+        encode_table(li.filter(F.col("l_orderkey") % 2 == 0), out,
+                     key_cols=["l_orderkey", "l_linenumber"], n_parts=8)
+        encode_table(li.filter(F.col("l_orderkey") % 2 == 1), out,
+                     key_cols=["l_orderkey", "l_linenumber"], n_parts=8,
+                     run="r1")
+        res = compact_table(out, max_group_bytes=1 << 30)
+        if res.get("files_after", 99) >= res.get("files_before", 0):
+            raise RuntimeError(f"compaction did not reduce file count: {res}")
+    return decode_table(spark, out)
+
+
+O_TABLE_COMPACT_STABLE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+"""
+
+
 def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-style constraint audit over the encoded store: NOT NULL
     answered from zone maps alone (no payload read), UNIQUE decodes only the
@@ -4067,6 +4105,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "table_map_roundtrip": (q_table_map_roundtrip, O_TABLE_MAP_ROUNDTRIP),
     "table_struct_roundtrip": (q_table_struct_roundtrip, O_TABLE_STRUCT_ROUNDTRIP),
+    "table_compact_stable": (q_table_compact_stable, O_TABLE_COMPACT_STABLE),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4243,6 +4282,7 @@ _DRIVER_WINDOW: list[str] = [
     "table_stream_write",
     "avdl_flatten",
     "table_struct_roundtrip",
+    "table_compact_stable",
 ]
 
 assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"
