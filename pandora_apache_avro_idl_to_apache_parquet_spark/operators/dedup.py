@@ -322,17 +322,26 @@ def ngram_jaccard_pairs_lsh(docs: DataFrame, k: int = 3,
                             threshold: float = 0.5,
                             n_perms: int = DEFAULT_PERMS,
                             n_bands: int = DEFAULT_BANDS,
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            candidates: DataFrame | None = None) -> DataFrame:
     """LSH-gated exact Jaccard: :func:`lsh_candidate_pairs` generates,
     :func:`ngram_jaccard_on_candidates` verifies — the production pipeline
-    (generator sub-quadratic, verifier exact on candidates only)."""
-    cand = lsh_candidate_pairs(docs, n_perms=n_perms, n_bands=n_bands,
-                               k=k, max_bucket=max_bucket)
-    # The candidate set feeds the verifier twice (member ids + the pair
-    # join); localCheckpoint materializes the generator once instead of
-    # re-running its shuffles, and the ContextCleaner reclaims the blocks
-    # when the result DataFrame is dropped.
-    cand = cand.localCheckpoint(eager=False)
+    (generator sub-quadratic, verifier exact on candidates only).
+
+    ``candidates`` injects a precomputed pair set (the generator is
+    md5-deterministic, so a staged/materialized set is byte-identical to a
+    fresh run — the share-the-expensive-intermediate discipline when
+    clustering and verification both consume the same pairs)."""
+    if candidates is None:
+        cand = lsh_candidate_pairs(docs, n_perms=n_perms, n_bands=n_bands,
+                                   k=k, max_bucket=max_bucket)
+        # The candidate set feeds the verifier twice (member ids + the pair
+        # join); localCheckpoint materializes the generator once instead of
+        # re-running its shuffles, and the ContextCleaner reclaims the blocks
+        # when the result DataFrame is dropped.
+        cand = cand.localCheckpoint(eager=False)
+    else:
+        cand = candidates
     return ngram_jaccard_on_candidates(docs, cand, k=k, threshold=threshold)
 
 

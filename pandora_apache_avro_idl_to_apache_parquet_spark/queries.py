@@ -1933,7 +1933,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blow-up is what this query avoids at 100 TB.
     """
     return dedup.ngram_jaccard_pairs_lsh(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2,
+        candidates=_staged_lsh_pairs(spark, sf_dir),
     )
 
 

@@ -119,6 +119,20 @@ def test_struct_shape_immutable(spark, out_dir):
         encode_table(changed, out_dir, key_cols=["id"], n_parts=1, run="r1")
 
 
+def test_struct_leaf_payload_pruning(spark, out_dir):
+    """Selective leaf decode must push column pruning into the chunk scan:
+    asking for one leaf reads that leaf's payload stream only — the other
+    leaves' payloads never leave parquet."""
+    encode_table(_df(spark), out_dir, key_cols=["id"], n_parts=2)
+    leaf = decode_table(spark, out_dir, columns=["id", "s·a"])
+    plan = leaf._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    line = scan[0]
+    assert "s·a__payload" in line
+    assert "s·b__payload" not in line and "s·inner·x__payload" not in line
+
+
 def test_struct_dml_roundtrip(spark, out_dir):
     """DELETE / UPDATE / MERGE on a struct table: conditions and assignments
     address the ORIGINAL shape (s.a), the copy-on-write rewrite re-splits
