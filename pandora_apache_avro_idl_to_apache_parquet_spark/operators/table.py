@@ -223,6 +223,124 @@ def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
     return df.select(*exprs), {"cols": cols, "order": order}
 
 
+def relax_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively mark every nested field/element nullable. The struct
+    lane's physical leaves are nullable by construction (presence decides
+    struct-null), so every decoded/reassembled struct reports nullable
+    children regardless of the source frame's nullability."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, relax_nullable(f.dataType), True)
+             for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(relax_nullable(dt.elementType), True)
+    return dt
+
+
+def _struct_leaf_fields(name: str, dt: T.StructType) -> list[T.StructField]:
+    """Flat physical StructFields for one struct column (presence lane +
+    one field per leaf, nested structs chained) — the schema-level twin of
+    :func:`_flatten_struct_exprs`, for callers that hold a schema but no
+    DataFrame (the DataSource sink)."""
+    out = [T.StructField(f"{name}{_STRUCT_SEP}{_STRUCT_SET}",
+                         T.BooleanType(), True)]
+    for f in dt.fields:
+        child = f"{name}{_STRUCT_SEP}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            out += _struct_leaf_fields(child, f.dataType)
+        else:
+            out.append(T.StructField(child, f.dataType, True))
+    return out
+
+
+def flatten_struct_schema(schema: T.StructType) -> tuple[T.StructType, dict]:
+    """(flat physical schema, structs sidecar entry) for a possibly
+    struct-bearing schema. No struct columns → (schema, {})."""
+    has = [f for f in schema.fields if isinstance(f.dataType, T.StructType)]
+    if not has:
+        return schema, {}
+    clash = [f.name for f in schema.fields if _STRUCT_SEP in f.name]
+    if clash:
+        raise ValueError(
+            f"column names may not contain {_STRUCT_SEP!r} "
+            f"(struct-lane separator): {clash}"
+        )
+    cols, order, fields = {}, [], []
+    for f in schema.fields:
+        order.append(f.name)
+        if isinstance(f.dataType, T.StructType):
+            cols[f.name] = f.dataType.jsonValue()
+            fields += _struct_leaf_fields(f.name, f.dataType)
+        else:
+            fields.append(f)
+    return T.StructType(fields), {"cols": cols, "order": order}
+
+
+def flatten_struct_arrow(table: "pa.Table", structs: dict) -> "pa.Table":
+    """Arrow-side twin of :func:`flatten_struct_columns` for executor tasks
+    that receive struct-bearing batches (the DataSource sinks): replace each
+    struct column with its presence lane + leaf columns. Children under a
+    NULL struct are masked to null (parity with the Catalyst projection,
+    where ``getField`` of a null struct is null)."""
+    if not structs.get("cols"):
+        return table
+    import pyarrow.compute as pc
+
+    scols = {n: T.StructType.fromJson(tj) for n, tj in structs["cols"].items()}
+
+    def emit(arr: pa.Array, name: str, dt: T.StructType,
+             names: list, arrays: list) -> None:
+        present = pc.is_valid(arr)
+        names.append(f"{name}{_STRUCT_SEP}{_STRUCT_SET}")
+        arrays.append(present)
+        for f in dt.fields:
+            child_name = f"{name}{_STRUCT_SEP}{f.name}"
+            child = arr.field(f.name)
+            child = pc.if_else(present, child, pa.scalar(None, child.type))
+            if isinstance(f.dataType, T.StructType):
+                emit(child, child_name, f.dataType, names, arrays)
+            else:
+                names.append(child_name)
+                arrays.append(child)
+
+    names, arrays = [], []
+    for i, nm in enumerate(table.column_names):
+        col = table.column(i)
+        if nm in scols:
+            emit(col.combine_chunks(), nm, scols[nm], names, arrays)
+        else:
+            names.append(nm)
+            arrays.append(col)
+    return pa.table(arrays, names=names)
+
+
+def assemble_struct_arrow(flat: dict, name: str, dt: T.StructType,
+                          arrow_type) -> "pa.Array":
+    """Reassemble one struct column from decoded flat-lane Arrow arrays —
+    the Arrow-side twin of :func:`_rebuild_struct_expr` (presence null or
+    false ⇒ struct null)."""
+    import pyarrow.compute as pc
+
+    children, child_names = [], []
+    for f, sub in zip(dt.fields, arrow_type):
+        child_name = f"{name}{_STRUCT_SEP}{f.name}"
+        if isinstance(f.dataType, T.StructType):
+            children.append(
+                assemble_struct_arrow(flat, child_name, f.dataType, sub.type)
+            )
+        else:
+            children.append(flat[child_name].cast(sub.type))
+        child_names.append(f.name)
+    present = flat[f"{name}{_STRUCT_SEP}{_STRUCT_SET}"]
+    invalid = pc.invert(pc.fill_null(present, False))
+    return pa.StructArray.from_arrays(
+        children, names=child_names,
+        mask=invalid.combine_chunks() if isinstance(
+            invalid, pa.ChunkedArray) else invalid,
+    )
+
+
 def _struct_flat_names(name: str, dt: T.DataType) -> list[str]:
     if not isinstance(dt, T.StructType):
         return [name]
@@ -2072,17 +2190,7 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     # assignment composes naturally via F.struct over the PRE-update row.
     # Cast targets relax to fully-nullable (the physical lanes are nullable
     # anyway — decode reassembles through the presence lane)
-    def _relax_nulls(dt: T.DataType) -> T.DataType:
-        if isinstance(dt, T.StructType):
-            return T.StructType(
-                [T.StructField(f.name, _relax_nulls(f.dataType), True)
-                 for f in dt.fields]
-            )
-        if isinstance(dt, T.ArrayType):
-            return T.ArrayType(_relax_nulls(dt.elementType), True)
-        return dt
-
-    scols = {n: _relax_nulls(T.StructType.fromJson(tj))
+    scols = {n: relax_nullable(T.StructType.fromJson(tj))
              for n, tj in (spec.structs or {}).get("cols", {}).items()}
     orig_fields = [
         (n, scols.get(n) or spec.schema[n].dataType)

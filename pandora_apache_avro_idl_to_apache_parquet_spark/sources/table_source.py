@@ -125,18 +125,26 @@ class PandoraTableDataSource(DataSource):
         return path, read_table_spec(path)
 
     def schema(self) -> T.StructType:
+        """The table's ORIGINAL shape: struct columns (auto-flattened at
+        encode) report as structs; the ``columns`` option accepts original
+        names or individual flat leaf names (``s·leaf``)."""
+        from ..operators.table import _orig_columns, relax_nullable
+
         _, spec = self._spec()
         cols_opt = self.options.get("columns")
+        scols = {n: relax_nullable(T.StructType.fromJson(tj))
+                 for n, tj in (spec.structs or {}).get("cols", {}).items()}
         fields = {f.name: f for f in spec.schema.fields}
         if cols_opt:
             names = [c.strip() for c in cols_opt.split(",") if c.strip()]
-            missing = [c for c in names if c not in fields]
+            missing = [c for c in names if c not in fields and c not in scols]
             if missing:
                 raise ValueError(f"columns not in encoded table: {missing}")
         else:
-            names = [f.name for f in spec.schema.fields]
+            names = _orig_columns(spec)
         return T.StructType(
-            [T.StructField(n, fields[n].dataType, True) for n in names]
+            [T.StructField(n, scols[n] if n in scols else fields[n].dataType,
+                           True) for n in names]
         )
 
     def reader(self, schema: T.StructType) -> "PandoraTableReader":
@@ -152,8 +160,13 @@ class PandoraTableDataSource(DataSource):
 
     def _sink_spec(self, schema: T.StructType):
         """Shared batch/stream sink setup: resolve key columns and
-        create/evolve the ``_schema.json`` sidecar BEFORE tasks run."""
-        from ..operators.table import _io, _prepare_spec, read_table_spec
+        create/evolve the ``_schema.json`` sidecar BEFORE tasks run.
+        Struct columns split into their physical lanes here (schema level;
+        executor tasks split the Arrow batches to match)."""
+        from ..operators.table import (
+            _io, _prepare_spec, _struct_lane_nullable, flatten_struct_schema,
+            read_table_spec,
+        )
 
         path = self.options.get("path")
         if not path:
@@ -173,7 +186,14 @@ class PandoraTableDataSource(DataSource):
         missing = [k for k in key_cols if k not in schema.fieldNames()]
         if missing:
             raise ValueError(f"key columns not in DataFrame: {missing}")
-        return path, io, _prepare_spec(io, schema, key_cols)
+        for k in key_cols:
+            if isinstance(schema[k].dataType, T.StructType):
+                raise ValueError(f"key column {k!r} may not be a struct")
+        flat_schema, structs = flatten_struct_schema(schema)
+        return path, io, _prepare_spec(
+            io, _struct_lane_nullable(flat_schema, structs), key_cols,
+            structs=structs,
+        )
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "PandoraTableWriter":
         import uuid
@@ -338,15 +358,32 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
 
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from ..operators.table import TableSpec, _decode_column, _io
+    from ..operators.table import (
+        TableSpec, _decode_column, _io, _struct_flat_names,
+        assemble_struct_arrow, relax_nullable,
+    )
 
     spec = TableSpec.from_json(spec_json)
     logicals = spec.logicals
     fields = {f.name: f for f in spec.schema.fields}
+    scols = {n: relax_nullable(T.StructType.fromJson(tj))
+             for n, tj in (spec.structs or {}).get("cols", {}).items()}
+    # requested names may include original struct columns: decode their
+    # flat physical lanes, reassemble per batch
+    flat_needed: list[str] = []
+    for n in names:
+        for fn in (_struct_flat_names(n, scols[n]) if n in scols else [n]):
+            if fn not in flat_needed:
+                flat_needed.append(fn)
     out_struct = T.StructType(
-        [T.StructField(n, fields[n].dataType, True) for n in names]
+        [T.StructField(n, scols[n] if n in scols else fields[n].dataType,
+                       True) for n in names]
     )
     arrow_out = to_arrow_schema(out_struct)
+    flat_struct = T.StructType(
+        [T.StructField(n, fields[n].dataType, True) for n in flat_needed]
+    )
+    arrow_flat = to_arrow_schema(flat_struct)
 
     io = _io(path, None)
     pf = pq.ParquetFile(io.open_input_file(io.join("data/" + fname)))
@@ -383,7 +420,7 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
         expr = e if expr is None else expr & e
 
     want = ["n_rows"]
-    for n in names:
+    for n in flat_needed:
         for side in ("__valid", "__payload"):
             if f"{n}{side}" in present:
                 want.append(f"{n}{side}")
@@ -403,19 +440,23 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
     n_rows_col = cols["n_rows"]
     for i in range(tbl.num_rows):  # iterates CHUNKS
         n = int(n_rows_col[i].as_py())
-        arrays = []
-        for name in names:
+        flat: dict = {}
+        for name in flat_needed:
             pcol = cols.get(f"{name}__payload")
             pl = pcol[i].as_py() if pcol is not None else None
             if pl is None:
-                arrays.append(pa.nulls(n, arrow_out.field(name).type))
+                flat[name] = pa.nulls(n, arrow_flat.field(name).type)
                 continue
             vcol = cols.get(f"{name}__valid")
             vp = vcol[i].as_py() if vcol is not None else None
-            arrays.append(
-                _decode_column(vp, pl, logicals[name], n,
-                               arrow_out.field(name).type)
-            )
+            flat[name] = _decode_column(vp, pl, logicals[name], n,
+                                        arrow_flat.field(name).type)
+        arrays = [
+            assemble_struct_arrow(flat, name, scols[name],
+                                  arrow_out.field(name).type)
+            if name in scols else flat[name]
+            for name in names
+        ]
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
 
@@ -434,7 +475,9 @@ def _encode_partition_task(path: str, spec_json: str, chunk_rows: int,
 
     from pyspark import TaskContext
 
-    from ..operators.table import TableSpec, _encode_table_partition, _io
+    from ..operators.table import (
+        TableSpec, _encode_table_partition, _io, flatten_struct_arrow,
+    )
 
     pid = TaskContext.get().partitionId()
     collected = [b for b in iterator if b.num_rows]
@@ -442,6 +485,9 @@ def _encode_partition_task(path: str, spec_json: str, chunk_rows: int,
         return _FileCommit()
     spec = TableSpec.from_json(spec_json)
     table = pa.Table.from_batches(collected)
+    # struct columns arrive in their original shape; split to the flat
+    # physical lanes the kernel encodes
+    table = flatten_struct_arrow(table, spec.structs or {})
     # align to spec order (evolved sidecar may order columns differently)
     table = table.select([f.name for f in spec.schema.fields])
     table = table.append_column(

@@ -189,6 +189,47 @@ def test_struct_dml_roundtrip(spark, out_dir):
     back.unpersist()
 
 
+def test_struct_through_datasource(spark, out_dir):
+    """The pandora_table DataSource serves struct tables in their ORIGINAL
+    shape on read (s is a struct, s.a addressable in SQL) and accepts
+    struct frames on write (sink splits them to the physical lanes)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
+        register_table_datasource,
+    )
+
+    register_table_datasource(spark)
+    df = _df(spark, 0, 300)
+    # write path: struct frame straight through df.write.format(...)
+    (df.write.format("pandora_table").option("key_cols", "id")
+       .mode("overwrite").save(out_dir))
+    back = (
+        spark.read.format("pandora_table").load(out_dir)
+    )
+    assert back.schema["s"].dataType.simpleString() == (
+        "struct<a:int,b:string,inner:struct<x:bigint>>"
+    )
+    assert back.orderBy("id").collect() == df.orderBy("id").collect()
+    # SQL over struct fields + scalar filter pushdown still works
+    back.createOrReplaceTempView("struct_ds")
+    got = spark.sql(
+        "SELECT id, s.a AS a FROM struct_ds WHERE id BETWEEN 10 AND 20 "
+        "AND s.a IS NOT NULL ORDER BY id"
+    ).collect()
+    want = [
+        (r.id, r.s.a) for r in df.orderBy("id").collect()
+        if 10 <= r.id <= 20 and r.s is not None
+    ]
+    assert [(r.id, r.a) for r in got] == want
+    # columns option: original struct name and a single flat leaf both serve
+    only_s = (spark.read.format("pandora_table")
+              .option("columns", "id,s").load(out_dir))
+    assert [f.name for f in only_s.schema.fields] == ["id", "s"]
+    leaf = (spark.read.format("pandora_table")
+            .option("columns", "id,s·a").load(out_dir))
+    assert leaf.columns == ["id", "s·a"]
+    assert leaf.count() == 300
+
+
 def test_struct_key_col_rejected_and_separator_collision(spark, out_dir):
     df = spark.range(0, 10).select(
         F.col("id"), F.struct(F.lit(1).alias("a")).alias("s"))
