@@ -40,7 +40,9 @@ MIXED = {
 
 def _mixed_records(n):
     return [
-        {"doc_id": i, "lang": "en" if i % 3 else "dansk",
+        {"doc_id": i,
+         # multi-byte UTF-8 exercises byte-length (not char-length) offsets
+         "lang": ("en", "日本語🚀", "æøå dansk")[i % 3],
          "words": [f"w{i % 7}", "tok", ""][: i % 4],
          "score": i * 0.25, "ratio": float(i % 5),
          "flag": i % 2 == 0, "blob": bytes([i % 256, 0x80, 0xFF]),
