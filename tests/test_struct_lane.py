@@ -230,6 +230,33 @@ def test_struct_through_datasource(spark, out_dir):
     assert leaf.count() == 300
 
 
+def test_struct_through_streaming_source_and_sink(spark, out_dir, tmp_path):
+    """Struct columns ride BOTH streaming faces: the commit-log tail serves
+    the original shape, and the stream sink re-splits it — store → stream →
+    store, decoded result equal to the source frame."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
+        register_table_datasource, stream_encoded_table,
+        stream_write_encoded_table,
+    )
+
+    register_table_datasource(spark)
+    df = _df(spark, 0, 200)
+    (df.write.format("pandora_table").option("key_cols", "id")
+       .mode("overwrite").save(out_dir))
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    stream = stream_encoded_table(spark, out_dir)
+    assert stream.schema["s"].dataType.simpleString() == (
+        "struct<a:int,b:string,inner:struct<x:bigint>>"
+    )
+    q = stream_write_encoded_table(
+        stream, dst, ckpt, key_cols=["id"], app_id="struct-relay",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    back = decode_table(spark, dst).orderBy("id")
+    assert back.collect() == df.orderBy("id").collect()
+
+
 def test_struct_key_col_rejected_and_separator_collision(spark, out_dir):
     df = spark.range(0, 10).select(
         F.col("id"), F.struct(F.lit(1).alias("a")).alias("s"))
