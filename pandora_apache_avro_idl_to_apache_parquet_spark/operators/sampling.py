@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = [
     "hash_fraction",
@@ -103,16 +104,20 @@ def quota_sample(df: DataFrame, strata_col: str, key_col: str, quota: int,
     if quota < 0:
         raise ValueError(f"quota must be >= 0, got {quota}")
     h = hash_fraction(F.col(key_col), seed)
+    # reserved helper names + a final projection back to the input columns:
+    # the caller's own 'rnk'/'__h' columns (if any) pass through untouched
+    orig = df.columns
     return (
         grouped_topk(
-            df.withColumn("__h", h),
+            df.withColumn("__qs_h", h),
             group_col=strata_col,
-            order_col="__h",
+            order_col="__qs_h",
             k=quota,
             id_col=key_col,
             descending=False,
+            rank_name="__qs_rnk",
         )
-        .drop("__h", "rnk")
+        .select(*orig)
     )
 
 
@@ -219,9 +224,14 @@ def interleave_mix(df: DataFrame, strata_col: str, key_col: str,
         for b, n in sorted(buckets):
             bases.append((s, b, running))
             running += n
-    base_df = spark.createDataFrame(
-        bases or [("", 0, 0)], f"{strata_col} string, __b int, __base long"
-    )
+    # the strata column keeps ITS dtype (a DDL-string schema hardcoding
+    # string would crash for int strata and misjoin on type coercion)
+    base_schema = T.StructType([
+        T.StructField(strata_col, df.schema[strata_col].dataType, True),
+        T.StructField("__b", T.IntegerType(), False),
+        T.StructField("__base", T.LongType(), False),
+    ])
+    base_df = spark.createDataFrame(bases, base_schema)
     # within-bucket order (first-8-hex, key) ≡ (hash_fraction, key): the
     # bucket digits are a prefix of the ordering digits
     w_rank = Window.partitionBy(strata_col, "__b").orderBy(

@@ -94,27 +94,29 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
 
 def grouped_topk(df: DataFrame, group_col: str, order_col: str, k: int,
                  id_col: str, shards: int = 16,
-                 descending: bool = True) -> DataFrame:
+                 descending: bool = True,
+                 rank_name: str = "rnk") -> DataFrame:
     """Top-``k`` rows per ``group_col`` by ``(order_col, id_col)`` without a
     per-group-hot window: phase 1 ranks within (group, md5-shard of id) and
     keeps ≤ ``k`` per shard — a hot group spreads over ``shards`` parallel
     window tasks; phase 2 ranks the ≤ shards·k survivors per group. Output
-    adds an int ``rnk`` column (1-based). Ties break on ``id_col``, so the
-    result set is deterministic under any partitioning."""
+    adds an int ``rank_name`` column (1-based, default ``rnk``). Ties break
+    on ``id_col``, so the result set is deterministic under any
+    partitioning."""
     key: Column = F.desc(order_col) if descending else F.asc(order_col)
     shard = F.expr(
         f"pmod({spark_md5_long(f'cast({id_col} as string)')}, {shards})"
     )
-    w1 = Window.partitionBy(group_col, "__shard").orderBy(key, id_col)
+    w1 = Window.partitionBy(group_col, "__gtk_shard").orderBy(key, id_col)
     survivors = (
-        df.withColumn("__shard", shard)
-        .withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= k)
-        .drop("__r1")
+        df.withColumn("__gtk_shard", shard)
+        .withColumn("__gtk_r1", F.row_number().over(w1))
+        .filter(F.col("__gtk_r1") <= k)
+        .drop("__gtk_r1")
     )
     w2 = Window.partitionBy(group_col).orderBy(key, id_col)
     return (
-        survivors.withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= k)
-        .drop("__shard")
+        survivors.withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+        .drop("__gtk_shard")
     )

@@ -201,6 +201,21 @@ def _struct_lane_nullable(schema: T.StructType, structs: dict) -> T.StructType:
     )
 
 
+def _validate_struct_names(name: str, dt: T.StructType) -> None:
+    """Nested field names may not contain the lane separator or shadow the
+    presence lane — either would alias two flat lanes onto one name and
+    corrupt the encoded layout silently."""
+    for f in dt.fields:
+        if _STRUCT_SEP in f.name or f.name == _STRUCT_SET:
+            raise ValueError(
+                f"struct field {name}.{f.name!r} collides with the "
+                f"struct-lane naming ({_STRUCT_SEP!r} separator / "
+                f"{_STRUCT_SET!r} presence lane)"
+            )
+        if isinstance(f.dataType, T.StructType):
+            _validate_struct_names(f"{name}.{f.name}", f.dataType)
+
+
 def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
     """(flat df, structs sidecar entry). No struct columns → (df, {})."""
     has = [f for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
@@ -212,6 +227,8 @@ def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
             f"column names may not contain {_STRUCT_SEP!r} "
             f"(struct-lane separator): {clash}"
         )
+    for f in has:
+        _validate_struct_names(f.name, f.dataType)
     exprs, cols, order = [], {}, []
     for f in df.schema.fields:
         order.append(f.name)
@@ -266,6 +283,8 @@ def flatten_struct_schema(schema: T.StructType) -> tuple[T.StructType, dict]:
             f"column names may not contain {_STRUCT_SEP!r} "
             f"(struct-lane separator): {clash}"
         )
+    for f in has:
+        _validate_struct_names(f.name, f.dataType)
     cols, order, fields = {}, [], []
     for f in schema.fields:
         order.append(f.name)

@@ -3669,7 +3669,13 @@ def q_table_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # the _done marker is permanent (/tmp cache): write it ONLY if the
+        # stream actually finished — a timeout must leave no marker, so the
+        # next run rebuilds instead of serving a partial store forever
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("table_stream_write fixture stream timed out")
         with open(done, "w") as fh:
             fh.write("ok")
     return decode_table(spark, store).select(

@@ -94,6 +94,10 @@ def _read_bytes(buf: _io.BytesIO) -> bytes:
     return data
 
 
+def _read_raw(buf: _io.BytesIO, n: int) -> bytes:
+    return buf.read(n)
+
+
 def _write_bytes(out: _io.BytesIO, data: bytes) -> None:
     _write_varint(out, len(data))
     out.write(data)
@@ -156,22 +160,19 @@ class _Codec:
         self.readers: dict[str, object] = {}
         self.writers: dict[str, object] = {}
         self.meta: dict[str, dict] = {}
-        # injectable primitive plumbing: the BytesIO implementations here,
-        # precomputed-table ones in _FastCodec — the schema walk is shared
-        self._varint = _read_varint
-        self._nbytes = _read_bytes
-        self._raw = lambda buf, n: buf.read(n)
-        self._prim_readers = _PRIM_READERS
 
     @staticmethod
     def _fullname(name: str, ns: str | None) -> str:
         return name if "." in name or not ns else f"{ns}.{name}"
 
     def reader(self, schema, ns: str | None = None):
-        rv, rb, rr = self._varint, self._nbytes, self._raw
+        # local bindings: closure captures beat module-global lookups in the
+        # per-record hot path
+        rv, rb = _read_varint, _read_bytes
+        rr = _read_raw
         if isinstance(schema, str):
-            if schema in self._prim_readers:
-                return self._prim_readers[schema]
+            if schema in _PRIM_READERS:
+                return _PRIM_READERS[schema]
             for key in (self._fullname(schema, ns), schema):
                 if key in self.readers:
                     # lazy late-binding closure: supports recursive types

@@ -272,6 +272,8 @@ class _IdlParser:
             raise ValueError(f"avdl: unsupported declaration {v!r} "
                              "(messages are not part of the data front door)")
         fq = f"{ns}.{name}" if ns else name
+        if fq in proto.defs:
+            raise ValueError(f"avdl: duplicate type declaration {fq!r}")
         proto.defs[fq] = d
         proto.types.append(fq)
 
@@ -349,10 +351,12 @@ def _parse_text(text: str, base_dir: str | None,
 
 
 def parse_avdl(path: str) -> AvdlProtocol:
-    """Parse a ``.avdl`` protocol file (following ``import idl``)."""
-    with open(path) as fh:
-        return _parse_text(fh.read(), os.path.dirname(os.path.abspath(path)),
-                           set())
+    """Parse a ``.avdl`` protocol file (following ``import idl``). The root
+    file seeds the seen-set, so a circular ``import idl`` chain that leads
+    back to the root is a no-op instead of a duplicate re-parse."""
+    full = os.path.normpath(os.path.abspath(path))
+    with open(full) as fh:
+        return _parse_text(fh.read(), os.path.dirname(full), {full})
 
 
 def parse_avdl_text(text: str, base_dir: str | None = None) -> AvdlProtocol:

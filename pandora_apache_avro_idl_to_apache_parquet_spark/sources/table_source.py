@@ -190,10 +190,22 @@ class PandoraTableDataSource(DataSource):
             if isinstance(schema[k].dataType, T.StructType):
                 raise ValueError(f"key column {k!r} may not be a struct")
         flat_schema, structs = flatten_struct_schema(schema)
-        return path, io, _prepare_spec(
+        spec = _prepare_spec(
             io, _struct_lane_nullable(flat_schema, structs), key_cols,
             structs=structs,
         )
+        if spec.pds_col:
+            # the DataSource task kernel stamps a fixed pds; writing into a
+            # date-partitioned table through it would give every new file a
+            # bogus partitionValues date and pds-pruned reads would silently
+            # drop the rows — route such appends through encode_table, which
+            # partitions by the table's own date column
+            raise ValueError(
+                f"table is date-partitioned on {spec.pds_col!r}; append with "
+                "encode_table(..., pds_col=...) — the pandora_table sink "
+                "does not route rows to date partitions"
+            )
+        return path, io, spec
 
     def writer(self, schema: T.StructType, overwrite: bool) -> "PandoraTableWriter":
         import uuid
@@ -602,16 +614,18 @@ def _last_txn_version(path: str, app_id: str) -> int | None:
     log_dir = io.join("_log")
     if not io.isdir(log_dir):
         return None
-    best: int | None = None
-    for f in sorted(io.listdir(log_dir)):
+    # an app's txn versions are monotone in log order (each commit carries
+    # its batchId), so the NEWEST entry with a txn line for this app is the
+    # max — scan newest-first and stop at the first hit, keeping per-epoch
+    # commit cost O(entries since the app's last commit), not O(log)
+    for f in sorted(io.listdir(log_dir), reverse=True):
         if not f.endswith(".json"):
             continue
         for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
             txn = _json.loads(line).get("txn")
             if txn and txn.get("appId") == app_id:
-                v = int(txn["version"])
-                best = v if best is None else max(best, v)
-    return best
+                return int(txn["version"])
+    return None
 
 
 class PandoraTableStreamWriter(DataSourceStreamArrowWriter):

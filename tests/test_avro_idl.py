@@ -115,3 +115,22 @@ def test_avdl_to_structs_records_only():
         "org.apache.avro.gen.SamplePair", "org.apache.avro.gen.SelfRef",
     }
     assert all(i.errors == [] for i in infos.values())
+
+
+def test_import_cycle_parses_once(tmp_path):
+    """Mutually-importing protocols must not duplicate type declarations:
+    the root file seeds the seen-set, so a circular `import idl` chain is a
+    no-op instead of a re-parse."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_idl import (
+        parse_avdl,
+    )
+
+    (tmp_path / "a.avdl").write_text(
+        'protocol A { import idl "b.avdl"; record RecA { long x; } }'
+    )
+    (tmp_path / "b.avdl").write_text(
+        'protocol B { import idl "a.avdl"; record RecB { string y; } }'
+    )
+    proto = parse_avdl(str(tmp_path / "a.avdl"))
+    assert proto.types == ["RecB", "RecA"]
+    assert len(proto.types) == len(set(proto.types))

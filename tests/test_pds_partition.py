@@ -135,3 +135,27 @@ def test_recluster_refuses_date_partitioned_tables(spark, tmp_path):
                  pds_col="day")
     with pytest.raises(ValueError, match="date-partitioned"):
         recluster_table(spark, out, ["v"])
+
+
+def test_datasource_sink_rejects_pds_table(spark, tmp_path):
+    """The pandora_table sinks stamp a fixed pds; appending through them
+    into a date-partitioned table would silently break pruning — reject."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        encode_table,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
+        register_table_datasource,
+    )
+
+    register_table_datasource(spark)
+    out = str(tmp_path / "pds_tbl")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.expr("date_add(date'2026-01-01', cast(id % 3 as int))").alias("d"),
+    )
+    encode_table(df, out, key_cols=["id"], pds_col="d", n_parts=2)
+    with pytest.raises(Exception, match="date-partitioned"):
+        (df.write.format("pandora_table").mode("append").save(out))

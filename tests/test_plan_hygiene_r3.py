@@ -86,9 +86,9 @@ def test_quota_sample_plan_is_two_phase_sharded(docs):
     assert "Exchange SinglePartition" not in plan
     nodes = re.findall(r"(?m)^[\s:+-]*Window\b", plan)
     assert len(nodes) == 2, plan
-    # phase 1 partitions by (source, __shard): the shard column appears in a
-    # Window partition spec
-    assert "__shard" in plan
+    # phase 1 partitions by (source, __gtk_shard): the shard column appears
+    # in a Window partition spec
+    assert "__gtk_shard" in plan
 
 def test_interleave_mix_rank_is_bucketed(docs):
     """interleave_mix's per-stratum rank is two-phase: the Window partitions

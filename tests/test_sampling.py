@@ -174,3 +174,39 @@ def test_weighted_sample_topk_bias_and_determinism(spark):
     assert picked == again  # partition-invariant, deterministic
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan and "Window" not in plan
+
+
+def test_interleave_mix_non_string_strata(spark):
+    """The driver base-offsets frame keeps the strata column's own dtype —
+    int strata crashed the round-4 two-phase rewrite before the fix."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        interleave_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(300)], "doc_id long, src int"
+    )
+    out = interleave_mix(df, "src", "doc_id", {0: 2, 1: 1})
+    got = out.collect()
+    assert len(got) == 200  # stratum 2 dropped (weight absent)
+    keys = [r.mix_key for r in got]
+    assert len(set(keys)) == len(keys)
+
+
+def test_quota_sample_preserves_user_columns(spark):
+    """quota_sample must not clobber caller columns that collide with its
+    internal helper names (rnk / __h were eaten before the fix)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.sampling import (
+        quota_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i}", "s", i, 0.5) for i in range(50)],
+        "doc_id string, source string, rnk long, __h double",
+    )
+    out = quota_sample(df, "source", "doc_id", 10)
+    assert out.columns == ["doc_id", "source", "rnk", "__h"]
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r["__h"] == 0.5 for r in rows)
+    assert {r.rnk for r in rows} <= set(range(50))  # original values intact

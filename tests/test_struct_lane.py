@@ -265,3 +265,18 @@ def test_struct_key_col_rejected_and_separator_collision(spark, out_dir):
     clash = df.withColumnRenamed("id", "x·y")
     with pytest.raises(ValueError, match="separator"):
         flatten_struct_columns(clash)
+
+
+def test_struct_field_name_collisions_reject(spark):
+    """A nested field named '__set' (or containing the separator) would
+    alias two flat lanes onto one name — both reject up front."""
+    shadow = spark.range(0, 3).select(
+        F.col("id"),
+        F.struct(F.lit(True).alias("__set"), F.lit(1).alias("a")).alias("s"),
+    )
+    with pytest.raises(ValueError, match="collides"):
+        flatten_struct_columns(shadow)
+    sep = spark.range(0, 3).select(
+        F.col("id"), F.struct(F.lit(1).alias("a·b")).alias("s"))
+    with pytest.raises(ValueError, match="collides"):
+        flatten_struct_columns(sep)
