@@ -124,7 +124,10 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import decode_tokens
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import (
+        decode_tokens,
+        decode_tokens_attributed,
+    )
     from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import encode_tokens
     from pandora_apache_avro_idl_to_apache_parquet_spark.queries import QUERIES
     from pandora_apache_avro_idl_to_apache_parquet_spark.session import get_spark
@@ -169,6 +172,24 @@ def main() -> None:
     enc_bytes = sum(os.path.getsize(f) for f in glob.glob(out + "/data/*.parquet"))
     timings["encode_tokens"] = round(enc_sec, 3)
 
+    # Attributed warm-up pass FIRST (untimed for the headline): warms the
+    # page cache over the chunk files AND records per-stage CPU-seconds via
+    # accumulators. Kernel CPU-seconds are host-load-invariant, so when a
+    # run's decode wall time collapses while `kernel_cpu_sec` stays in band,
+    # the regression is host contention, not the decode path (VERDICT r04
+    # item 1: the bench must self-diagnose the 8x driver/local conflict).
+    dec_df, dec_acc = decode_tokens_attributed(spark, out)
+    t0 = time.perf_counter()
+    n_dec = dec_df.selectExpr("sum(n_tok)").first()[0]
+    warm_sec = time.perf_counter() - t0
+    assert n_dec == n_tokens, f"decode token total {n_dec} != {n_tokens}"
+    decode_stages = {
+        "warmup_wall_sec": round(warm_sec, 3),
+        "pull_cpu_sec": round(dec_acc["pull"].value, 3),
+        "kernel_cpu_sec": round(dec_acc["kernel"].value, 3),
+        "arrow_cpu_sec": round(dec_acc["arrow"].value, 3),
+    }
+
     dec_runs = []
     for _ in range(2):
         t0 = time.perf_counter()
@@ -202,6 +223,7 @@ def main() -> None:
                 "decode_tokens_per_sec": int(n_tokens / dec_sec),
                 "encode_runs_sec": [round(s, 3) for s in enc_runs],
                 "decode_runs_sec": [round(s, 3) for s in dec_runs],
+                "decode_stages": decode_stages,
                 "bytes_per_token": round(enc_bytes / n_tokens, 4),
                 "cpus": CPUS,
             }

@@ -68,6 +68,73 @@ def decode_tokens(spark: SparkSession, out_dir: str) -> DataFrame:
     return chunks.mapInArrow(_decode_batches, schema=TOKENS_SCHEMA)
 
 
+def decode_tokens_attributed(spark: SparkSession, out_dir: str):
+    """Bench-only decode with per-stage attribution via float accumulators.
+
+    Same result as :func:`decode_tokens`; additionally sums, across ALL
+    tasks, the CPU-seconds spent in each stage of the Python worker:
+
+    * ``pull``   — blocked on the upstream Arrow batch iterator (parquet
+      payload read + JVM→Python transfer; after the first yield this also
+      absorbs the downstream send that precedes the next pull);
+    * ``kernel`` — codec decode proper (numpy/zlib in ``functions.codecs``);
+    * ``arrow``  — list-offset + RecordBatch assembly.
+
+    Purpose (VERDICT r04 item 1): kernel CPU-seconds are host-load-invariant
+    — if a bench run's decode *wall* time blows up while ``kernel`` stays in
+    its usual band, the regression is host contention (I/O stalls, steal
+    time), not the decode path. Returns ``(df, {stage: accumulator})``; read
+    ``acc.value`` only after an action has consumed ``df``.
+    """
+    import time as _time
+
+    acc = {k: spark.sparkContext.accumulator(0.0)
+           for k in ("pull", "kernel", "arrow")}
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = _decode_arrow_schema()
+        while True:
+            t0 = _time.perf_counter()
+            try:
+                batch = next(it)
+            except StopIteration:
+                acc["pull"].add(_time.perf_counter() - t0)
+                return
+            acc["pull"].add(_time.perf_counter() - t0)
+            cols = {name: batch.column(i)
+                    for i, name in enumerate(batch.schema.names)}
+            for i in range(batch.num_rows):
+                t0 = _time.perf_counter()
+                d_len, d_blob = C.decode_strings(cols["doc_id_payload"][i].as_py())
+                s_len, s_blob = C.decode_strings(cols["source_payload"][i].as_py())
+                lengths = C.decode_int32(cols["lengths_payload"][i].as_py())
+                vbuf = cols["values_payload"][i].as_py()
+                if C.payload_codec_name(vbuf) == "grouped":
+                    values = C.decode_int32_grouped(vbuf, lengths)
+                else:
+                    values = C.decode_int32(vbuf)
+                acc["kernel"].add(_time.perf_counter() - t0)
+                t0 = _time.perf_counter()
+                offs = np.zeros(len(lengths) + 1, dtype=np.int32)
+                np.cumsum(lengths, out=offs[1:])
+                tokens = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                                  pa.array(values, pa.int32()))
+                rb = pa.RecordBatch.from_arrays(
+                    [C.blob_to_strings(d_len, d_blob).cast(pa.string()),
+                     tokens.cast(pa.list_(pa.int32())),
+                     pa.array(lengths, pa.int32()),
+                     C.blob_to_strings(s_len, s_blob).cast(pa.string())],
+                    schema=schema,
+                )
+                acc["arrow"].add(_time.perf_counter() - t0)
+                yield rb
+
+    chunks = read_chunks(spark, out_dir).select(
+        "doc_id_payload", "source_payload", "lengths_payload", "values_payload"
+    )
+    return chunks.mapInArrow(batches, schema=TOKENS_SCHEMA), acc
+
+
 def _tokens_only_batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     schema = pa.schema(
         [pa.field("tokens", pa.list_(pa.int32()), False),

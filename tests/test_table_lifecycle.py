@@ -175,6 +175,28 @@ def test_delete_where_noop_and_uncommitted(spark, tmp_path):
         delete_where(spark, str(tmp_path / "nope"), F.lit(True))
 
 
+def test_dml_matched_file_cap_fails_fast(spark, tmp_path, monkeypatch):
+    """A broad predicate matching more files than DML_MAX_MATCHED_FILES must
+    fail BEFORE any rewrite/commit — the detect-phase collect is the
+    driver-OOM hazard being guarded (VERDICT r04 item 3)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators import (
+        table as tbl,
+    )
+
+    out = str(tmp_path / "t")
+    df = _mk(spark, out, n=2000, parts=4)
+    v = max(log_versions(out))
+    monkeypatch.setattr(tbl, "DML_MAX_MATCHED_FILES", 2)
+    with pytest.raises(ValueError, match="DML_MAX_MATCHED_FILES"):
+        delete_where(spark, out, F.col("grp") >= 0)  # matches all 4 files
+    assert max(log_versions(out)) == v  # nothing committed
+    assert _rows(decode_table(spark, out)) == _rows(df)
+    # a targeted statement under the cap still goes through
+    res = delete_where(spark, out, F.col("k") == 3, condition_cols=["k"])
+    assert res["rows_deleted"] == 1
+    assert _rows(decode_table(spark, out)) == _rows(df.filter(F.col("k") != 3))
+
+
 def test_delete_all_rows_leaves_valid_empty_table(spark, tmp_path):
     out = str(tmp_path / "t")
     _mk(spark, out, n=400, parts=2)
