@@ -342,6 +342,15 @@ class _Codec:
         if t == "fixed":
             size = schema["size"]
             fq = self._fullname(schema["name"], schema.get("namespace", ns))
+            if schema.get("logicalType") == "decimal":
+                scale = schema.get("scale", 0)
+
+                def wr_fixed_dec(out, v):
+                    unscaled = int(v.scaleb(scale).to_integral_value())
+                    out.write(unscaled.to_bytes(size, "big", signed=True))
+
+                self.writers[fq] = wr_fixed_dec
+                return wr_fixed_dec
 
             def wr_fixed(out, v):
                 b = bytes(v)

@@ -18,15 +18,33 @@ schema subset that covers real tokenized-corpus ingest:
    (``StringArray.from_buffers``), ``ListArray.from_arrays`` offsets,
    ``StructArray.from_arrays`` children.
 
-Supported: records of {int, long, float, double, boolean, string, bytes,
-enum}, nullable unions of one of those, arrays of any supported element,
-and non-recursive nested records. Anything else (maps, fixed, logical
-types, multi-branch unions, recursion) returns ``None`` from
-``compile_columnar`` and the caller falls back to the row decoder —
-the two paths are A/B'd record-exact in tests.
+Supported (round 5 — the full ``.avsc`` surface of `.avro_schema`): records
+of {null, int, long, float, double, boolean, string, bytes, enum, fixed},
+logical types (date, time-millis, timestamp-millis/micros, decimal on
+bytes/fixed), nullable AND general multi-branch unions (the ``typeN``
+struct shape of ``avsc_to_struct``), arrays and maps of any supported
+element, nested records, and recursive references — recursion is *skipped*
+with generated recursive skip helpers, mirroring ``avsc_to_struct``'s
+truncation (a Spark schema is a tree; the recursive field is dropped, so
+the walker consumes its bytes and materializes nothing). The rare shapes
+that still fall back to the row decoder: unresolved named types, records
+whose every field truncates away (e.g. a root ``SelfRef``), decimals with
+precision > 38 (no ``decimal128``), and a named record re-referenced with
+a *different* truncation shape than its first occurrence. The two paths
+are A/B'd record-exact in tests.
 
 The unit of work stays one container FILE per task (`.avro_binary.read_avro`
 parallelism note); this module changes per-core cost only.
+
+Measured speedup vs the row decoder is shape-dependent: ~2.3x raw / 1.8x
+end-to-end on flat records with primitive arrays (the tokenized-corpus
+ingest shape — leaf materialization vectorizes away), but only ~1.2-1.3x
+end-to-end on deeply nested map<record>/multi-branch-union shapes like
+``Interop.avsc`` (interleaved min-of-8 A/B, 120k records), where the
+per-record STRUCTURE walk — block loops, branch dispatch — dominates both
+paths and only the leaves vectorize. The round-5 full-surface extension is
+therefore primarily a correctness-path win (no per-record-dict fallback for
+real-world Avro schemas), with a modest constant-factor bonus.
 """
 
 from __future__ import annotations
@@ -78,20 +96,34 @@ def _validity(valid: np.ndarray | None, n: int):
 
 
 class _Node:
-    """One schema position: generated walker code + vectorized builder."""
+    """One schema position: generated walker code + vectorized builder.
+
+    ``dropped=True`` marks a position ``avsc_to_struct`` truncates out of
+    the Spark schema (recursive reference, or a container of one): its
+    ``v_lines`` still *consume* the value's bytes, but it contributes no
+    column (``build is None``) and records nothing on the null path."""
 
     def __init__(self, v_lines: list[str], n_lines: list[str], build,
-                 preamble: list[str] | None = None):
+                 preamble: list[str] | None = None, dropped: bool = False):
         self.v_lines = v_lines      # consume one value
         self.n_lines = n_lines      # record "enclosing union said null"
         self.build = build          # (colls, raw_np, valid|None) -> pa.Array
         self.preamble = preamble or []
+        self.dropped = dropped
+
+
+class _SkipUnsupported(Exception):
+    """A byte-skip for this schema shape can't be generated (unresolved
+    named type) — the whole compile falls back to the row decoder."""
 
 
 @dataclass
 class _Plan:
     n_collectors: int = 0
     preamble: list[str] = field(default_factory=list)
+    helpers: dict = field(default_factory=dict)       # fq -> skip fn name
+    helper_src: list = field(default_factory=list)    # generated fn sources
+    record_shape: dict = field(default_factory=dict)  # fq -> kept field names
 
     def collector(self) -> int:
         k = self.n_collectors
@@ -99,51 +131,241 @@ class _Plan:
         return k
 
 
-def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
-    """Emitter for one schema node → _Node, or None if unsupported."""
+def _fullname(name: str, ns: str | None) -> str:
+    return name if "." in name or not ns else f"{ns}.{name}"
+
+
+def _skip_lines(schema, plan: _Plan, env: dict, ns: str | None) -> list[str]:
+    """Consume-only walker lines for one value of ``schema`` — used for
+    positions ``avsc_to_struct`` truncates (recursive fields). Raises
+    :class:`_SkipUnsupported` when even skipping needs an unresolved name."""
     if isinstance(schema, str):
+        if schema == "null":
+            return []
+        if schema == "boolean":
+            return ["pos += 1"]
+        if schema in ("int", "long"):
+            return ["pos = nxt[pos]"]
+        if schema == "float":
+            return ["pos += 4"]
+        if schema == "double":
+            return ["pos += 8"]
+        if schema in ("string", "bytes"):
+            return ["pos = nxt[pos] + sv[pos]"]
+        for key in (_fullname(schema, ns), schema):
+            if key in env:
+                return _skip_lines(env[key], plan, env, ns)
+        raise _SkipUnsupported(schema)
+    if isinstance(schema, list):
+        lines = ["_i = sv[pos]; pos = nxt[pos]"]
+        for i, b in enumerate(schema):
+            body = _skip_lines(b, plan, env, ns) or ["pass"]
+            kw = "if" if i == 0 else "elif"
+            lines.append(f"{kw} _i == {i}:")
+            lines += [f"    {ln}" for ln in body]
+        return lines
+    if not isinstance(schema, dict):
+        raise _SkipUnsupported(schema)
+    t = schema.get("type")
+    if isinstance(t, (dict, list)):
+        return _skip_lines(t, plan, env, ns)
+    if t == "enum":
+        return ["pos = nxt[pos]"]
+    if t == "fixed":
+        return [f"pos += {int(schema['size'])}"]
+    if t in ("record", "error"):
+        ns2 = schema.get("namespace", ns)
+        fq = _fullname(schema["name"], ns2)
+        env[fq] = schema
+        helper = _skip_helper(fq, plan, env, ns2)
+        return [f"pos = {helper}(sv, nxt, pos)"]
+    if t in ("array", "map"):
+        inner = (["_kn = sv[pos]; pos = nxt[pos] + _kn"] if t == "map" else [])
+        inner += _skip_lines(
+            schema["items"] if t == "array" else schema["values"],
+            plan, env, ns)
+        return (
+            ["while True:",
+             "    _n = sv[pos]; pos = nxt[pos]",
+             "    if _n == 0: break",
+             "    if _n < 0:",
+             # negative block count carries a byte size: jump the block
+             "        pos = nxt[pos] + sv[pos]",
+             "        continue",
+             "    for _ in range(_n):"]
+            + [f"        {ln}" for ln in (inner or ["pass"])]
+        )
+    if isinstance(t, str):
+        return _skip_lines(t, plan, env, ns)  # logical annotations skip raw
+    raise _SkipUnsupported(schema)
+
+
+def _skip_helper(fq: str, plan: _Plan, env: dict, ns: str | None) -> str:
+    """Named-record skip FUNCTION (registered before body generation, so
+    self/mutual recursion resolves to a recursive call)."""
+    if fq in plan.helpers:
+        return plan.helpers[fq]
+    name = f"_skip{len(plan.helpers)}"
+    plan.helpers[fq] = name
+    schema = env[fq]
+    ns2 = schema.get("namespace", ns)
+    body: list[str] = []
+    for f in schema.get("fields", []):
+        body += _skip_lines(f["type"], plan, env, ns2)
+    src = [f"def {name}(sv, nxt, pos):"]
+    src += [f"    {ln}" for ln in (body or ["pass"])]
+    src.append("    return pos")
+    plan.helper_src.append("\n".join(src))
+    return name
+
+
+def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
+    """Emitter for one schema node → _Node, or None if unsupported.
+
+    Mirrors :func:`.avro_schema.avsc_to_struct` decision-for-decision: where
+    the parser truncates a field (recursive reference, container of one),
+    this emits a *dropped* consume-only node; where the parser keeps a
+    field, this emits walker code + a vectorized builder whose Arrow type
+    matches the parser's Spark type."""
+    if isinstance(schema, str):
+        if schema == "null":
+            return _emit_null(plan)
         if schema in _PRIM_PA:
             return _emit_prim(schema, plan)
-        fq = schema if "." in schema or not ns else f"{ns}.{schema}"
+        fq = _fullname(schema, ns)
         for key in (fq, schema):
             if key in visiting:
-                return None  # recursive type → row decoder
+                # recursive reference: avsc_to_struct truncates the field;
+                # consume its bytes with a generated recursive skip helper
+                try:
+                    helper = _skip_helper(key, plan, env, ns)
+                except (_SkipUnsupported, KeyError):
+                    return None
+                return _Node([f"pos = {helper}(sv, nxt, pos)"], [], None,
+                             dropped=True)
             if key in env:
                 return _emit(env[key], plan, env, visiting, ns)
         return None
     if isinstance(schema, list):
-        non_null = [b for b in schema if b != "null"]
-        if len(non_null) != 1 or len(schema) != 2:
-            return None  # general unions → row decoder
-        null_idx = schema.index("null")
-        child = _emit(non_null[0], plan, env, visiting, ns)
-        if child is None:
-            return None
-        m = plan.collector()
-        v = [f"_i = sv[pos]; pos = nxt[pos]",
-             f"if _i == {null_idx}:",
-             f"    a{m}(False)"] + \
-            [f"    {ln}" for ln in child.n_lines] + \
-            ["else:", f"    a{m}(True)"] + \
-            [f"    {ln}" for ln in child.v_lines]
-        n = [f"a{m}(False)"] + child.n_lines
-
-        def build(colls, raw_np, valid):
-            mine = np.asarray(colls[m], dtype=bool)
-            if valid is not None:
-                mine = mine & valid
-            return child.build(colls, raw_np, mine)
-
-        return _Node(v, n, build, child.preamble)
+        return _emit_union(schema, plan, env, visiting, ns)
     if not isinstance(schema, dict):
         return None
     t = schema.get("type")
     if isinstance(t, (dict, list)):
         return _emit(t, plan, env, visiting, ns)
-    if schema.get("logicalType"):
-        return None  # date/timestamp/decimal → row decoder
-    if t in _PRIM_PA:
-        return _emit_prim(t, plan)
+    logical = schema.get("logicalType")
+    if t == "fixed":
+        size = int(schema["size"])
+        ns2 = schema.get("namespace", ns)
+        fq = _fullname(schema["name"], ns2)
+        env[fq] = {"type": "fixed", "size": size, "name": fq,
+                   "logicalType": logical,
+                   "precision": schema.get("precision"),
+                   "scale": schema.get("scale", 0)}
+        if logical == "decimal":
+            return _emit_decimal(plan, schema.get("precision", 38),
+                                 schema.get("scale", 0), fixed_size=size)
+        k = plan.collector()
+
+        def build_fixed(colls, raw_np, valid, k=k, size=size):
+            starts = np.asarray(colls[k], dtype=np.int64)
+            n_ = len(starts)
+            if valid is None:
+                lens = np.full(n_, size, dtype=np.int64)
+            else:
+                lens = np.where(valid, size, 0).astype(np.int64)
+            data, offs = _gather_ranges(raw_np, starts, lens)
+            vbuf, nulls = _validity(valid, n_)
+            return pa.Array.from_buffers(
+                pa.binary(), n_,
+                [vbuf, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(data.tobytes())],
+                null_count=nulls,
+            )
+
+        return _Node([f"a{k}(pos); pos += {size}"], [f"a{k}(0)"], build_fixed)
+    if logical and isinstance(t, str):
+        # mirror avsc_to_struct's logical mapping EXACTLY; unknown logical
+        # annotations fall through to the plain primitive
+        if t == "int" and logical == "date":
+            k = plan.collector()
+
+            def build_date(colls, raw_np, valid, k=k):
+                mask = None if valid is None else ~valid
+                return pa.array(colls[k], type=pa.int32(),
+                                mask=mask).cast(pa.date32())
+
+            return _Node([f"a{k}(sv[pos]); pos = nxt[pos]"], [f"a{k}(0)"],
+                         build_date)
+        if t == "long" and logical in ("timestamp-millis", "timestamp-micros"):
+            factor = 1_000 if logical == "timestamp-millis" else 1
+            k = plan.collector()
+
+            def build_ts(colls, raw_np, valid, k=k, factor=factor):
+                vals = np.asarray(colls[k], dtype=np.int64) * factor
+                mask = None if valid is None else ~valid
+                return pa.array(vals, type=pa.int64(),
+                                mask=mask).cast(pa.timestamp("us"))
+
+            return _Node([f"a{k}(sv[pos]); pos = nxt[pos]"], [f"a{k}(0)"],
+                         build_ts)
+        if t == "bytes" and logical == "decimal":
+            return _emit_decimal(plan, schema.get("precision", 38),
+                                 schema.get("scale", 0), fixed_size=None)
+        # time-millis stays a plain int; unknown logicals stay their base
+    if t in _PRIM_PA or t == "null":
+        return _emit(t, plan, env, visiting, ns)
+    if t == "map":
+        child = _emit(schema["values"], plan, env, visiting, ns)
+        if child is None:
+            return None
+        if child.dropped:
+            # map of a truncated type: avsc drops the field — consume only
+            v = (["while True:",
+                  "    _n = sv[pos]; pos = nxt[pos]",
+                  "    if _n == 0: break",
+                  "    if _n < 0:",
+                  "        pos = nxt[pos] + sv[pos]",
+                  "        continue",
+                  "    for _ in range(_n):",
+                  "        _kn = sv[pos]; pos = nxt[pos] + _kn"]
+                 + [f"        {ln}" for ln in child.v_lines])
+            return _Node(v, [], None, dropped=True)
+        o = plan.collector()
+        kk = plan.collector()
+        kl = plan.collector()
+        cnt = f"_cnt{o}"
+        v = ["while True:",
+             "    _n = sv[pos]; pos = nxt[pos]",
+             "    if _n == 0: break",
+             "    if _n < 0:",
+             "        _n = -_n; pos = nxt[pos]",
+             f"    {cnt} += _n",
+             "    for _ in range(_n):",
+             f"        _kn = sv[pos]; _ks = nxt[pos]; a{kk}(_ks); "
+             f"a{kl}(_kn); pos = _ks + _kn"] + \
+            [f"        {ln}" for ln in child.v_lines] + \
+            [f"a{o}({cnt})"]
+        n = [f"a{o}({cnt})"]
+
+        def build_map(colls, raw_np, valid, o=o, kk=kk, kl=kl):
+            offs = np.zeros(len(colls[o]) + 1, dtype=np.int32)
+            offs[1:] = colls[o]
+            kdata, koffs = _gather_ranges(raw_np, colls[kk], colls[kl])
+            keys = pa.Array.from_buffers(
+                pa.string(), len(colls[kk]),
+                [None, pa.py_buffer(koffs.astype(np.int32).tobytes()),
+                 pa.py_buffer(kdata.tobytes())],
+            )
+            items = child.build(colls, raw_np, None)
+            if valid is not None:
+                offs_pa = pa.array(offs, type=pa.int32(),
+                                   mask=np.append(~valid, False))
+            else:
+                offs_pa = pa.array(offs, type=pa.int32())
+            return pa.MapArray.from_arrays(offs_pa, keys, items)
+
+        return _Node(v, n, build_map, child.preamble + [f"{cnt} = 0"])
     if t == "enum":
         ns2 = schema.get("namespace", ns)
         fq = schema["name"] if "." in schema["name"] or not ns2 \
@@ -165,6 +387,17 @@ def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
         child = _emit(schema["items"], plan, env, visiting, ns)
         if child is None:
             return None
+        if child.dropped:
+            # array of a truncated type: avsc drops the field — consume only
+            v = (["while True:",
+                  "    _n = sv[pos]; pos = nxt[pos]",
+                  "    if _n == 0: break",
+                  "    if _n < 0:",
+                  "        pos = nxt[pos] + sv[pos]",
+                  "        continue",
+                  "    for _ in range(_n):"]
+                 + [f"        {ln}" for ln in (child.v_lines or ["pass"])])
+            return _Node(v, [], None, dropped=True)
         o = plan.collector()
         cnt = f"_cnt{o}"
         v = ["while True:",
@@ -194,7 +427,7 @@ def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
     if t in ("record", "error"):
         ns2 = schema.get("namespace", ns)
         name = schema["name"]
-        fq = name if "." in name or not ns2 else f"{ns2}.{name}"
+        fq = _fullname(name, ns2)
         env[fq] = schema
         visiting = visiting | {fq, name}
         names, children = [], []
@@ -203,11 +436,24 @@ def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
             c = _emit(f["type"], plan, env, visiting, ns2)
             if c is None:
                 return None
-            names.append(f["name"])
-            children.append(c)
             v += c.v_lines
             n += c.n_lines
             pre += c.preamble
+            if c.dropped:
+                continue  # truncated field: consumed, never materialized
+            names.append(f["name"])
+            children.append(c)
+        if not names:
+            # every field truncated (root SelfRef shape): a zero-field
+            # struct column has no length carrier — row decoder handles it
+            return None
+        # a named record re-referenced must keep its FIRST truncation shape
+        # (avsc_to_struct caches the first parse); diverging shapes (mutual
+        # recursion re-entered from a different path) → row decoder
+        prev = plan.record_shape.get(fq)
+        if prev is not None and prev != tuple(names):
+            return None
+        plan.record_shape[fq] = tuple(names)
 
         def build_rec(colls, raw_np, valid):
             arrs = [c.build(colls, raw_np, None) for c in children]
@@ -218,7 +464,155 @@ def _emit(schema, plan: _Plan, env: dict, visiting: set, ns: str | None):
         node.field_names = names
         node.field_nodes = children
         return node
-    return None  # map / fixed / anything else → row decoder
+    return None  # unresolved / malformed → row decoder
+
+
+def _emit_null(plan: _Plan) -> _Node:
+    """Avro ``null`` type: consumes nothing; the column is all-null string
+    (``avsc_to_struct``'s nullable-string stand-in, DeltaLake.fs:65-66).
+    The collector only carries the row count."""
+    k = plan.collector()
+
+    def build_null(colls, raw_np, valid, k=k):
+        return pa.nulls(len(colls[k]), pa.string())
+
+    return _Node([f"a{k}(0)"], [f"a{k}(0)"], build_null)
+
+
+def _emit_decimal(plan: _Plan, precision, scale: int, fixed_size):
+    """decimal logical type on bytes (var-length) or fixed (``fixed_size``).
+    Walker collects byte ranges; the builder converts per value (decimals
+    are low-volume relative to the block; correctness first). precision>38
+    exceeds decimal128 → row decoder (which hard-rejects upstream)."""
+    if precision is None or precision > 38:
+        return None
+    k = plan.collector()
+    if fixed_size is not None:
+        v = [f"a{k}(pos); pos += {int(fixed_size)}"]
+        k2 = None
+    else:
+        k2 = plan.collector()
+        v = [f"_n = sv[pos]; _s = nxt[pos]; a{k}(_s); a{k2}(_n); pos = _s + _n"]
+    n_lines = [f"a{k}(0)"] + ([f"a{k2}(0)"] if k2 is not None else [])
+    dectype = pa.decimal128(int(precision), int(scale))
+
+    def build_dec(colls, raw_np, valid, k=k, k2=k2, scale=int(scale),
+                  fixed_size=fixed_size, dectype=dectype):
+        import decimal as _d
+
+        starts = colls[k]
+        lens = colls[k2] if k2 is not None else [fixed_size] * len(starts)
+        vals = []
+        for j, (st, ln) in enumerate(zip(starts, lens)):
+            if valid is not None and not valid[j]:
+                vals.append(None)
+                continue
+            u = (int.from_bytes(raw_np[st:st + ln].tobytes(), "big",
+                                signed=True) if ln else 0)
+            vals.append(_d.Decimal(u).scaleb(-scale))
+        return pa.array(vals, type=dectype)
+
+    return _Node(v, n_lines, build_dec)
+
+
+def _emit_union(schema: list, plan: _Plan, env: dict, visiting: set,
+                ns: str | None):
+    """Union emitter. ``[null, X]``-style single-branch unions collapse to a
+    nullable X (``avsc_to_struct``'s A8 collapse); general unions become the
+    ``struct{type0..typeN}`` shape with one validity lane per kept branch."""
+    non_null = [b for b in schema if b != "null"]
+    null_idx = schema.index("null") if "null" in schema else None
+    if len(non_null) == 0:
+        node = _emit_null(plan)
+        return _Node(["_i = sv[pos]; pos = nxt[pos]"] + node.v_lines,
+                     node.n_lines, node.build)
+    if len(non_null) == 1:
+        child = _emit(non_null[0], plan, env, visiting, ns)
+        if child is None:
+            return None
+        if child.dropped:
+            # nullable union of a truncated type: field dropped, bytes walked
+            if null_idx is None:
+                v = ["_i = sv[pos]; pos = nxt[pos]"] + child.v_lines
+            else:
+                v = (["_i = sv[pos]; pos = nxt[pos]",
+                      f"if _i != {null_idx}:"]
+                     + [f"    {ln}" for ln in (child.v_lines or ["pass"])])
+            return _Node(v, [], None, dropped=True)
+        if null_idx is None:
+            # single-branch union with no null branch: always present
+            return _Node(["_i = sv[pos]; pos = nxt[pos]"] + child.v_lines,
+                         child.n_lines, child.build, child.preamble)
+        m = plan.collector()
+        v = ["_i = sv[pos]; pos = nxt[pos]",
+             f"if _i == {null_idx}:",
+             f"    a{m}(False)"] + \
+            [f"    {ln}" for ln in child.n_lines] + \
+            ["else:", f"    a{m}(True)"] + \
+            [f"    {ln}" for ln in child.v_lines]
+        n = [f"a{m}(False)"] + child.n_lines
+
+        def build(colls, raw_np, valid, m=m):
+            mine = np.asarray(colls[m], dtype=bool)
+            if valid is not None:
+                mine = mine & valid
+            return child.build(colls, raw_np, mine)
+
+        return _Node(v, n, build, child.preamble)
+    # ---- general union: branch-index lane + per-branch value lanes ----
+    branch_nodes: list = []
+    kept: list = []  # (slot among non-null, original branch idx, node)
+    pre: list[str] = []
+    slot = 0
+    for orig, b in enumerate(schema):
+        if b == "null":
+            branch_nodes.append(None)
+            continue
+        c = _emit(b, plan, env, visiting, ns)
+        if c is None:
+            return None
+        branch_nodes.append(c)
+        if not c.dropped:
+            kept.append((slot, orig, c))
+            pre += c.preamble
+        slot += 1
+    if not kept:
+        # every branch truncates: field dropped — dispatch-skip the bytes
+        v = ["_i = sv[pos]; pos = nxt[pos]"]
+        for orig in range(len(schema)):
+            body = ((branch_nodes[orig].v_lines if branch_nodes[orig]
+                     else []) or ["pass"])
+            v.append(f"{'if' if orig == 0 else 'elif'} _i == {orig}:")
+            v += [f"    {ln}" for ln in body]
+        return _Node(v, [], None, dropped=True)
+    m = plan.collector()
+    v = ["_i = sv[pos]; pos = nxt[pos]", f"a{m}(_i)"]
+    for orig in range(len(schema)):
+        node = branch_nodes[orig]
+        body = list(node.v_lines) if node is not None else []
+        for _, orig2, c2 in kept:
+            if orig2 != orig:
+                body += c2.n_lines  # placeholder slots for untaken branches
+        v.append(f"{'if' if orig == 0 else 'elif'} _i == {orig}:")
+        v += [f"    {ln}" for ln in (body or ["pass"])]
+    n = [f"a{m}(-1)"]
+    for _, _, c2 in kept:
+        n += c2.n_lines
+    names = [f"type{s}" for s, _, _ in kept]
+
+    def build_union(colls, raw_np, valid, m=m):
+        idxs = np.asarray(colls[m], dtype=np.int64)
+        children = [c.build(colls, raw_np, idxs == orig)
+                    for _, orig, c in kept]
+        sv_valid = idxs >= 0
+        if null_idx is not None:
+            sv_valid &= idxs != null_idx
+        if valid is not None:
+            sv_valid &= valid
+        mask = None if bool(sv_valid.all()) else pa.array(~sv_valid)
+        return pa.StructArray.from_arrays(children, names=names, mask=mask)
+
+    return _Node(v, n, build_union, pre)
 
 
 def _emit_prim(t: str, plan: _Plan) -> _Node:
@@ -308,7 +702,10 @@ def compile_columnar(schema: dict) -> Compiled | None:
             "record", "error"):
         return None
     plan = _Plan()
-    root = _emit(schema, plan, {}, set(), schema.get("namespace"))
+    try:
+        root = _emit(schema, plan, {}, set(), schema.get("namespace"))
+    except _SkipUnsupported:
+        return None
     if root is None or not hasattr(root, "field_nodes"):
         return None
     body = ["def _walk(count, sv, nxt, raw, colls):"]
@@ -322,11 +719,13 @@ def compile_columnar(schema: dict) -> Compiled | None:
     body.append("    for _r in range(count):")
     body += [f"        {ln}" for ln in root.v_lines]
     body.append("    return pos")
-    src = "\n".join(body)
-    namespace: dict = {}
-    exec(src, {"len": len, "range": range}, namespace)  # noqa: S102
+    # helpers and _walk share one exec namespace so the walker's recursive
+    # skip calls resolve through its __globals__
+    src = "\n\n".join(plan.helper_src + ["\n".join(body)])
+    g: dict = {"len": len, "range": range}
+    exec(src, g)  # noqa: S102
     return Compiled(root.field_names, root.field_nodes, src,
-                    namespace["_walk"], plan.n_collectors)
+                    g["_walk"], plan.n_collectors)
 
 
 def align_batch(rb: pa.RecordBatch, schema: pa.Schema) -> pa.RecordBatch:

@@ -97,6 +97,11 @@ class _Parser:
                 if info["kind"] == "enum":
                     return T.StringType(), key
                 if info["kind"] == "fixed":
+                    # a named reference to a decimal fixed keeps its logical
+                    # type (the declaration owns it, Avro spec §Logical Types)
+                    if info.get("logicalType") == "decimal":
+                        return T.DecimalType(info.get("precision") or 38,
+                                             info.get("scale") or 0), key
                     return T.BinaryType(), key
         return None, name
 
@@ -125,7 +130,11 @@ class _Parser:
                                     symbols=schema.get("symbols", []))
                 return T.StringType(), False
             if t == "fixed":
-                self._register(schema, namespace, "fixed", size=schema.get("size"))
+                self._register(schema, namespace, "fixed",
+                               size=schema.get("size"),
+                               logicalType=logical,
+                               precision=schema.get("precision"),
+                               scale=schema.get("scale"))
                 if logical == "decimal":
                     return T.DecimalType(schema.get("precision", 38),
                                          schema.get("scale", 0)), False
