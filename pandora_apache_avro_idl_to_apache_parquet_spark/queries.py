@@ -172,20 +172,66 @@ FROM toks
 """
 
 
-def q_manifest_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Codec-choice histogram — the auto-selection provenance (no SQL oracle:
-    codec choice is the engine's own cost model)."""
+def q_manifest_codec_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard driver signal for the codec-selection path (VERDICT r04 #4,
+    retiring the oracle-less ``manifest_codecs``): accounting invariants over
+    the raw encoded chunk files. For each of the four streams the manifest's
+    ``*_enc_bytes`` must equal the physical payload blob bytes actually
+    written; every chosen codec name must come from the registry
+    (`functions.codecs.CODEC_NAMES`); and no chosen codec may lose to PLAIN
+    by more than the fixed chunk header — the cost model always includes
+    PLAIN as a candidate, so a worse choice is a selection bug, not taste.
+    total_rows / total_values tie the same files to the source corpus, so
+    the DuckDB oracle pins real values, not just tautologies."""
+    from .functions import codecs
+
     out = _encode_dir(spark, sf_dir)
-    m = read_manifest(spark, out)
-    return (
-        m.groupBy("values_codec")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum("values_enc_bytes").alias("enc_bytes"),
-            F.sum("values_raw_bytes").alias("raw_bytes"),
+    raw = spark.read.parquet(os.path.join(out, "data"))
+    known = sorted(set(codecs.CODEC_NAMES.values()))
+    per_stream_eq = []
+    per_stream_known = []
+    per_stream_within = []
+    for s in ("doc_id", "source", "lengths", "values"):
+        per_stream_eq.append(
+            F.sum(F.length(F.col(f"{s}_payload"))) == F.sum(F.col(f"{s}_enc_bytes"))
         )
-        .orderBy("values_codec")
+        per_stream_known.append(
+            F.max(F.when(F.col(f"{s}_codec").isin(known), 0).otherwise(1)) == F.lit(0)
+        )
+        # PLAIN is enc = raw + 13-byte header (+ tiny codec tables); 64 bytes
+        # of slack bounds every legitimate header in the format.
+        per_stream_within.append(
+            F.max(
+                F.when(F.col(f"{s}_enc_bytes") > F.col(f"{s}_raw_bytes") + 64, 1)
+                .otherwise(0)
+            )
+            == F.lit(0)
+        )
+
+    def _all(exprs):
+        acc = exprs[0]
+        for e in exprs[1:]:
+            acc = acc & e
+        return acc
+
+    return raw.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("n_values").cast("long").alias("total_values"),
+        _all(per_stream_eq).cast("long").alias("payload_bytes_match"),
+        _all(per_stream_known).cast("long").alias("codecs_known"),
+        _all(per_stream_within).cast("long").alias("enc_within_plain"),
     )
+
+
+O_MANIFEST_CODEC_INVARIANT = f"""
+WITH {DUCK_TOKS}
+SELECT count(*)::BIGINT AS total_rows,
+       sum(n_tok)::BIGINT AS total_values,
+       1::BIGINT AS payload_bytes_match,
+       1::BIGINT AS codecs_known,
+       1::BIGINT AS enc_within_plain
+FROM toks
+"""
 
 
 def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,7 +4133,7 @@ QUERIES: dict[str, tuple] = {
     "tokens_explode": (q_tokens_explode, O_TOKENS_EXPLODE),
     "tokens_roundtrip": (q_tokens_roundtrip, O_TOKENS_ROUNDTRIP),
     "manifest_stats": (q_manifest_stats, O_MANIFEST_STATS),
-    "manifest_codecs": (q_manifest_codecs, None),  # codec choice = own cost model
+    "manifest_codec_invariant": (q_manifest_codec_invariant, O_MANIFEST_CODEC_INVARIANT),
     "token_stats_by_source": (q_token_stats_by_source, O_TOKEN_STATS_BY_SOURCE),
     "token_offsets": (q_token_offsets, O_TOKEN_OFFSETS),
     "dict_cardinality": (q_dict_cardinality, O_DICT_CARDINALITY),
@@ -4235,7 +4281,7 @@ QUERIES: dict[str, tuple] = {
 # into the window, plus new round-4 queries and the most load-bearing
 # regulars; everything else keeps its relative order after the window.
 # `scripts/coverage_ledger.py` verifies rotation debt is zero.
-# `manifest_codecs` (no DuckDB oracle by design) is deliberately outside.
+# Round 5 retired `manifest_codecs` for the oracled `manifest_codec_invariant`.
 _DRIVER_WINDOW: list[str] = [
     # -- 39 never driver-run before round 4 -------------------------------
     "events_sliding_window",
@@ -4296,9 +4342,9 @@ assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"
 assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
 _missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
 assert not _missing, f"window names not in registry: {_missing}"
-# `manifest_codecs` has no DuckDB oracle by design (codec choice is the
-# engine's own cost model); keep it last so it never burns a window slot.
-_DEMOTED = ["manifest_codecs"]
+# Round 5: every registry entry now carries an oracle (`manifest_codecs`
+# was retired in favor of the oracled `manifest_codec_invariant`).
+_DEMOTED: list[str] = []
 QUERIES = (
     {name: QUERIES[name] for name in _DRIVER_WINDOW}
     | {
