@@ -70,6 +70,9 @@ class AvroSchemaInfo:
     named: dict[str, dict] = field(default_factory=dict)
     truncated: list[str] = field(default_factory=list)
     errors: list[str] = field(default_factory=list)
+    # fq record name → resolved StructType, as first registered (the AST
+    # side of the reference's env; recursion truncated at first occurrence)
+    structs: dict[str, T.StructType] = field(default_factory=dict)
 
 
 class _Parser:
@@ -231,6 +234,7 @@ def avsc_to_struct(schema: str | dict) -> AvroSchemaInfo:
         named=p.named,
         truncated=p.truncated,
         errors=p.errors,
+        structs=p.structs,
     )
 
 
@@ -322,4 +326,69 @@ def schema_markdown(info: AvroSchemaInfo) -> str:
         lines.append("## (truncated recursive references)")
         for t in sorted(info.truncated):
             lines.append(f"* {t}")
+    return "\n".join(lines) + "\n"
+
+
+def _type_full(dt: T.DataType) -> str:
+    """Render a Spark type WITH nullability at every nesting level (``?``
+    marks nullable) — ``simpleString`` drops exactly the tags the AST golden
+    must pin (union branch nullability, array/map element nullability)."""
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name}: {_type_full(f.dataType)}{'?' if f.nullable else ''}"
+            for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    if isinstance(dt, T.ArrayType):
+        return (f"array<{_type_full(dt.elementType)}"
+                f"{'?' if dt.containsNull else ''}>")
+    if isinstance(dt, T.MapType):
+        return (f"map<{_type_full(dt.keyType)}, {_type_full(dt.valueType)}"
+                f"{'?' if dt.valueContainsNull else ''}>")
+    return dt.simpleString()
+
+
+def ast_markdown(info: AvroSchemaInfo) -> str:
+    """Golden-testable AST view — the repo analog of the reference's
+    ``test/ast/<Name>.md`` (``Unit.Tests/Tests/Ast/EqualsMarkdownTests.fs``):
+    one section per named record in the environment, fields sorted by name,
+    each with its FULL resolved Spark type including nullability at every
+    nesting level. Pins union ``typeN`` tagging, the nullable collapse, and
+    recursion truncation independently of the physical tables view."""
+    lines = ["# AST"]
+    for fq in sorted(info.structs):
+        lines.append(f"## {fq}")
+        struct = info.structs[fq]
+        for f in sorted(struct.fields, key=lambda f: f.name):
+            lines.append(
+                f"* {f.name}: {_type_full(f.dataType)}"
+                f"{'?' if f.nullable else ''}"
+            )
+    if info.truncated:
+        lines.append("## (truncated recursive references)")
+        for t in sorted(info.truncated):
+            lines.append(f"* {t}")
+    return "\n".join(lines) + "\n"
+
+
+def env_markdown(info: AvroSchemaInfo) -> str:
+    """Golden-testable environment view — the repo analog of the reference's
+    ``test/env/<Name>.md``: the named-type registry (records, errors, enums
+    with symbols, fixeds with size and decimal logical types), sorted by
+    fully-qualified name."""
+    lines = ["# Environment"]
+    for fq in sorted(info.named):
+        meta = info.named[fq]
+        kind = meta["kind"]
+        if kind == "enum":
+            detail = f"enum [{', '.join(meta.get('symbols', []))}]"
+        elif kind == "fixed":
+            detail = f"fixed({meta.get('size')})"
+            if meta.get("logicalType") == "decimal":
+                detail += (f" decimal({meta.get('precision')}, "
+                           f"{meta.get('scale') or 0})")
+        else:
+            n = len(info.structs.get(fq, T.StructType()).fields)
+            detail = f"{kind} ({n} fields)"
+        lines.append(f"* {fq}: {detail}")
     return "\n".join(lines) + "\n"

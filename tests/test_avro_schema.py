@@ -124,3 +124,53 @@ def test_avsc_conform_flatten_recombine(spark):
     joined = words.join(root.select("pj_uid", "doc_id"), words.pj_pid == root.pj_uid)
     got = {(r["doc_id"], r["pj_pos"], r["item"]) for r in joined.collect()}
     assert got == {("d1", 0, "a"), ("d1", 1, "b"), ("d2", 0, "x")}
+
+
+# ------------------- AST / Environment golden views (VERDICT r04 #5) --------
+# The reference tests three orthogonal views per schema
+# (`Unit.Tests/Tests/{Ast,Environment,Tables}/EqualsMarkdownTests.fs`,
+# goldens `test/{ast,env,tab}/*.md`). The Tables view is pinned above; these
+# pin the walker's internals — the named-type environment and the per-record
+# resolved field types WITH nullability at every nesting level — so a
+# regression in union tagging or nullable collapse cannot hide behind a
+# coincidentally-identical physical schema.
+# Regenerate after intentional walker changes:  python -m tests.test_avro_schema
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_avsc_golden_ast(name):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_schema import (
+        ast_markdown,
+    )
+
+    info = avsc_to_struct(open(f"{AVSC_DIR}/{name}.avsc").read())
+    with open(f"{GOLDEN_DIR}/ast/{name}.md") as fh:
+        assert ast_markdown(info) == fh.read()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_avsc_golden_env(name):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_schema import (
+        env_markdown,
+    )
+
+    info = avsc_to_struct(open(f"{AVSC_DIR}/{name}.avsc").read())
+    with open(f"{GOLDEN_DIR}/env/{name}.md") as fh:
+        assert env_markdown(info) == fh.read()
+
+
+if __name__ == "__main__":  # regenerate the ast/env goldens
+    import pathlib
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_schema import (
+        ast_markdown,
+        env_markdown,
+    )
+
+    for view, render in (("ast", ast_markdown), ("env", env_markdown)):
+        d = pathlib.Path(GOLDEN_DIR) / view
+        d.mkdir(parents=True, exist_ok=True)
+        for name in NAMES:
+            info = avsc_to_struct(open(f"{AVSC_DIR}/{name}.avsc").read())
+            (d / f"{name}.md").write_text(render(info))
+            print(f"wrote {d / (name + '.md')}")
