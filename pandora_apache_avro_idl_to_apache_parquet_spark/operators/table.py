@@ -171,9 +171,97 @@ def _logical_of(dt: T.DataType) -> str:
 
 _STRUCT_SEP = "·"
 _STRUCT_SET = "__set"
+_STRUCT_ELEM = "__elem"  # per-element presence lane of an array<struct> column
+
+
+def _struct_col_type(tj: dict) -> T.DataType:
+    """Parse a ``structs`` sidecar column type: a struct json or (round 5)
+    an array<struct> json."""
+    if tj.get("type") == "array":
+        return T.ArrayType(T.StructType.fromJson(tj["elementType"]),
+                           tj.get("containsNull", True))
+    return T.StructType.fromJson(tj)
+
+
+def _is_nested_lane_type(dt: T.DataType) -> bool:
+    """Column types the struct-lane layer owns: struct<...> and
+    array<struct<...>>."""
+    return isinstance(dt, T.StructType) or (
+        isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)
+    )
+
+
+# array<struct> element-leaf lane types: each leaf of the element struct
+# becomes one array<prim> lane; booleans ride int lanes (cast back on
+# rebuild). Richer element leaves (date/timestamp/decimal/array/map) have no
+# array lane — explode to extension tables (operators.nested.flatten_table).
+_ELEM_LANE_OK = (T.IntegerType, T.LongType, T.FloatType, T.DoubleType,
+                 T.StringType)
+
+
+def _elem_leaves(dt: T.StructType, prefix: str = "",
+                 path: tuple = ()) -> list[tuple[str, T.DataType, tuple, str]]:
+    """Leaves of an array<struct> ELEMENT struct: (relname, lane element
+    type, field path, kind). kind 'set' lanes (nested-struct presence) and
+    boolean 'value' lanes are int (0/1); everything else keeps its type."""
+    out: list[tuple[str, T.DataType, tuple, str]] = []
+    for f in dt.fields:
+        nm = f"{prefix}{f.name}"
+        p = path + (f.name,)
+        if isinstance(f.dataType, T.StructType):
+            out.append((f"{nm}{_STRUCT_SEP}{_STRUCT_SET}", T.IntegerType(),
+                        p, "set"))
+            out += _elem_leaves(f.dataType, prefix=f"{nm}{_STRUCT_SEP}",
+                                path=p)
+        elif isinstance(f.dataType, T.BooleanType):
+            out.append((nm, T.IntegerType(), p, "bool"))
+        elif isinstance(f.dataType, _ELEM_LANE_OK):
+            out.append((nm, f.dataType, p, "value"))
+        else:
+            raise ValueError(
+                f"array<struct> element field {nm!r} has type "
+                f"{f.dataType.simpleString()}; element leaves must be "
+                "int/long/float/double/string/boolean or nested structs of "
+                "those — explode richer shapes to extension tables first "
+                "(operators.nested.flatten_table)"
+            )
+    return out
+
+
+def _elem_path_expr(x, path: tuple):
+    e = x
+    for p in path:
+        e = e[p]
+    return e
+
+
+def _flatten_array_struct_exprs(col, name: str, dt: T.ArrayType) -> list:
+    """One array<struct> column → its per-leaf array lanes: a ``·__elem``
+    presence lane (int 1/0 per element; the lane itself is null exactly
+    where the array is null) plus one array lane per element leaf, each the
+    same length as the source array (interior nulls where the element, a
+    parent struct, or the value is null)."""
+    elem_dt = dt.elementType
+    out = [
+        F.transform(col, lambda x: x.isNotNull().cast("int"))
+        .alias(f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}")
+    ]
+    for relname, _lane_t, path, kind in _elem_leaves(elem_dt):
+        if kind == "set":
+            fn = (lambda p: lambda x:
+                  _elem_path_expr(x, p).isNotNull().cast("int"))(path)
+        elif kind == "bool":
+            fn = (lambda p: lambda x:
+                  _elem_path_expr(x, p).cast("int"))(path)
+        else:
+            fn = (lambda p: lambda x: _elem_path_expr(x, p))(path)
+        out.append(F.transform(col, fn).alias(f"{name}{_STRUCT_SEP}{relname}"))
+    return out
 
 
 def _flatten_struct_exprs(col, name: str, dt: T.DataType) -> list:
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        return _flatten_array_struct_exprs(col, name, dt)
     if not isinstance(dt, T.StructType):
         return [col.alias(name)]
     out = [col.isNotNull().alias(f"{name}{_STRUCT_SEP}{_STRUCT_SET}")]
@@ -193,7 +281,7 @@ def _struct_lane_nullable(schema: T.StructType, structs: dict) -> T.StructType:
         return schema
     covered: set[str] = set()
     for name, tj in structs["cols"].items():
-        covered.update(_struct_flat_names(name, T.StructType.fromJson(tj)))
+        covered.update(_struct_flat_names(name, _struct_col_type(tj)))
     return T.StructType(
         [T.StructField(f.name, f.dataType,
                        True if f.name in covered else f.nullable)
@@ -201,24 +289,28 @@ def _struct_lane_nullable(schema: T.StructType, structs: dict) -> T.StructType:
     )
 
 
-def _validate_struct_names(name: str, dt: T.StructType) -> None:
+def _validate_struct_names(name: str, dt: T.DataType) -> None:
     """Nested field names may not contain the lane separator or shadow the
-    presence lane — either would alias two flat lanes onto one name and
+    presence lanes — either would alias two flat lanes onto one name and
     corrupt the encoded layout silently."""
+    if isinstance(dt, T.ArrayType):
+        _validate_struct_names(name, dt.elementType)
+        return
     for f in dt.fields:
-        if _STRUCT_SEP in f.name or f.name == _STRUCT_SET:
+        if _STRUCT_SEP in f.name or f.name in (_STRUCT_SET, _STRUCT_ELEM):
             raise ValueError(
                 f"struct field {name}.{f.name!r} collides with the "
                 f"struct-lane naming ({_STRUCT_SEP!r} separator / "
-                f"{_STRUCT_SET!r} presence lane)"
+                f"{_STRUCT_SET!r}/{_STRUCT_ELEM!r} presence lanes)"
             )
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             _validate_struct_names(f"{name}.{f.name}", f.dataType)
 
 
 def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
-    """(flat df, structs sidecar entry). No struct columns → (df, {})."""
-    has = [f for f in df.schema.fields if isinstance(f.dataType, T.StructType)]
+    """(flat df, structs sidecar entry). No struct / array<struct> columns
+    → (df, {})."""
+    has = [f for f in df.schema.fields if _is_nested_lane_type(f.dataType)]
     if not has:
         return df, {}
     clash = [c for c in df.columns if _STRUCT_SEP in c]
@@ -232,7 +324,7 @@ def flatten_struct_columns(df: DataFrame) -> tuple[DataFrame, dict]:
     exprs, cols, order = [], {}, []
     for f in df.schema.fields:
         order.append(f.name)
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             cols[f.name] = f.dataType.jsonValue()
             exprs += _flatten_struct_exprs(df[f.name], f.name, f.dataType)
         else:
@@ -255,16 +347,23 @@ def relax_nullable(dt: T.DataType) -> T.DataType:
     return dt
 
 
-def _struct_leaf_fields(name: str, dt: T.StructType) -> list[T.StructField]:
-    """Flat physical StructFields for one struct column (presence lane +
-    one field per leaf, nested structs chained) — the schema-level twin of
-    :func:`_flatten_struct_exprs`, for callers that hold a schema but no
-    DataFrame (the DataSource sink)."""
+def _struct_leaf_fields(name: str, dt: T.DataType) -> list[T.StructField]:
+    """Flat physical StructFields for one struct or array<struct> column
+    (presence lane + one field per leaf, nested structs chained) — the
+    schema-level twin of :func:`_flatten_struct_exprs`, for callers that
+    hold a schema but no DataFrame (the DataSource sink)."""
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        out = [T.StructField(f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}",
+                             T.ArrayType(T.IntegerType(), False), True)]
+        for rel, lane_t, _p, _k in _elem_leaves(dt.elementType):
+            out.append(T.StructField(f"{name}{_STRUCT_SEP}{rel}",
+                                     T.ArrayType(lane_t, True), True))
+        return out
     out = [T.StructField(f"{name}{_STRUCT_SEP}{_STRUCT_SET}",
                          T.BooleanType(), True)]
     for f in dt.fields:
         child = f"{name}{_STRUCT_SEP}{f.name}"
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             out += _struct_leaf_fields(child, f.dataType)
         else:
             out.append(T.StructField(child, f.dataType, True))
@@ -273,8 +372,8 @@ def _struct_leaf_fields(name: str, dt: T.StructType) -> list[T.StructField]:
 
 def flatten_struct_schema(schema: T.StructType) -> tuple[T.StructType, dict]:
     """(flat physical schema, structs sidecar entry) for a possibly
-    struct-bearing schema. No struct columns → (schema, {})."""
-    has = [f for f in schema.fields if isinstance(f.dataType, T.StructType)]
+    struct-bearing schema. No struct / array<struct> columns → (schema, {})."""
+    has = [f for f in schema.fields if _is_nested_lane_type(f.dataType)]
     if not has:
         return schema, {}
     clash = [f.name for f in schema.fields if _STRUCT_SEP in f.name]
@@ -288,7 +387,7 @@ def flatten_struct_schema(schema: T.StructType) -> tuple[T.StructType, dict]:
     cols, order, fields = {}, [], []
     for f in schema.fields:
         order.append(f.name)
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             cols[f.name] = f.dataType.jsonValue()
             fields += _struct_leaf_fields(f.name, f.dataType)
         else:
@@ -306,10 +405,13 @@ def flatten_struct_arrow(table: "pa.Table", structs: dict) -> "pa.Table":
         return table
     import pyarrow.compute as pc
 
-    scols = {n: T.StructType.fromJson(tj) for n, tj in structs["cols"].items()}
+    scols = {n: _struct_col_type(tj) for n, tj in structs["cols"].items()}
 
-    def emit(arr: pa.Array, name: str, dt: T.StructType,
+    def emit(arr: pa.Array, name: str, dt: T.DataType,
              names: list, arrays: list) -> None:
+        if isinstance(dt, T.ArrayType):
+            emit_array(arr, name, dt, names, arrays)
+            return
         present = pc.is_valid(arr)
         names.append(f"{name}{_STRUCT_SEP}{_STRUCT_SET}")
         arrays.append(present)
@@ -317,11 +419,51 @@ def flatten_struct_arrow(table: "pa.Table", structs: dict) -> "pa.Table":
             child_name = f"{name}{_STRUCT_SEP}{f.name}"
             child = arr.field(f.name)
             child = pc.if_else(present, child, pa.scalar(None, child.type))
-            if isinstance(f.dataType, T.StructType):
+            if _is_nested_lane_type(f.dataType):
                 emit(child, child_name, f.dataType, names, arrays)
             else:
                 names.append(child_name)
                 arrays.append(child)
+
+    def emit_array(arr: pa.Array, name: str, dt: T.ArrayType,
+                   names: list, arrays: list) -> None:
+        # canonicalize: per-row lengths (0 at null rows) + compacted slots
+        n = len(arr)
+        if arr.type != pa.list_(arr.type.value_type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        row_valid = arr.is_valid().to_numpy(zero_copy_only=False)
+        validity = _validity_buffer(row_valid) if not row_valid.all() else None
+        lengths = pc.fill_null(pc.list_value_length(arr), 0).to_numpy(
+            zero_copy_only=False).astype(np.int32)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offs[1:])
+        obuf = pa.py_buffer(offs.tobytes())
+        slots = arr.flatten()  # exactly the referenced element slots
+        elem_valid = pc.is_valid(slots)
+
+        def lane(vals: pa.Array) -> pa.Array:
+            return pa.Array.from_buffers(
+                pa.list_(vals.type), n, [validity, obuf],
+                children=[vals.combine_chunks() if isinstance(
+                    vals, pa.ChunkedArray) else vals],
+            )
+
+        names.append(f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}")
+        arrays.append(lane(elem_valid.cast(pa.int32())))
+        for rel, _t, path, kind in _elem_leaves(dt.elementType):
+            cur, present = slots, elem_valid
+            for p in path[:-1]:
+                cur = cur.field(p)
+                present = pc.and_(present, pc.is_valid(cur))
+            leaf = cur.field(path[-1])
+            if kind == "set":
+                vals = pc.and_(present, pc.is_valid(leaf)).cast(pa.int32())
+            else:
+                vals = pc.if_else(present, leaf, pa.scalar(None, leaf.type))
+                if kind == "bool":
+                    vals = vals.cast(pa.int32())
+            names.append(f"{name}{_STRUCT_SEP}{rel}")
+            arrays.append(lane(vals))
 
     names, arrays = [], []
     for i, nm in enumerate(table.column_names):
@@ -334,17 +476,19 @@ def flatten_struct_arrow(table: "pa.Table", structs: dict) -> "pa.Table":
     return pa.table(arrays, names=names)
 
 
-def assemble_struct_arrow(flat: dict, name: str, dt: T.StructType,
+def assemble_struct_arrow(flat: dict, name: str, dt: T.DataType,
                           arrow_type) -> "pa.Array":
-    """Reassemble one struct column from decoded flat-lane Arrow arrays —
-    the Arrow-side twin of :func:`_rebuild_struct_expr` (presence null or
-    false ⇒ struct null)."""
+    """Reassemble one struct or array<struct> column from decoded flat-lane
+    Arrow arrays — the Arrow-side twin of :func:`_rebuild_struct_expr`
+    (presence null or false ⇒ struct null)."""
     import pyarrow.compute as pc
 
+    if isinstance(dt, T.ArrayType):
+        return _assemble_array_struct_arrow(flat, name, dt, arrow_type)
     children, child_names = [], []
     for f, sub in zip(dt.fields, arrow_type):
         child_name = f"{name}{_STRUCT_SEP}{f.name}"
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             children.append(
                 assemble_struct_arrow(flat, child_name, f.dataType, sub.type)
             )
@@ -360,7 +504,62 @@ def assemble_struct_arrow(flat: dict, name: str, dt: T.StructType,
     )
 
 
+def _assemble_array_struct_arrow(flat: dict, name: str, dt: T.ArrayType,
+                                 arrow_type) -> "pa.Array":
+    """array<struct> lanes → one ListArray<StructArray>: the ``__elem`` lane
+    carries the list structure (row null = array null; value 0 = element
+    null), leaf lanes carry slot values; every lane shares the same per-row
+    lengths by construction."""
+    import pyarrow.compute as pc
+
+    def one(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    elem_lane = one(flat[f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}"])
+    n = len(elem_lane)
+    row_valid = elem_lane.is_valid().to_numpy(zero_copy_only=False)
+    validity = _validity_buffer(row_valid) if not row_valid.all() else None
+    lengths = pc.fill_null(pc.list_value_length(elem_lane), 0).to_numpy(
+        zero_copy_only=False).astype(np.int32)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offs[1:])
+    elem_ok = pc.equal(one(elem_lane.flatten()), 1)
+
+    elem_arrow = arrow_type.value_type  # struct type of the element
+
+    def build(sdt: T.StructType, prefix: str, sub_arrow, ok) -> pa.Array:
+        children, names_ = [], []
+        for f, sub in zip(sdt.fields, sub_arrow):
+            nm = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.StructType):
+                set_vals = one(
+                    one(flat[f"{name}{_STRUCT_SEP}{nm}{_STRUCT_SEP}"
+                             f"{_STRUCT_SET}"]).flatten())
+                inner_ok = pc.equal(set_vals, 1)
+                children.append(
+                    build(f.dataType, f"{nm}{_STRUCT_SEP}", sub.type, inner_ok)
+                )
+            else:
+                vals = one(one(flat[f"{name}{_STRUCT_SEP}{nm}"]).flatten())
+                children.append(vals.cast(sub.type))
+            names_.append(f.name)
+        return pa.StructArray.from_arrays(
+            children, names=names_, mask=pc.invert(ok))
+
+    struct_arr = build(dt.elementType, "", elem_arrow, elem_ok)
+    out = pa.Array.from_buffers(
+        pa.list_(struct_arr.type), n,
+        [validity, pa.py_buffer(offs.tobytes())], children=[struct_arr],
+    )
+    return out if out.type == arrow_type else out.cast(arrow_type)
+
+
 def _struct_flat_names(name: str, dt: T.DataType) -> list[str]:
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        return [f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}"] + [
+            f"{name}{_STRUCT_SEP}{rel}"
+            for rel, _t, _p, _k in _elem_leaves(dt.elementType)
+        ]
     if not isinstance(dt, T.StructType):
         return [name]
     out = [f"{name}{_STRUCT_SEP}{_STRUCT_SET}"]
@@ -369,11 +568,13 @@ def _struct_flat_names(name: str, dt: T.DataType) -> list[str]:
     return out
 
 
-def _rebuild_struct_expr(df: DataFrame, name: str, dt: T.StructType):
+def _rebuild_struct_expr(df: DataFrame, name: str, dt: T.DataType):
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        return _rebuild_array_struct_expr(df, name, dt)
     leaves = []
     for f in dt.fields:
         child = f"{name}{_STRUCT_SEP}{f.name}"
-        if isinstance(f.dataType, T.StructType):
+        if _is_nested_lane_type(f.dataType):
             leaves.append(_rebuild_struct_expr(df, child, f.dataType).alias(f.name))
         else:
             leaves.append(df[child].alias(f.name))
@@ -382,6 +583,43 @@ def _rebuild_struct_expr(df: DataFrame, name: str, dt: T.StructType):
         df[f"{name}{_STRUCT_SEP}{_STRUCT_SET}"] == F.lit(True),
         F.struct(*leaves),
     )
+
+
+def _rebuild_array_struct_expr(df: DataFrame, name: str, dt: T.ArrayType):
+    """Reassemble one array<struct> column from its decoded array lanes:
+    ``arrays_zip`` re-aligns every leaf lane with the per-element presence
+    lane, ``transform`` rebuilds each element (presence 0 → null element),
+    and the ``__elem`` lane's own row-null marks the whole array null (a
+    chunk predating the column decodes every lane as null → null array)."""
+    elem_dt = dt.elementType
+    leaves = _elem_leaves(elem_dt)
+    elem_lane = df[f"{name}{_STRUCT_SEP}{_STRUCT_ELEM}"]
+    zipped = F.arrays_zip(
+        elem_lane.alias("e"),
+        *[df[f"{name}{_STRUCT_SEP}{rel}"].alias(f"v{i}")
+          for i, (rel, _t, _p, _k) in enumerate(leaves)],
+    )
+    slot = {rel: (f"v{i}", kind) for i, (rel, _t, _p, kind) in enumerate(leaves)}
+
+    def build(z, sdt: T.StructType, prefix: str):
+        fields = []
+        for f in sdt.fields:
+            nm = f"{prefix}{f.name}"
+            if isinstance(f.dataType, T.StructType):
+                set_slot, _ = slot[f"{nm}{_STRUCT_SEP}{_STRUCT_SET}"]
+                inner = build(z, f.dataType, f"{nm}{_STRUCT_SEP}")
+                fields.append(F.when(z[set_slot] == 1, inner).alias(f.name))
+            else:
+                vslot, kind = slot[nm]
+                v = z[vslot]
+                if kind == "bool":
+                    v = v.cast("boolean")
+                fields.append(v.alias(f.name))
+        return F.struct(*fields)
+
+    elems = F.transform(zipped, lambda z: F.when(z["e"] == 1,
+                                                 build(z, elem_dt, "")))
+    return F.when(elem_lane.isNotNull(), elems)
 
 
 @dataclass
@@ -730,8 +968,15 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
 
         lengths = pc.list_value_length(dense).to_numpy(zero_copy_only=False).astype(np.int32)
         flat = dense.combine_chunks().flatten() if isinstance(dense, pa.ChunkedArray) else dense.flatten()
+        # Interior nulls (nullable elements — the array<struct> leaf lanes
+        # produce them for null elements / null fields) ride an optional
+        # element-validity stream; the value stream stores non-nulls only.
         if flat.null_count:
-            raise ValueError("null elements inside array columns are not supported")
+            ev = flat.is_valid().to_numpy(zero_copy_only=False).astype(np.int32)
+            ep = select_int_codec(ev)
+            flat = flat.drop_null()
+        else:
+            ep = b""
         lp = select_int_codec(lengths)
         if logical == "array<string>":
             # element stream is itself a string stream (elem-lengths + blob)
@@ -743,14 +988,15 @@ def _encode_column(arr: pa.Array, logical: str) -> tuple[bytes | None, bytes, in
             values = np.ascontiguousarray(
                 flat.cast(lane_pa).to_numpy(zero_copy_only=False), dtype=lane_np
             )
-            if lane_np is np.int32:
+            if lane_np is np.int32 and not ep:
                 from ..plans.cost import encode_values
 
                 vp = encode_values(values, lengths)
             else:
                 vp = select_typed_codec(values)
             raw = 4 * n + width * len(values)
-        payload = _struct.pack("<Q", len(lp)) + lp + vp
+        payload = (_struct.pack("<Q", len(lp)) + lp
+                   + _struct.pack("<Q", len(ep)) + ep + vp)
         name = f"{C.payload_codec_name(lp)}+{C.payload_codec_name(vp)}"
         return valid_payload, payload, n_nulls, raw, name
 
@@ -858,10 +1104,27 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
 
         (llen,) = _struct.unpack_from("<Q", payload, 0)
         lengths = C.decode_int32(payload[8 : 8 + llen])
-        vbuf = payload[8 + llen :]
+        rest = payload[8 + llen :]
+        (elen,) = _struct.unpack_from("<Q", rest, 0)
+        elem_mask = (C.decode_int32(rest[8 : 8 + elen]).astype(bool)
+                     if elen else None)
+        vbuf = rest[8 + elen :]
+        n_elems = int(lengths.sum())
         if logical == "array<string>":
             el, blob = C.decode_strings(vbuf)
-            child = C.blob_to_strings(el, blob)
+            if elem_mask is None:
+                child = C.blob_to_strings(el, blob)
+            else:
+                # scatter non-null string lengths into the full slot layout
+                full_el = np.zeros(n_elems, dtype=np.int32)
+                full_el[elem_mask] = el
+                offs_e = np.zeros(n_elems + 1, dtype=np.int32)
+                np.cumsum(full_el, out=offs_e[1:])
+                child = pa.Array.from_buffers(
+                    pa.string(), n_elems,
+                    [_validity_buffer(elem_mask), pa.py_buffer(offs_e.tobytes()),
+                     pa.py_buffer(blob)],
+                )
             lane_pa = pa.string()
         else:
             lane_pa, lane_np, _w = _ARRAY_LANES[logical]
@@ -869,9 +1132,15 @@ def _decode_column(valid_payload: bytes | None, payload: bytes, logical: str,
                 values = C.decode_int32_grouped(vbuf, lengths)
             else:
                 values = C.decode_typed(vbuf)
+            if elem_mask is None:
+                full_vals = np.ascontiguousarray(values, dtype=lane_np)
+                ebuf = None
+            else:
+                full_vals = np.zeros(n_elems, dtype=lane_np)
+                full_vals[elem_mask] = values
+                ebuf = _validity_buffer(elem_mask)
             child = pa.Array.from_buffers(
-                lane_pa, len(values),
-                [None, pa.py_buffer(np.ascontiguousarray(values, dtype=lane_np).tobytes())],
+                lane_pa, n_elems, [ebuf, pa.py_buffer(full_vals.tobytes())],
             )
         if mask is not None:
             full_len = np.zeros(n, dtype=np.int32)
@@ -1493,7 +1762,7 @@ def decode_table(spark: SparkSession, out_dir: str,
     spec = read_table_spec(out_dir, io)
     structs = spec.structs or {}
     if structs.get("cols"):
-        scols = {n: T.StructType.fromJson(tj)
+        scols = {n: _struct_col_type(tj)
                  for n, tj in structs["cols"].items()}
         flat_names = {f.name for f in spec.schema.fields}
         wanted = list(columns) if columns is not None else _orig_columns(spec)
@@ -1534,7 +1803,7 @@ def _orig_columns(spec: TableSpec) -> list[str]:
         return [f.name for f in spec.schema.fields]
     covered: set[str] = set()
     for name, tj in st["cols"].items():
-        covered.update(_struct_flat_names(name, T.StructType.fromJson(tj)))
+        covered.update(_struct_flat_names(name, _struct_col_type(tj)))
     out = list(st.get("order", []))
     seen = set(out)
     for f in spec.schema.fields:
@@ -2241,7 +2510,7 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     # assignment composes naturally via F.struct over the PRE-update row.
     # Cast targets relax to fully-nullable (the physical lanes are nullable
     # anyway — decode reassembles through the presence lane)
-    scols = {n: relax_nullable(T.StructType.fromJson(tj))
+    scols = {n: relax_nullable(_struct_col_type(tj))
              for n, tj in (spec.structs or {}).get("cols", {}).items()}
     orig_fields = [
         (n, scols.get(n) or spec.schema[n].dataType)

@@ -762,6 +762,83 @@ FROM events
 """
 
 
+def q_table_array_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct<...>> column through the encoded store (round 5, the
+    in-store analog of the reference's first-class array-of-record rewrite
+    A5, Avro.fs:221-290): the column rides as per-leaf ARRAY lanes plus a
+    per-element presence lane; decode reassembles via arrays_zip/transform.
+    Exercises NULL arrays, empty arrays, null elements, null leaf values, a
+    boolean leaf (int lane), and a nested inner struct. The decoded array
+    posexplodes back to scalar rows (the driver hash can't hold list
+    cells); sentinels only in the compare projection."""
+    from .operators.table import completed_table_parts, decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tblarrstruct1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_arrstruct_{key}")
+
+    def elem(j: int):
+        e = F.col("event_id") + F.lit(j)
+        return F.when(e % 5 == 0, F.lit(None)).otherwise(F.struct(
+            F.concat(F.col("event_type"), F.lit(f"-{j}")).alias("tag"),
+            F.when(e % 7 == 0, F.lit(None))
+            .otherwise(F.col("user_id") * 10 + j).alias("v"),
+            (e % 2 == 0).alias("ok"),
+            F.struct((F.col("value") + j).alias("val")).alias("inner"),
+        ))
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(
+            F.slice(F.array(elem(1), elem(2), elem(3)), F.lit(1),
+                    (F.col("event_id") % 4).cast("int"))
+        ).alias("tags"),
+    )
+    if not completed_table_parts(out):
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(ev, out, key_cols=["event_id"],
+                     n_parts=_TABLE_ENCODE_PARTS)
+    dec = decode_table(spark, out)
+    ex = dec.select("event_id", F.posexplode_outer("tags"))
+    return ex.select(
+        "event_id",
+        F.coalesce(F.col("pos"), F.lit(-1)).alias("pos"),
+        F.coalesce(F.col("col.tag"), F.lit("<null>")).alias("tag"),
+        F.coalesce(F.col("col.v"), F.lit(-1)).alias("v"),
+        F.coalesce(F.col("col.ok").cast("int"), F.lit(-1)).alias("ok"),
+        F.coalesce(F.round(F.col("col.inner.val"), 6), F.lit(-1.0)).alias("val"),
+    )
+
+
+O_TABLE_ARRAY_STRUCT_ROUNDTRIP = """
+WITH n AS (
+  SELECT event_id, event_type, user_id, value,
+         CASE WHEN event_id % 13 = 0 THEN -1
+              ELSE (event_id % 4)::INT END AS n
+  FROM events
+), expanded AS (
+  SELECT event_id, event_type, user_id, value,
+         unnest(generate_series(1, n)) AS j
+  FROM n WHERE n > 0
+)
+SELECT event_id,
+       (j - 1)::INT AS pos,
+       CASE WHEN (event_id + j) % 5 = 0 THEN '<null>'
+            ELSE event_type || '-' || j END AS tag,
+       CASE WHEN (event_id + j) % 5 = 0 OR (event_id + j) % 7 = 0 THEN -1
+            ELSE user_id * 10 + j END AS v,
+       CASE WHEN (event_id + j) % 5 = 0 THEN -1
+            ELSE ((event_id + j) % 2 = 0)::INT END AS ok,
+       CASE WHEN (event_id + j) % 5 = 0 THEN -1.0
+            ELSE round(value + j, 6) END AS val
+FROM expanded
+UNION ALL
+SELECT event_id, -1 AS pos, '<null>' AS tag, -1 AS v, -1 AS ok, -1.0 AS val
+FROM n WHERE n <= 0
+"""
+
+
 def q_table_compact_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE-style file compaction is content-neutral: two append runs
     leave 16 small chunk files; ``compact_table`` regroups them into few
@@ -1063,7 +1140,7 @@ def _table_encode_dir(spark: SparkSession, sf_dir: str) -> str:
     from .operators.table import completed_table_parts, encode_table
 
     key = hashlib.md5(
-        f"tbl7:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+        f"tbl8:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), f"pandora_engine_tbl_{key}")
     if completed_table_parts(out) != list(range(_TABLE_ENCODE_PARTS)):
@@ -4158,6 +4235,8 @@ QUERIES: dict[str, tuple] = {
     ),
     "table_map_roundtrip": (q_table_map_roundtrip, O_TABLE_MAP_ROUNDTRIP),
     "table_struct_roundtrip": (q_table_struct_roundtrip, O_TABLE_STRUCT_ROUNDTRIP),
+    "table_array_struct_roundtrip": (
+        q_table_array_struct_roundtrip, O_TABLE_ARRAY_STRUCT_ROUNDTRIP),
     "table_compact_stable": (q_table_compact_stable, O_TABLE_COMPACT_STABLE),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),

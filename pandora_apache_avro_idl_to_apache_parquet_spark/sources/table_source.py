@@ -128,11 +128,12 @@ class PandoraTableDataSource(DataSource):
         """The table's ORIGINAL shape: struct columns (auto-flattened at
         encode) report as structs; the ``columns`` option accepts original
         names or individual flat leaf names (``s·leaf``)."""
-        from ..operators.table import _orig_columns, relax_nullable
+        from ..operators.table import (_orig_columns, _struct_col_type,
+                                       relax_nullable)
 
         _, spec = self._spec()
         cols_opt = self.options.get("columns")
-        scols = {n: relax_nullable(T.StructType.fromJson(tj))
+        scols = {n: relax_nullable(_struct_col_type(tj))
                  for n, tj in (spec.structs or {}).get("cols", {}).items()}
         fields = {f.name: f for f in spec.schema.fields}
         if cols_opt:
@@ -371,14 +372,14 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from ..operators.table import (
-        TableSpec, _decode_column, _io, _struct_flat_names,
+        TableSpec, _decode_column, _io, _struct_col_type, _struct_flat_names,
         assemble_struct_arrow, relax_nullable,
     )
 
     spec = TableSpec.from_json(spec_json)
     logicals = spec.logicals
     fields = {f.name: f for f in spec.schema.fields}
-    scols = {n: relax_nullable(T.StructType.fromJson(tj))
+    scols = {n: relax_nullable(_struct_col_type(tj))
              for n, tj in (spec.structs or {}).get("cols", {}).items()}
     # requested names may include original struct columns: decode their
     # flat physical lanes, reassemble per batch
