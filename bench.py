@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "quota_sample",
     "table_struct_roundtrip",
     "table_compact_stable",
+    # round 5
+    "table_array_struct_roundtrip",
+    "manifest_codec_invariant",
 ]
 
 

@@ -115,7 +115,7 @@ DUCK_TOK_ROWS = (
 # resume path).
 
 _ENCODE_PARTS = 8
-_FORMAT_TAG = "v6"  # bump to bust the /tmp encode cache on payload-affecting changes
+_FORMAT_TAG = "v7"  # bump to bust the /tmp encode cache on payload-affecting changes
 
 
 def _encode_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -4355,53 +4355,61 @@ QUERIES: dict[str, tuple] = {
 # ------------------------------------------------------- driver 50-slot window
 #
 # The driver's correctness harness emits CORRECTNESS rows for exactly the
-# first 50 registry entries.  Rounds 1-3 left 39 registered queries without a
-# driver row (VERDICT r03 "Next round" #1).  _DRIVER_WINDOW rotates those 39
-# into the window, plus new round-4 queries and the most load-bearing
-# regulars; everything else keeps its relative order after the window.
-# `scripts/coverage_ledger.py` verifies rotation debt is zero.
+# first 50 registry entries.  All 116 previously-registered queries are
+# driver-green as of r04; the round-5 window leads with the two NEW queries
+# (rotation debt 0 after the r05 run), then refreshes the STALEST coverage —
+# every r02-green entry and the 17 oldest r03-green entries — plus the
+# load-bearing regulars for continuous hard signal.  Everything else keeps
+# its relative order after the window.  `scripts/coverage_ledger.py`
+# verifies rotation debt is zero.
 # Round 5 retired `manifest_codecs` for the oracled `manifest_codec_invariant`.
 _DRIVER_WINDOW: list[str] = [
-    # -- 39 never driver-run before round 4 -------------------------------
-    "events_sliding_window",
-    "events_gap_fill",
-    "events_moving_avg",
-    "pivot_event_counts",
-    "dedup_ngram_jaccard_exact",
-    "ann_pq_encode",
-    "ann_pq_topk",
-    "ann_kmeans_train",
-    "text_bm25_search",
-    "grouped_topk",
-    "dedup_fuzzy_levenshtein",
-    "events_funnel",
-    "sample_stratified",
-    "quota_sample",
-    "shuffle_global_rank",
-    "upsample_weighted",
-    "sample_weighted_topk",
-    "pack_sequences",
-    "interleave_mix",
-    "decontaminate",
-    "curate_corpus",
-    "sketch_hll_distinct",
-    "sketch_hll_merge",
-    "sketch_hll_intersect",
-    "ntile_quartiles",
-    "sketch_histogram_quantile",
-    "sketch_cms_frequency",
-    "sketch_grouped_quantile",
-    "sketch_bloom_membership",
-    "decontaminate_bloom",
-    "asof_join",
-    "asof_join_forward",
-    "range_join",
-    "hypertable_rollup",
-    "streaming_sessionize",
-    "streaming_dedup",
-    "skew_salted_join",
-    "avro_binary_flatten",
-    "multimodal_frame_sample",
+    # -- never driver-run (new round-5 queries) ---------------------------
+    "manifest_codec_invariant",
+    "table_array_struct_roundtrip",
+    # -- stalest coverage: last green in r02 (24) --------------------------
+    "events_tumbling_1h",
+    "events_sessionize",
+    "scalar_kitchen_sink",
+    "median_order_value",
+    "users_above_own_avg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_assign",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "text_token_counts",
+    "text_fingerprint",
+    "streaming_encode",
+    "nested_flatten_words",
+    "avro_flatten",
+    "json_props_stats",
+    "multimodal_features",
+    # -- stalest r03 entries (17) ------------------------------------------
+    "tokens_explode",
+    "manifest_stats",
+    "token_stats_by_source",
+    "token_offsets",
+    "dict_cardinality",
+    "values_only_stats",
+    "typed_roundtrip",
+    "table_selective_stats",
+    "table_manifest_stats",
+    "table_lookup_range",
+    "table_bloom_lookup",
+    "table_delete_where",
+    "table_update_where",
+    "table_incremental_agg",
+    "table_recluster_range",
+    "table_partition_pruning",
+    "table_validate_constraints",
     # -- load-bearing regulars (keep continuous hard signal) --------------
     "tokens_roundtrip",
     "table_encode_roundtrip",
@@ -4410,11 +4418,6 @@ _DRIVER_WINDOW: list[str] = [
     "table_datasource_sql",
     "table_datasource_stream",
     "streaming_materialized_agg",
-    # -- new round-4 queries appended below as they land ------------------
-    "table_stream_write",
-    "avdl_flatten",
-    "table_struct_roundtrip",
-    "table_compact_stable",
 ]
 
 assert len(_DRIVER_WINDOW) <= 50, "driver correctness window is 50 slots"
