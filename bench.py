@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     # round 5
     "table_array_struct_roundtrip",
     "manifest_codec_invariant",
+    "table_log_checkpoint",
 ]
 
 

@@ -362,9 +362,20 @@ def write_commit_log(out_dir: str, pds: date, io: FsIO | None = None,
 
     def _scan_log() -> tuple[set[str], list[int]]:
         # "referenced" = ever added OR removed: neither may be re-added
-        # (a removed file's data lives on in its compaction target)
+        # (a removed file's data lives on in its compaction target). A
+        # checkpoint's collapsed adds + remove tombstones stand in for any
+        # json files checkpoint_log(clean=True) deleted, and its version
+        # floors index allocation so new commits never reuse covered indices.
         referenced: set[str] = set()
         indices: list[int] = []
+        ckpt = read_log_checkpoint(out_dir, io)
+        if ckpt is not None:
+            indices.append(ckpt[0])
+            for entry in ckpt[1]:
+                if "add" in entry:
+                    referenced.add(entry["add"]["path"])
+                if "remove" in entry:
+                    referenced.add(entry["remove"]["path"])
         for f in io.listdir(log_dir):
             if not f.endswith(".json"):
                 continue
@@ -471,6 +482,100 @@ def read_commit_log(out_dir: str, io: FsIO | None = None) -> list[dict]:
     return entries
 
 
+_LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def checkpoint_log(out_dir: str, io: FsIO | None = None,
+                   clean: bool = False) -> dict:
+    """Delta-style commit-log CHECKPOINT (``DeltaLake`` checkpoint contract;
+    Delta writes one every 10 commits): collapse every entry with index <=
+    the latest version V into one parquet snapshot
+    ``_log/<V>.checkpoint.parquet`` plus a ``_log/_last_checkpoint`` pointer,
+    so readers replay the checkpoint + only the json files AFTER it instead
+    of the whole tail. At 100 TB a long-lived table accumulates 10^4-10^5
+    commits; without this every reader's planning pass is O(log length).
+
+    State collapsed: the last ``add`` per live path (adds minus removes),
+    the latest ``metaData``, and the latest ``txn`` per appId (the stream
+    sink's idempotence axis survives checkpointing). The snapshot is one
+    snappy parquet column of raw json lines — byte-faithful to the log
+    format, ~10x smaller than the json tail it replaces.
+
+    ``clean=True`` additionally deletes the json log files the checkpoint
+    covers (Delta's log-retention cleanup). That forfeits time travel and
+    CDF diffs to versions < V and is only safe when no streaming tail or
+    as_of reader still needs them — the default keeps every json file, so
+    the checkpoint is purely an accelerator."""
+    import pyarrow.parquet as pq
+
+    io = _io(out_dir, io)
+    log_dir = io.join("_log")
+    versions = log_versions(out_dir, io)
+    if not versions:
+        raise ValueError("no commit log to checkpoint")
+    v = versions[-1]
+    adds: dict[str, dict] = {}
+    removes: dict[str, dict] = {}  # tombstones: 'referenced, never re-add'
+    meta: dict | None = None
+    txns: dict[str, dict] = {}
+    for f in sorted(io.listdir(log_dir)):
+        if not f.endswith(".json") or int(f[:-5]) > v:
+            continue
+        for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+            entry = json.loads(line)
+            if "add" in entry:
+                adds[entry["add"]["path"]] = entry
+                removes.pop(entry["add"]["path"], None)
+            if "remove" in entry:
+                removes[entry["remove"]["path"]] = entry
+                adds.pop(entry["remove"]["path"], None)
+            if "metaData" in entry:
+                meta = entry
+            if "txn" in entry:
+                txns[entry["txn"]["appId"]] = entry
+    lines = (([meta] if meta else [])
+             + [txns[a] for a in sorted(txns)]
+             + [adds[p] for p in sorted(adds)]
+             + [removes[p] for p in sorted(removes)])
+    buf = pa.BufferOutputStream()
+    pq.write_table(
+        pa.table({"line": pa.array([json.dumps(e) for e in lines], pa.string())}),
+        buf, compression="snappy",
+    )
+    name = f"{v:020d}.checkpoint.parquet"
+    tag = uuid.uuid4().hex[:8]
+    io.publish_bytes(posixpath.join(log_dir, name),
+                     buf.getvalue().to_pybytes(), attempt_tag=tag)
+    io.publish_bytes(posixpath.join(log_dir, _LAST_CHECKPOINT),
+                     json.dumps({"version": v, "file": name}).encode(),
+                     attempt_tag=tag)
+    removed = 0
+    if clean:
+        for f in list(io.listdir(log_dir)):
+            if f.endswith(".json") and int(f[:-5]) <= v:
+                io.fs.delete_file(posixpath.join(log_dir, f))
+                removed += 1
+    return {"version": v, "entries": len(lines), "file": name,
+            "cleaned_json_files": removed}
+
+
+def read_log_checkpoint(out_dir: str, io: FsIO | None = None
+                        ) -> tuple[int, list[dict]] | None:
+    """(checkpoint version, collapsed entries) per ``_last_checkpoint``, or
+    None when the log has never been checkpointed."""
+    import pyarrow.parquet as pq
+
+    io = _io(out_dir, io)
+    log_dir = io.join("_log")
+    pointer = posixpath.join(log_dir, _LAST_CHECKPOINT)
+    if not io.exists(pointer):
+        return None
+    d = json.loads(io.read_text(pointer))
+    tbl = pq.read_table(pa.BufferReader(
+        io.read_bytes(posixpath.join(log_dir, d["file"]))))
+    return int(d["version"]), [json.loads(s) for s in tbl.column("line").to_pylist()]
+
+
 def committed_files(out_dir: str, io: FsIO | None = None,
                     as_of: int | None = None) -> list[str] | None:
     """Live data-file basenames per the commit log (adds minus removes), or
@@ -482,16 +587,42 @@ def committed_files(out_dir: str, io: FsIO | None = None,
     the table exactly as some earlier commit left it (files removed *later*,
     e.g. by compaction, are still present at that version until vacuumed,
     which is why vacuum's retention window also bounds how far back
-    time-travel reads stay valid)."""
+    time-travel reads stay valid).
+
+    When the log has been checkpointed (:func:`checkpoint_log`) and the
+    checkpoint covers the requested version, replay starts from the
+    checkpoint's collapsed state and touches only the json files AFTER it —
+    O(commits since checkpoint), not O(log). An ``as_of`` BEFORE the
+    checkpoint replays the json files directly (they are retained unless
+    the checkpoint was taken with ``clean=True``)."""
     io = _io(out_dir, io)
     log_dir = io.join("_log")
     if not io.isdir(log_dir):
         return None
     live: set[str] = set()
+    start_after = -1
+    ckpt = read_log_checkpoint(out_dir, io)
+    if ckpt is not None and (as_of is None or as_of >= ckpt[0]):
+        start_after = ckpt[0]
+        live = {e["add"]["path"] for e in ckpt[1] if "add" in e}
+    elif ckpt is not None and as_of is not None and as_of < ckpt[0]:
+        # pre-checkpoint time travel replays raw json; if checkpoint_log ran
+        # with clean=True those files are gone — fail loudly, never return a
+        # silently incomplete version
+        json_idx = [int(f[:-5]) for f in io.listdir(log_dir)
+                    if f.endswith(".json")]
+        if not json_idx or min(json_idx) > 0:
+            raise ValueError(
+                f"time travel to version {as_of} predates log checkpoint "
+                f"{ckpt[0]} and the covered json files were cleaned"
+            )
     for f in sorted(io.listdir(log_dir)):
         if not f.endswith(".json"):
             continue
-        if as_of is not None and int(f[:-5]) > as_of:
+        idx = int(f[:-5])
+        if idx <= start_after:
+            continue
+        if as_of is not None and idx > as_of:
             break
         for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
             entry = json.loads(line)
@@ -518,6 +649,9 @@ def append_log_entry(out_dir: str, lines: list[dict], io: FsIO | None = None) ->
     io.makedirs(log_dir)
     payload = "\n".join(json.dumps(e) for e in lines) + "\n"
     indices = [int(f[:-5]) for f in io.listdir(log_dir) if f.endswith(".json")]
+    ckpt = read_log_checkpoint(out_dir, io)
+    if ckpt is not None:
+        indices.append(ckpt[0])  # never reuse a checkpointed index
     idx = (max(indices) + 1) if indices else 0
     while True:
         target = posixpath.join(log_dir, f"{idx:020d}.json")

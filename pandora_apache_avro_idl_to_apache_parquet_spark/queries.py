@@ -877,6 +877,43 @@ FROM lineitem
 """
 
 
+def q_table_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-log CHECKPOINT (round 5 — the Delta 10-commit checkpoint
+    contract, `DeltaLake.fs:176-444` family): three appends build a log
+    tail, `checkpoint_log` collapses it into one parquet snapshot (+
+    `_last_checkpoint` pointer), a FOURTH append lands after it, and the
+    read resolves files as checkpoint-state + post-checkpoint tail. The
+    decoded table must equal the plain SQL over the source — a file lost or
+    duplicated across the checkpoint boundary fails rows/hash."""
+    from .operators.encode import checkpoint_log, read_log_checkpoint
+    from .operators.table import decode_table, encode_table
+
+    key = hashlib.md5(
+        f"tbllogckpt1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_logckpt_{key}")
+    if read_log_checkpoint(out) is None:
+        shutil.rmtree(out, ignore_errors=True)
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        )
+        for k in range(3):
+            encode_table(li.filter(F.col("l_orderkey") % 4 == k), out,
+                         key_cols=["l_orderkey", "l_linenumber"], n_parts=4,
+                         run=f"r{k}")
+        checkpoint_log(out)
+        encode_table(li.filter(F.col("l_orderkey") % 4 == 3), out,
+                     key_cols=["l_orderkey", "l_linenumber"], n_parts=4,
+                     run="r3")
+    return decode_table(spark, out)
+
+
+O_TABLE_LOG_CHECKPOINT = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem
+"""
+
+
 def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-style constraint audit over the encoded store: NOT NULL
     answered from zone maps alone (no payload read), UNIQUE decodes only the
@@ -4238,6 +4275,7 @@ QUERIES: dict[str, tuple] = {
     "table_array_struct_roundtrip": (
         q_table_array_struct_roundtrip, O_TABLE_ARRAY_STRUCT_ROUNDTRIP),
     "table_compact_stable": (q_table_compact_stable, O_TABLE_COMPACT_STABLE),
+    "table_log_checkpoint": (q_table_log_checkpoint, O_TABLE_LOG_CHECKPOINT),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4367,6 +4405,7 @@ _DRIVER_WINDOW: list[str] = [
     # -- never driver-run (new round-5 queries) ---------------------------
     "manifest_codec_invariant",
     "table_array_struct_roundtrip",
+    "table_log_checkpoint",
     # -- stalest coverage: last green in r02 (24) --------------------------
     "events_tumbling_1h",
     "events_sessionize",
@@ -4392,8 +4431,8 @@ _DRIVER_WINDOW: list[str] = [
     "avro_flatten",
     "json_props_stats",
     "multimodal_features",
-    # -- stalest r03 entries (17) ------------------------------------------
-    "tokens_explode",
+    # -- stalest r03 entries (16; tokens_explode yielded its slot to
+    # table_log_checkpoint — flatten stays covered via tokens_roundtrip) --
     "manifest_stats",
     "token_stats_by_source",
     "token_offsets",

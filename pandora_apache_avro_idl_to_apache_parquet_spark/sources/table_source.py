@@ -626,6 +626,16 @@ def _last_txn_version(path: str, app_id: str) -> int | None:
             txn = _json.loads(line).get("txn")
             if txn and txn.get("appId") == app_id:
                 return int(txn["version"])
+    # no hit in the json tail: a checkpoint (possibly taken with clean=True)
+    # may hold the app's latest txn line in its collapsed state
+    from ..operators.encode import read_log_checkpoint
+
+    ckpt = read_log_checkpoint(path, io)
+    if ckpt is not None:
+        for entry in ckpt[1]:
+            txn = entry.get("txn")
+            if txn and txn.get("appId") == app_id:
+                return int(txn["version"])
     return None
 
 
