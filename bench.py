@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "table_array_struct_roundtrip",
     "manifest_codec_invariant",
     "table_log_checkpoint",
+    "table_merge_clauses",
 ]
 
 

@@ -2378,24 +2378,75 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
             "files_removed": len(matched), "log": log}
 
 
+def _route_inserts(spark: SparkSession, src_flat: DataFrame, spec: TableSpec,
+                   insert_parts: int, pds: date, part_offset: int,
+                   out_dir: str, io: FsIO) -> DataFrame:
+    """Assign fresh part ids + partition dates to merge-insert rows: fresh
+    key-hashed files, routed per (date, salt) when the table is
+    date-partitioned (pruning stays correct after a merge)."""
+    keys = spec.key_cols
+    insert_salt = (F.pmod(F.xxhash64(*keys), F.lit(insert_parts))
+                   + F.lit(part_offset)).cast("int")
+    if spec.pds_col:
+        raw = [r[0] for r in src_flat.select(spec.pds_col).distinct().collect()]
+        if any(d is None for d in raw):
+            raise ValueError(
+                f"pds_col {spec.pds_col!r} contains nulls in the merge source")
+        date_idx = spark.createDataFrame(
+            [(d, i) for i, d in enumerate(sorted(raw))],
+            f"{spec.pds_col} date, __didx int",
+        )
+        return (
+            src_flat.join(F.broadcast(date_idx), spec.pds_col)
+            .withColumn("part_id",
+                        (insert_salt + F.col("__didx") * insert_parts).cast("int"))
+            .withColumn("__pds", F.col(spec.pds_col))
+            .drop("__didx")
+        )
+    return (src_flat.withColumn("part_id", insert_salt)
+            .withColumn("__pds", F.lit(pds)))
+
+
 def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
                 io: FsIO | None = None,
                 chunk_rows: int = DEFAULT_CHUNK_ROWS,
                 pds: date | None = None,
-                insert_parts: int = 8) -> dict:
-    """Upsert (Delta ``MERGE`` with whenMatchedUpdateAll +
-    whenNotMatchedInsertAll) keyed on the table's ``key_cols``, committed as
-    ONE atomic log entry.
+                insert_parts: int = 8,
+                when_matched_update: dict | None = None,
+                when_matched_delete: bool = False,
+                when_matched_condition=None,
+                when_not_matched_condition=None) -> dict:
+    """Delta ``MERGE`` keyed on the table's ``key_cols``, committed as ONE
+    atomic log entry.
 
-    Every target row whose key tuple appears in ``source`` is replaced by
-    the source rows carrying that key; source rows with unseen keys insert.
-    ``source`` must carry exactly the encoded schema (same names + types).
+    Default (no clause arguments): upsert — whenMatchedUpdateAll +
+    whenNotMatchedInsertAll. Every target row whose key tuple appears in
+    ``source`` is replaced by the source rows carrying that key; source
+    rows with unseen keys insert. ``source`` must carry exactly the encoded
+    schema (same names + types).
+
+    Clause mode (round 5 — the full MERGE surface):
+
+    * ``when_matched_update`` — dict of column → Column expression applied
+      to matched target rows IN PLACE (they stay in their files); exprs
+      address the aliased join: ``F.col("t.x")`` is the pre-merge target
+      value, ``F.col("s.y")`` the source value. Key columns cannot be
+      assigned.
+    * ``when_matched_delete=True`` — matched target rows are deleted
+      (mutually exclusive with ``when_matched_update``).
+    * ``when_matched_condition`` — Column over the t/s join gating the
+      matched action; matched rows failing it pass through UNCHANGED.
+    * ``when_not_matched_condition`` — Column over the source (alias
+      ``s``) gating inserts; pass ``F.lit(False)`` for a matched-only
+      merge. In clause mode the source may carry EXTRA columns for the
+      conditions; inserts project the table's columns and require them all.
+
     Plan: key-only provenance decode finds the matched file set (the
-    source's key side is the small one — AQE broadcasts it); matched files'
-    survivors (anti-join on keys) rewrite grouped per original file, source
-    rows encode into ``insert_parts`` fresh key-hashed files, and adds +
-    removes land in one ``append_log_entry`` so readers switch atomically.
-    Untouched files are never rewritten.
+    source's key side is the small one — AQE broadcasts it); matched files
+    rewrite grouped per original file, inserts encode into
+    ``insert_parts`` fresh key-hashed files, and adds + removes land in one
+    ``append_log_entry`` so readers switch atomically. Untouched files are
+    never rewritten.
     """
     from .encode import append_log_entry, committed_files
 
@@ -2404,6 +2455,16 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
         raise ValueError("merge_table requires a committed table (no _log found)")
     spec = read_table_spec(out_dir, io)
     keys = spec.key_cols
+    clause_mode = (when_matched_update is not None or when_matched_delete
+                   or when_matched_condition is not None
+                   or when_not_matched_condition is not None)
+    if clause_mode:
+        return _merge_with_clauses(
+            spark, out_dir, source, io, spec, chunk_rows,
+            pds or date(2026, 1, 1), insert_parts,
+            when_matched_update, when_matched_delete,
+            when_matched_condition, when_not_matched_condition,
+        )
     # the source arrives in the table's ORIGINAL shape; struct columns
     # split into their physical lanes before the schema check, so shape
     # mismatches surface as flat-lane name/type diffs
@@ -2429,26 +2490,8 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
     # the table's persisted partition column when it has one (fresh files
     # per (date, salt)), else they stamp the call's pds — date-partitioned
     # tables keep pruning correctly after a merge either way
-    insert_salt = (F.pmod(F.xxhash64(*keys), F.lit(insert_parts))
-                   + F.lit(len(matched))).cast("int")
-    if spec.pds_col:
-        raw = [r[0] for r in src.select(spec.pds_col).distinct().collect()]
-        if any(d is None for d in raw):
-            raise ValueError(f"pds_col {spec.pds_col!r} contains nulls in the merge source")
-        date_idx = spark.createDataFrame(
-            [(d, i) for i, d in enumerate(sorted(raw))],
-            f"{spec.pds_col} date, __didx int",
-        )
-        inserts = (
-            src.join(F.broadcast(date_idx), spec.pds_col)
-            .withColumn("part_id",
-                        (insert_salt + F.col("__didx") * insert_parts).cast("int"))
-            .withColumn("__pds", F.col(spec.pds_col))
-            .drop("__didx")
-        )
-    else:
-        inserts = (src.withColumn("part_id", insert_salt)
-                   .withColumn("__pds", F.lit(pds)))
+    inserts = _route_inserts(spark, src, spec, insert_parts, pds,
+                             len(matched), out_dir, io)
     if matched:
         fp = _file_pds_map(out_dir, io)
         part_map = spark.createDataFrame(
@@ -2479,6 +2522,137 @@ def merge_table(spark: SparkSession, out_dir: str, source: DataFrame,
     )
     return {"rows_replaced": n_replaced, "files_rewritten": len(adds),
             "files_removed": len(matched), "log": log}
+
+
+def _merge_with_clauses(spark: SparkSession, out_dir: str, source: DataFrame,
+                        io: FsIO, spec: TableSpec, chunk_rows: int,
+                        pds: date, insert_parts: int,
+                        upd: dict | None, delete: bool,
+                        m_cond, i_cond) -> dict:
+    """Clause-mode MERGE body (see :func:`merge_table`): matched rows are
+    transformed IN PLACE inside their files (update) or dropped (delete),
+    unmatched-by-target source rows insert under ``i_cond``; one atomic
+    add+remove log entry either way."""
+    from .encode import append_log_entry
+
+    if upd is not None and delete:
+        raise ValueError(
+            "choose ONE matched action: when_matched_update or when_matched_delete")
+    if m_cond is not None and upd is None and not delete:
+        raise ValueError("when_matched_condition requires a matched action")
+    keys = spec.key_cols
+    orig_cols = _orig_columns(spec)
+    if upd is not None:
+        bad = [c for c in upd if c in keys]
+        if bad:
+            raise ValueError(f"key columns cannot be assigned: {bad}")
+        unknown = [c for c in upd if c not in orig_cols]
+        if unknown:
+            raise ValueError(f"assignments target unknown columns: {unknown}")
+    missing_keys = [k for k in keys if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"merge source lacks key columns {missing_keys}")
+
+    s = source.alias("s")
+    src_keys = source.select(*keys).distinct()
+    probe = decode_table(spark, out_dir, columns=list(keys), io=io,
+                         meta_cols=["__src_file"])
+    have_matched_action = upd is not None or delete
+    if have_matched_action:
+        # Delta MERGE semantics: a target row matching multiple source rows
+        # is an error (the action would be ambiguous/nondeterministic)
+        dup = (source.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "merge source has duplicate key tuples; a matched action "
+                "must see at most ONE source row per target row")
+        matched, n_matched = _dml_matched_files(
+            probe.join(src_keys, list(keys), "left_semi"))
+    else:
+        matched, n_matched = [], 0
+
+    inserts_src = s.join(probe.select(*keys).distinct(), list(keys),
+                         "left_anti")
+    if i_cond is not None:
+        inserts_src = inserts_src.filter(i_cond)
+    missing = [c for c in orig_cols if c not in source.columns]
+    inserts = None
+    if missing:
+        if inserts_src.limit(1).count() > 0:
+            raise ValueError(
+                f"merge source lacks table columns {missing} needed for "
+                "inserts; pass when_not_matched_condition=F.lit(False) for "
+                "a matched-only merge")
+    else:
+        ins_flat = _flat_for_rewrite(inserts_src.select(*orig_cols), spec)
+        want = {f.name: f.dataType for f in spec.schema.fields}
+        got = {f.name: f.dataType for f in ins_flat.schema.fields}
+        if got != want:
+            raise ValueError(
+                f"merge insert schema must match the encoded table: "
+                f"want {want}, got {got}")
+        inserts = _route_inserts(spark, ins_flat, spec, insert_parts, pds,
+                                 len(matched), out_dir, io)
+
+    run = f"mg{uuid.uuid4().hex[:8]}"
+    n_action = 0
+    new_rows = inserts
+    if matched:
+        dec = decode_table(spark, out_dir, io=io, meta_cols=["__src_file"],
+                           chunk_filter=F.col("__src_file").isin(matched))
+        t = dec.alias("t")
+        join_cond = F.col(f"t.{keys[0]}").eqNullSafe(F.col(f"s.{keys[0]}"))
+        for k in keys[1:]:
+            join_cond = join_cond & F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        joined = t.join(s, join_cond, "left")
+        matched_flag = F.col(f"s.{keys[0]}").isNotNull()
+        cond = F.lit(True) if m_cond is None else m_cond
+        hit = matched_flag & F.coalesce(cond.cast("boolean"), F.lit(False))
+        n_action = joined.filter(hit).count()
+        if delete:
+            result = joined.filter(~hit).select(
+                *[F.col(f"t.{c}").alias(c) for c in orig_cols],
+                F.col("t.__src_file").alias("__src_file"),
+            )
+        else:
+            exprs = []
+            for c in orig_cols:
+                tgt_dt = dec.schema[c].dataType
+                if c in upd:
+                    exprs.append(
+                        F.when(hit, upd[c].cast(tgt_dt))
+                        .otherwise(F.col(f"t.{c}")).alias(c))
+                else:
+                    exprs.append(F.col(f"t.{c}").alias(c))
+            result = joined.select(
+                *exprs, F.col("t.__src_file").alias("__src_file"))
+        fp = _file_pds_map(out_dir, io)
+        part_map = spark.createDataFrame(
+            [(f, i, fp.get(f, pds)) for i, f in enumerate(matched)],
+            "__src_file string, part_id int, __pds date",
+        )
+        survivors = (_flat_for_rewrite(result, spec)
+                     .join(F.broadcast(part_map), "__src_file")
+                     .drop("__src_file"))
+        new_rows = (survivors if inserts is None
+                    else survivors.unionByName(inserts))
+    if new_rows is None:
+        return {"rows_matched": 0, "rows_deleted": 0, "rows_updated": 0,
+                "files_rewritten": 0, "files_removed": 0, "log": None}
+    adds = _rewrite_job(new_rows, io, spec, chunk_rows, pds, run,
+                        pds_from_col=True)
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)] + adds
+        + [{"remove": {"path": f, "dataChange": True}} for f in matched],
+        io,
+    )
+    return {"rows_matched": n_matched,
+            "rows_deleted": n_action if delete else 0,
+            "rows_updated": 0 if delete else n_action,
+            "files_rewritten": len(adds), "files_removed": len(matched),
+            "log": log}
 
 
 def update_where(spark: SparkSession, out_dir: str, condition,

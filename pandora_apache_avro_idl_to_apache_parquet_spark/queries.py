@@ -914,6 +914,61 @@ FROM lineitem
 """
 
 
+def q_table_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clause-mode MERGE (round 5 — the full Delta MERGE surface beyond the
+    round-3 upsert): a conditional in-place matched UPDATE (assignments
+    address the t/s aliased join), then a conditional matched DELETE whose
+    predicate sees the POST-update values, both with inserts gated off.
+    The oracle recomputes the composition in plain SQL — any row updated
+    under the wrong condition, deleted wrongly, or duplicated by the
+    copy-on-write rewrite fails rows/hash."""
+    from .operators.encode import log_versions
+    from .operators.table import decode_table, encode_table, merge_table
+
+    key = hashlib.md5(
+        f"tblmgcl1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), f"pandora_engine_mgcl_{key}")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    if len(log_versions(out)) < 3:
+        shutil.rmtree(out, ignore_errors=True)
+        encode_table(ev, out, key_cols=["event_id"],
+                     n_parts=_TABLE_ENCODE_PARTS)
+        upd_src = (ev.filter(F.col("event_id") % 3 == 0)
+                   .select("event_id", (F.col("value") + 1000).alias("nv")))
+        merge_table(
+            spark, out, upd_src,
+            when_matched_update={"value": F.col("s.nv")},
+            when_matched_condition=F.col("t.event_type") == "click",
+            when_not_matched_condition=F.lit(False),
+        )
+        del_src = ev.filter(F.col("event_id") % 7 == 0).select("event_id")
+        merge_table(
+            spark, out, del_src,
+            when_matched_delete=True,
+            when_matched_condition=F.col("t.value") > 1000,
+            when_not_matched_condition=F.lit(False),
+        )
+    dec = decode_table(spark, out)
+    return dec.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value"), 6).alias("val"),
+    )
+
+
+O_TABLE_MERGE_CLAUSES = """
+WITH upd AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 3 = 0 AND event_type = 'click'
+              THEN value + 1000 ELSE value END AS v
+  FROM events)
+SELECT event_id, user_id, event_type, round(v, 6) AS val
+FROM upd
+WHERE NOT (event_id % 7 = 0 AND v > 1000)
+"""
+
+
 def q_table_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warehouse-style constraint audit over the encoded store: NOT NULL
     answered from zone maps alone (no payload read), UNIQUE decodes only the
@@ -4276,6 +4331,7 @@ QUERIES: dict[str, tuple] = {
         q_table_array_struct_roundtrip, O_TABLE_ARRAY_STRUCT_ROUNDTRIP),
     "table_compact_stable": (q_table_compact_stable, O_TABLE_COMPACT_STABLE),
     "table_log_checkpoint": (q_table_log_checkpoint, O_TABLE_LOG_CHECKPOINT),
+    "table_merge_clauses": (q_table_merge_clauses, O_TABLE_MERGE_CLAUSES),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4406,6 +4462,7 @@ _DRIVER_WINDOW: list[str] = [
     "manifest_codec_invariant",
     "table_array_struct_roundtrip",
     "table_log_checkpoint",
+    "table_merge_clauses",
     # -- stalest coverage: last green in r02 (24) --------------------------
     "events_tumbling_1h",
     "events_sessionize",
@@ -4431,9 +4488,9 @@ _DRIVER_WINDOW: list[str] = [
     "avro_flatten",
     "json_props_stats",
     "multimodal_features",
-    # -- stalest r03 entries (16; tokens_explode yielded its slot to
-    # table_log_checkpoint — flatten stays covered via tokens_roundtrip) --
-    "manifest_stats",
+    # -- stalest r03 entries (15; tokens_explode and manifest_stats yielded
+    # their slots to the new round-5 queries — both paths stay covered via
+    # tokens_roundtrip and manifest_codec_invariant) ------------------------
     "token_stats_by_source",
     "token_offsets",
     "dict_cardinality",
