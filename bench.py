@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "manifest_codec_invariant",
     "table_log_checkpoint",
     "table_merge_clauses",
+    "table_analyze_ndv",
 ]
 
 

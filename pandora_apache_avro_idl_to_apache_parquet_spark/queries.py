@@ -914,6 +914,60 @@ FROM lineitem
 """
 
 
+def q_table_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE (round 5): per-column NDV register state persisted to
+    the `_stats/` sidecar by `operators.stats.analyze_table`, then served
+    WITHOUT reading data — ndv from the stored md5-HLL registers (exactly
+    the estimate a direct pass produces; register purity), row/null counts
+    from the zone maps alone. The oracle recomputes everything from the raw
+    table: exact counts plus the identical HLL estimate in DuckDB SQL."""
+    from .operators.stats import analyze_table, ndv_estimates
+    from .operators.table import table_stats
+
+    out = _table_encode_dir(spark, sf_dir)
+    cols = ["l_orderkey", "l_returnflag", "flag_n", "ship_date"]
+    analyze_table(spark, out, columns=cols)  # idempotent per log version
+    est = ndv_estimates(spark, out)
+    counts = (
+        table_stats(spark, out, columns=cols)
+        .select(F.col("column").alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_nulls").cast("long").alias("n_nulls"))
+    )
+    return counts.join(est, "col_name").select(
+        "col_name", "n_rows", "n_nulls", "ndv_est")
+
+
+def _ndv_oracle_sql() -> str:
+    specs = [
+        ("l_orderkey", "l_orderkey"),
+        ("l_returnflag", "l_returnflag"),
+        ("flag_n", "nullif(l_returnflag, 'N')"),
+        ("ship_date", "(l_shipdate::DATE)"),
+    ]
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT '{n}' AS col_name, ({e})::VARCHAR AS val FROM lineitem"
+        for n, e in specs
+    )
+    counts = "\n  UNION ALL ".join(
+        f"SELECT '{n}' AS col_name, count(*)::BIGINT AS n_rows, "
+        f"(count(*) - count({e}))::BIGINT AS n_nulls FROM lineitem"
+        for n, e in specs
+    )
+    hll = sketches.hll_distinct_sql("stacked_nn", ["col_name"], "val",
+                                    p=8, out_name="ndv_est")
+    return f"""
+WITH stacked AS ({stacked}),
+stacked_nn AS (SELECT * FROM stacked WHERE val IS NOT NULL),
+counts AS ({counts})
+SELECT c.col_name, c.n_rows, c.n_nulls, e.ndv_est
+FROM counts c JOIN ({hll}) e USING (col_name)
+"""
+
+
+O_TABLE_ANALYZE_NDV = _ndv_oracle_sql()
+
+
 def q_table_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clause-mode MERGE (round 5 — the full Delta MERGE surface beyond the
     round-3 upsert): a conditional in-place matched UPDATE (assignments
@@ -4332,6 +4386,7 @@ QUERIES: dict[str, tuple] = {
     "table_compact_stable": (q_table_compact_stable, O_TABLE_COMPACT_STABLE),
     "table_log_checkpoint": (q_table_log_checkpoint, O_TABLE_LOG_CHECKPOINT),
     "table_merge_clauses": (q_table_merge_clauses, O_TABLE_MERGE_CLAUSES),
+    "table_analyze_ndv": (q_table_analyze_ndv, O_TABLE_ANALYZE_NDV),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4463,6 +4518,7 @@ _DRIVER_WINDOW: list[str] = [
     "table_array_struct_roundtrip",
     "table_log_checkpoint",
     "table_merge_clauses",
+    "table_analyze_ndv",
     # -- stalest coverage: last green in r02 (24) --------------------------
     "events_tumbling_1h",
     "events_sessionize",
@@ -4488,10 +4544,9 @@ _DRIVER_WINDOW: list[str] = [
     "avro_flatten",
     "json_props_stats",
     "multimodal_features",
-    # -- stalest r03 entries (15; tokens_explode and manifest_stats yielded
-    # their slots to the new round-5 queries — both paths stay covered via
-    # tokens_roundtrip and manifest_codec_invariant) ------------------------
-    "token_stats_by_source",
+    # -- stalest r03 entries (14; tokens_explode, manifest_stats and
+    # token_stats_by_source yielded their slots to new round-5 queries —
+    # those paths stay covered via tokens_roundtrip / manifest_codec_invariant) --
     "token_offsets",
     "dict_cardinality",
     "values_only_stats",
