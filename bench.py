@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "table_log_checkpoint",
     "table_merge_clauses",
     "table_analyze_ndv",
+    "dedup_duplicate_spans",
+    "text_repetition_filter",
+    "hybrid_search_rrf",
 ]
 
 

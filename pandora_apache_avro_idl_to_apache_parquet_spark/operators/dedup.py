@@ -557,3 +557,70 @@ def fuzzy_levenshtein_pairs(docs: DataFrame, max_dist: int = 20,
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicated TOKEN SPANS across documents — the substring-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed distributed: their suffix-array pass finds
+    byte substrings repeated across the corpus; here every ``n``-token
+    window whose exact text occurs in >= ``min_docs`` distinct documents is
+    a duplicated window, and overlapping/adjacent duplicated windows merge
+    into maximal per-document spans. Doc-level MinHash/SimHash miss exactly
+    these (boilerplate paragraphs inside otherwise-unique pages).
+
+    Scale shape: one windowed-gram pass (token arrays stay executor-local;
+    grams hash to 64-bit md5 BEFORE the shuffle, so shuffle width is
+    O(total tokens x 8B), never the strings), a two-stage distinct-doc
+    count per gram, a semi-join of hits against duplicated grams, then the
+    island merge as a PER-DOCUMENT window (key-partitioned — no global
+    sort). Output: ``(doc_id, span_start, span_end, n_windows)`` with
+    token offsets, ``span_end`` exclusive.
+    """
+    from pyspark.sql.window import Window
+
+    arr = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("w"),
+    ).filter(F.size("w") >= n)
+    grams = arr.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.array_join(F.slice("w", i + 1, n), " ").alias("g"),
+                ),
+            )
+        ).alias("win"),
+    ).select("doc_id", F.col("win.start").alias("start"),
+             F.expr(spark_md5_long("win.g")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh", "left_semi").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    isl = (
+        hits.withColumn(
+            "new_island",
+            F.when(
+                F.col("start") <= F.lag("start").over(w) + n, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("gid", F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        isl.groupBy("doc_id", "gid")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("gid")
+    )

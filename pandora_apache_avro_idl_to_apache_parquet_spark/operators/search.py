@@ -120,3 +120,33 @@ def grouped_topk(df: DataFrame, group_col: str, order_col: str, k: int,
         .filter(F.col(rank_name) <= k)
         .drop("__gtk_shard")
     )
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             k: int = 10, k_rrf: int = 60,
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of any number of
+    rankings — the standard hybrid-retrieval combiner (lexical BM25 +
+    semantic ANN): each list contributes ``1 / (k_rrf + rank)`` per
+    document, fused score = the sum, missing lists contribute nothing.
+    Rank-based, so the legs' incomparable score scales never matter.
+
+    Scale shape: each input is already a top-k (bounded) list, so the
+    union + groupBy touches O(lists x k) rows regardless of corpus size,
+    and the final top-k is TakeOrderedAndProject. Output:
+    ``(id_col, rrf, n_lists)``, rrf rounded to 6 before the rank cut so
+    cross-engine ties break on the id."""
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(k_rrf) + F.col(rank_col))).alias("__c"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    return (
+        contribs.groupBy(id_col)
+        .agg(F.round(F.sum("__c"), 6).alias("rrf"),
+             F.count(F.lit(1)).alias("n_lists"))
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(k)
+    )

@@ -120,3 +120,44 @@ def document_fingerprint(docs: DataFrame, k: int = 4) -> DataFrame:
         F.expr(f"array_min({hashes})").alias("fp_min"),
         F.expr(f"array_max({hashes})").alias("fp_max"),
     ).orderBy("doc_id")
+
+
+def repetition_stats(docs: DataFrame, top2_max: float = 0.20,
+                     dup_word_max: float = 0.60) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1.3, the
+    within-document repetition family): the duplicate-word fraction
+    (1 - distinct/total) and the top-2-gram fraction (occurrences of the
+    most frequent bigram / total bigrams). Pages dominated by one repeated
+    phrase pass length/stopword filters (`quality_score`) but poison
+    training data; these two rules catch exactly that.
+
+    Scale shape: the word stats are executor-local array HOFs (no shuffle);
+    the bigram mode is one (doc_id, gram)-keyed partial-agg groupBy plus a
+    per-doc max/sum fold — never a per-doc window over the corpus.
+    Output: ``(doc_id, n_words, dup_word_frac, top_2gram_frac, keep)`` with
+    fractions rounded to 6 (cross-engine tie stability), keep = int 0/1.
+    """
+    words = "filter(split(text, ' '), w -> w <> '')"
+    # guard: sequence(1, 0) runs DESCENDING in Spark — a <2-word doc would
+    # fabricate bigrams from out-of-range slices
+    docs = docs.filter(F.expr(f"size({words}) >= 2"))
+    base = docs.select(
+        "doc_id",
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(f"round(1.0 - size(array_distinct({words})) / size({words}), 6)")
+        .alias("dup_word_frac"),
+        F.explode(F.expr(
+            f"transform(sequence(1, size({words}) - 1), "
+            f"i -> concat_ws(' ', slice({words}, i, 2)))"
+        )).alias("g2"),
+    )
+    cnt = base.groupBy("doc_id", "n_words", "dup_word_frac", "g2").count()
+    return (
+        cnt.groupBy("doc_id", "n_words", "dup_word_frac")
+        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("top_2gram_frac"))
+        .withColumn(
+            "keep",
+            ((F.col("dup_word_frac") < dup_word_max)
+             & (F.col("top_2gram_frac") < top2_max)).cast("int"),
+        )
+    )

@@ -914,6 +914,76 @@ FROM lineitem
 """
 
 
+def q_text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (round 5): duplicate-word fraction +
+    top-2-gram fraction per document with the keep verdict — the
+    within-document repetition family the length/stopword `text_quality`
+    rules cannot see. Oracle recomputes both fractions exactly."""
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+O_TEXT_REPETITION_FILTER = """
+WITH arr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w)::INT AS n_words,
+         round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_frac,
+         w
+  FROM arr WHERE len(w) >= 2
+), g2 AS (
+  SELECT doc_id, n_words, dup_word_frac, w[i] || ' ' || w[i+1] AS g
+  FROM base, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), cnt AS (
+  SELECT doc_id, n_words, dup_word_frac, g, count(*) AS c
+  FROM g2 GROUP BY ALL
+)
+SELECT doc_id, n_words, dup_word_frac,
+       round(max(c)::DOUBLE / sum(c), 6) AS top_2gram_frac,
+       (min(dup_word_frac) < 0.60
+        AND round(max(c)::DOUBLE / sum(c), 6) < 0.20)::INT AS keep
+FROM cnt GROUP BY doc_id, n_words, dup_word_frac
+"""
+
+
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (round 5 — Lee et al. 2022's duplicated
+    token spans, the pass doc-level MinHash/SimHash cannot see): maximal
+    per-document spans of 12-token windows that occur verbatim in >= 2
+    distinct documents. Spark hashes grams to 64-bit md5 pre-shuffle; the
+    DuckDB oracle recomputes on the raw gram strings — a hash collision,
+    a window off-by-one, or a wrong island merge all fail the row hash."""
+    return dedup.duplicate_spans(
+        _t(spark, sf_dir, "documents"), n=12, min_docs=2)
+
+
+O_DEDUP_DUPLICATE_SPANS = """
+WITH arr AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 12
+), grams AS (
+  SELECT doc_id, i AS start, array_to_string(w[i+1:i+12], ' ') AS g
+  FROM arr, unnest(generate_series(0, len(w) - 12)) AS t(i)
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, start FROM grams SEMI JOIN dup USING (g)
+), isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start <= lag(start) OVER w + 12 THEN 0 ELSE 1 END AS ni
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY start)
+), gids AS (
+  SELECT doc_id, start,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM isl
+)
+SELECT doc_id, min(start)::INT AS span_start, (max(start) + 12)::INT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM gids GROUP BY doc_id, gid
+"""
+
+
 def q_table_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE (round 5): per-column NDV register state persisted to
     the `_stats/` sidecar by `operators.stats.analyze_table`, then served
@@ -2846,6 +2916,74 @@ SELECT doc_id, n_terms, bm25 FROM scored ORDER BY bm25 DESC, doc_id LIMIT 10
 """
 
 
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 5): reciprocal-rank fusion of the lexical
+    BM25 top-50 (3-term query over documents) with the semantic cosine
+    top-50 (query = embedding 0 over the aligned embeddings table) —
+    1/(60+rank) per list, summed, top-10. Both legs and the fusion are
+    recomputed verbatim in the DuckDB oracle."""
+    from .operators.search import bm25_topk, rrf_fuse
+
+    lex = bm25_topk(
+        _t(spark, sf_dir, "documents"), ["vector", "merge", "spark"], k=50)
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), "doc_id")).alias("rank"),
+    )
+    sem = (
+        similarity.brute_force_topk(
+            _t(spark, sf_dir, "embeddings"), n_queries=1, k=50)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([lex_r, sem], id_col="doc_id", k=10)
+
+
+O_HYBRID_SEARCH_RRF = f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> w <> '') AS ws
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(len(ws)) AS avgdl FROM words),
+tok AS (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term FROM words),
+tf AS (
+  SELECT doc_id, term, any_value(dl) AS dl, count(*)::BIGINT AS tf
+  FROM tok WHERE term IN ('vector', 'merge', 'spark')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM scored ORDER BY bm25 DESC, doc_id LIMIT 50
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id, round({{COS}}, 4) AS score
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+sem AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM sem_scored ORDER BY score DESC, doc_id LIMIT 50
+),
+contribs AS (
+  SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+  UNION ALL SELECT doc_id, 1.0 / (60 + rank) FROM sem
+)
+SELECT doc_id, round(sum(c), 6) AS rrf, count(*)::BIGINT AS n_lists
+FROM contribs GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+O_HYBRID_SEARCH_RRF = O_HYBRID_SEARCH_RRF.replace(
+    "{COS}", _duck_cos("q.qe", "e.embedding"))
+
+
 def q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 documents per source by (n_chars DESC, doc_id): two-phase rank —
     (group, md5-shard) then group over the ≤ shards·k survivors — so a hot
@@ -4387,6 +4525,9 @@ QUERIES: dict[str, tuple] = {
     "table_log_checkpoint": (q_table_log_checkpoint, O_TABLE_LOG_CHECKPOINT),
     "table_merge_clauses": (q_table_merge_clauses, O_TABLE_MERGE_CLAUSES),
     "table_analyze_ndv": (q_table_analyze_ndv, O_TABLE_ANALYZE_NDV),
+    "dedup_duplicate_spans": (q_dedup_duplicate_spans, O_DEDUP_DUPLICATE_SPANS),
+    "text_repetition_filter": (q_text_repetition_filter, O_TEXT_REPETITION_FILTER),
+    "hybrid_search_rrf": (q_hybrid_search_rrf, O_HYBRID_SEARCH_RRF),
     "table_restore": (q_table_restore, O_TABLE_RESTORE),
     "table_clone_snapshot": (q_table_clone_snapshot, O_TABLE_CLONE_SNAPSHOT),
     "table_integrity_audit": (q_table_integrity_audit, O_TABLE_INTEGRITY_AUDIT),
@@ -4519,6 +4660,9 @@ _DRIVER_WINDOW: list[str] = [
     "table_log_checkpoint",
     "table_merge_clauses",
     "table_analyze_ndv",
+    "dedup_duplicate_spans",
+    "text_repetition_filter",
+    "hybrid_search_rrf",
     # -- stalest coverage: last green in r02 (24) --------------------------
     "events_tumbling_1h",
     "events_sessionize",
@@ -4546,10 +4690,8 @@ _DRIVER_WINDOW: list[str] = [
     "multimodal_features",
     # -- stalest r03 entries (14; tokens_explode, manifest_stats and
     # token_stats_by_source yielded their slots to new round-5 queries —
-    # those paths stay covered via tokens_roundtrip / manifest_codec_invariant) --
-    "token_offsets",
-    "dict_cardinality",
-    "values_only_stats",
+    # those paths stay covered via tokens_roundtrip / manifest_codec_invariant;
+    # token_offsets, dict_cardinality, values_only_stats likewise) -----------
     "typed_roundtrip",
     "table_selective_stats",
     "table_manifest_stats",
