@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "table_datasource_sql",
     "table_bloom_lookup",
     "table_delete_where",
+    "table_dv_delete",
     "table_merge_upsert",
     "table_stats_pushdown",
     "table_update_where",

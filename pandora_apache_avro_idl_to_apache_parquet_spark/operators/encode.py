@@ -496,8 +496,10 @@ def checkpoint_log(out_dir: str, io: FsIO | None = None,
     commits; without this every reader's planning pass is O(log length).
 
     State collapsed: the last ``add`` per live path (adds minus removes),
-    the latest ``metaData``, and the latest ``txn`` per appId (the stream
-    sink's idempotence axis survives checkpointing). The snapshot is one
+    the latest ``metaData``, the latest ``txn`` per appId (the stream
+    sink's idempotence axis survives checkpointing), and the surviving
+    deletion-vector actions (``"v"``-stamped; a later ``dvRestore`` simply
+    replaces state — :func:`committed_dv_actions`). The snapshot is one
     snappy parquet column of raw json lines — byte-faithful to the log
     format, ~10x smaller than the json tail it replaces.
 
@@ -518,9 +520,11 @@ def checkpoint_log(out_dir: str, io: FsIO | None = None,
     removes: dict[str, dict] = {}  # tombstones: 'referenced, never re-add'
     meta: dict | None = None
     txns: dict[str, dict] = {}
+    dvs: list[dict] = []  # deletion-vector actions, "v"-stamped
     for f in sorted(io.listdir(log_dir)):
         if not f.endswith(".json") or int(f[:-5]) > v:
             continue
+        idx = int(f[:-5])
         for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
             entry = json.loads(line)
             if "add" in entry:
@@ -533,10 +537,15 @@ def checkpoint_log(out_dir: str, io: FsIO | None = None,
                 meta = entry
             if "txn" in entry:
                 txns[entry["txn"]["appId"]] = entry
+            if "dv" in entry:
+                dvs.append(dict(entry["dv"], v=entry["dv"].get("v", idx)))
+            if "dvRestore" in entry:
+                dvs = [dict(a) for a in entry["dvRestore"]["keep"]]
     lines = (([meta] if meta else [])
              + [txns[a] for a in sorted(txns)]
              + [adds[p] for p in sorted(adds)]
-             + [removes[p] for p in sorted(removes)])
+             + [removes[p] for p in sorted(removes)]
+             + [{"dv": a} for a in dvs])
     buf = pa.BufferOutputStream()
     pq.write_table(
         pa.table({"line": pa.array([json.dumps(e) for e in lines], pa.string())}),
@@ -633,6 +642,55 @@ def committed_files(out_dir: str, io: FsIO | None = None,
     return sorted(live)
 
 
+def committed_dv_actions(out_dir: str, io: FsIO | None = None,
+                         as_of: int | None = None) -> list[dict]:
+    """Live deletion-vector actions per the commit log, in commit order.
+
+    A ``{"dv": {"dvFile": ..., "cardinality": N}}`` log action attaches a
+    deletion vector (``_dv/<dvFile>``: chunk_id -> deleted row ordinals) to
+    the table — merge-on-read DELETE, the Delta deletion-vector analog.
+    DVs are keyed by *chunk id*, never by file path, so compaction (which
+    moves chunk rows verbatim into new files) carries them untouched, and a
+    copy-on-write rewrite (which mints new chunk ids) orphans them
+    harmlessly. Readers union every live action's positions per chunk.
+
+    ``{"dvRestore": {"asOf": V, "keep": [...]}}`` (written by
+    :func:`..operators.table.restore_table`) REPLACES the DV state with the
+    embedded ``keep`` list — the exact live actions at version V. Carrying
+    the full target state (not a truncation predicate) makes restores
+    compose in BOTH directions: restoring to a pre-delete version
+    resurrects rows, and restoring forward again (undoing that restore)
+    re-applies the vectors — a filter-only marker could never recover
+    actions a sequential replay had already dropped. Each action carries
+    ``"v"`` (its original commit index) so identity survives checkpoints,
+    where the source file index is gone."""
+    io = _io(out_dir, io)
+    log_dir = io.join("_log")
+    if not io.isdir(log_dir):
+        return []
+    kept: list[dict] = []  # actions with resolved "v"
+    start_after = -1
+    ckpt = read_log_checkpoint(out_dir, io)
+    if ckpt is not None and (as_of is None or as_of >= ckpt[0]):
+        start_after = ckpt[0]
+        kept = [dict(e["dv"]) for e in ckpt[1] if "dv" in e]
+    for f in sorted(io.listdir(log_dir)):
+        if not f.endswith(".json"):
+            continue
+        idx = int(f[:-5])
+        if idx <= start_after:
+            continue
+        if as_of is not None and idx > as_of:
+            break
+        for line in io.read_text(posixpath.join(log_dir, f)).splitlines():
+            entry = json.loads(line)
+            if "dv" in entry:
+                kept.append(dict(entry["dv"], v=entry["dv"].get("v", idx)))
+            if "dvRestore" in entry:
+                kept = [dict(a) for a in entry["dvRestore"]["keep"]]
+    return kept
+
+
 def log_versions(out_dir: str, io: FsIO | None = None) -> list[int]:
     """Committed log indices, in order (the time-travel axis)."""
     io = _io(out_dir, io)
@@ -689,6 +747,19 @@ def vacuum(out_dir: str, io: FsIO | None = None,
     ]
     for f in doomed:
         io.fs.delete_file(posixpath.join(data_dir, f))
+    # deletion-vector sidecars age out under the same retention contract:
+    # a `_dv/` file no live action references (restored-away, or orphaned by
+    # a CoW rewrite then superseded) only serves pre-restore time travel —
+    # exactly what vacuuming a data file already forfeits
+    dv_dir = io.join("_dv")
+    if io.isdir(dv_dir):
+        live_dv = {a["dvFile"] for a in committed_dv_actions(out_dir, io)}
+        for f in io.listdir(dv_dir):
+            if (f.endswith(".json") and f not in live_dv
+                    and now_ms - io.mtime_ms(posixpath.join(dv_dir, f))
+                    >= min_age_sec * 1000):
+                io.fs.delete_file(posixpath.join(dv_dir, f))
+                doomed.append(f)
     return doomed
 
 

@@ -89,6 +89,11 @@ def _log_delta(out_dir: str, io: FsIO, lo: int, hi: int
                 added.append(entry["add"]["path"])
             if "remove" in entry:
                 removed = True
+            if "dv" in entry or "dvRestore" in entry:
+                # deletion vectors change existing files' VISIBLE rows without
+                # touching the file set: same consequence as a remove — HLL
+                # state is insert-only, soft-deleted values can't subtract
+                removed = True
     return added, removed
 
 

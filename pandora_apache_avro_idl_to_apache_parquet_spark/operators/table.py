@@ -48,9 +48,11 @@ over):
 
 from __future__ import annotations
 
+import base64
 import json
 import posixpath
 import uuid
+import zlib
 from dataclasses import dataclass, field
 from datetime import date
 
@@ -1831,13 +1833,13 @@ def _decode_table_flat(spark: SparkSession, out_dir: str,
     for m in meta_cols:
         if m in {f.name for f in spec.schema.fields}:
             raise ValueError(f"meta column {m!r} collides with a table column")
-        if m != "__src_file" and (
+        if m not in ("__src_file", "__pos") and (
             m not in chunk_fields or m.endswith(("__payload", "__valid"))
         ):
             raise ValueError(f"unknown meta column {m!r}")
+    _synth_types = {"__src_file": T.StringType(), "__pos": T.LongType()}
     meta_struct = [
-        T.StructField(m, T.StringType() if m == "__src_file"
-                      else chunk_fields[m].dataType, True)
+        T.StructField(m, _synth_types.get(m) or chunk_fields[m].dataType, True)
         for m in meta_cols
     ]
     out_struct = T.StructType(
@@ -1848,10 +1850,19 @@ def _decode_table_flat(spark: SparkSession, out_dir: str,
 
     arrow_out = to_arrow_schema(out_struct)
     names = [f.name for f in fields]
+
+    # merge-on-read deletes: DV state at this version, packed per chunk id
+    from .encode import committed_dv_actions
+    _riod = _io(out_dir, io)
+    dv_packed = _dv_packed_map(_riod, committed_dv_actions(out_dir, _riod,
+                                                           as_of=as_of))
+
     select_cols = ["n_rows"]
+    if dv_packed and "chunk_id" not in meta_cols:
+        select_cols.append("chunk_id")
     for name in names:
         select_cols += [f"{name}__valid", f"{name}__payload"]
-    select_cols += meta_cols
+    select_cols += [m for m in meta_cols if m != "__pos"]
 
     def gen(it):
         for batch in it:
@@ -1872,8 +1883,20 @@ def _decode_table_flat(spark: SparkSession, out_dir: str,
                                        arrow_out.field(name).type)
                     )
                 for m in meta_cols:
-                    arrays.append(pa.repeat(
-                        cols[m][i].cast(arrow_out.field(m).type), n))
+                    if m == "__pos":
+                        # physical in-chunk ordinal, assigned BEFORE the DV
+                        # filter so new DV deletes address original positions
+                        arrays.append(pa.array(np.arange(n, dtype=np.int64)))
+                    else:
+                        arrays.append(pa.repeat(
+                            cols[m][i].cast(arrow_out.field(m).type), n))
+                if dv_packed:
+                    pk = dv_packed.get(cols["chunk_id"][i].as_py())
+                    if pk is not None:
+                        keep = np.ones(n, dtype=bool)
+                        keep[np.frombuffer(zlib.decompress(pk), dtype="<u4")] = False
+                        mask = pa.array(keep)
+                        arrays = [a.filter(mask) for a in arrays]
                 yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
     chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
@@ -2157,6 +2180,13 @@ def table_stats(spark: SparkSession, out_dir: str,
     max_value)`` with min/max stringified (binary hex-encoded), the
     :func:`read_table_manifest` convention, so the row type is homogeneous
     across columns.
+
+    Deletion vectors (:func:`dv_delete_where`): ``n_rows`` stays EXACT — the
+    per-chunk DV cardinalities broadcast-join onto the chunk scan and
+    subtract. ``n_nulls``/``min``/``max`` remain the chunks' physical stats,
+    i.e. valid-but-possibly-loose bounds once rows are soft-deleted (the
+    Delta convention: file stats are physical; a CoW rewrite or compaction
+    of the affected files re-tightens them).
     """
     spec = read_table_spec(out_dir, io)
     fields = [f for f in spec.schema.fields if columns is None or f.name in columns]
@@ -2166,7 +2196,18 @@ def table_stats(spark: SparkSession, out_dir: str,
             raise ValueError(f"columns not in encoded table: {sorted(missing)}")
         fields.sort(key=lambda f: columns.index(f.name))
     chunks = read_table_chunks(spark, out_dir, io, as_of=as_of)
-    aggs = [F.sum("n_rows").alias("__rows")]
+    from .encode import committed_dv_actions
+    _riod = _io(out_dir, io)
+    dvm = load_dv_map(_riod, committed_dv_actions(out_dir, _riod, as_of=as_of))
+    rows_expr = F.col("n_rows")
+    if dvm:
+        dv_counts = spark.createDataFrame(
+            [(cid, len(pos)) for cid, pos in dvm.items()],
+            "chunk_id string, __dvk long",
+        )
+        chunks = chunks.join(F.broadcast(dv_counts), "chunk_id", "left")
+        rows_expr = F.col("n_rows") - F.coalesce(F.col("__dvk"), F.lit(0))
+    aggs = [F.sum(rows_expr).alias("__rows")]
     for f in fields:
         aggs += [
             F.sum(F.coalesce(F.col(f"{f.name}__nulls"), F.col("n_rows")))
@@ -2376,6 +2417,116 @@ def delete_where(spark: SparkSession, out_dir: str, condition,
     )
     return {"rows_deleted": n_deleted, "files_rewritten": len(adds),
             "files_removed": len(matched), "log": log}
+
+
+# ------------------------------------- deletion vectors (merge-on-read DELETE)
+# The CoW `delete_where` rewrites every matched file — right for broad
+# predicates, wasteful for sparse ones (a GDPR delete of 1e3 rows spread over
+# 1e4 multi-GB files would rewrite terabytes). A deletion vector instead
+# records the doomed rows' ordinals per CHUNK in a `_dv/` sidecar and commits
+# one metadata-only `{"dv": ...}` log action; every reader
+# (`decode_table`, SQL views, the DataSource) subtracts them at decode time.
+# Keying by chunk_id (content-addressed, globally unique) — never file path —
+# means compaction (verbatim chunk moves) carries DVs untouched and CoW
+# rewrites (fresh chunk ids) orphan them harmlessly. Delta's deletion-vector
+# feature, re-derived over this store's chunk model.
+
+DV_MAX_DELETED_ROWS = 4_000_000
+"""Driver-size guard: a DV delete collects (chunk_id, ordinals) to the
+driver. Past this many matched rows the predicate is not 'sparse' — use the
+copy-on-write :func:`delete_where`, which never materializes row ids."""
+
+
+def _pack_positions(pos: np.ndarray) -> str:
+    return base64.b64encode(
+        zlib.compress(np.asarray(pos, dtype="<u4").tobytes())
+    ).decode("ascii")
+
+
+def _unpack_positions(b64: str) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(base64.b64decode(b64)), dtype="<u4")
+
+
+def load_dv_map(io: FsIO, actions: list[dict]) -> dict[str, np.ndarray]:
+    """Union the live DV actions' per-chunk deleted ordinals. Disjointness
+    holds by construction (a delete's probe decode already excludes earlier
+    DV rows), so cardinalities are additive; union1d also tolerates replayed
+    duplicates."""
+    out: dict[str, np.ndarray] = {}
+    for a in actions:
+        d = json.loads(io.read_text(io.join("_dv/" + a["dvFile"])))
+        for cid, b64 in d["chunks"].items():
+            pos = _unpack_positions(b64)
+            out[cid] = np.union1d(out[cid], pos) if cid in out else pos
+    return out
+
+
+def _dv_packed_map(io: FsIO, actions: list[dict]) -> dict[str, bytes]:
+    """zlib-packed positions per chunk — the task-closure form (compressed
+    so a wide DV state doesn't bloat task serialization)."""
+    return {cid: zlib.compress(np.asarray(pos, dtype="<u4").tobytes())
+            for cid, pos in load_dv_map(io, actions).items()}
+
+
+def dv_delete_where(spark: SparkSession, out_dir: str, condition,
+                    io: FsIO | None = None,
+                    condition_cols: list[str] | None = None,
+                    chunk_filter=None) -> dict:
+    """Row-level DELETE as a deletion vector: no data file is rewritten.
+
+    One distributed probe (selective decode of ``condition_cols``, zone
+    maps/blooms prune via ``chunk_filter``) finds matched rows' (chunk_id,
+    in-chunk ordinal); ordinals are pre-DV physical positions, so repeated
+    DV deletes compose (the probe never re-matches an already-deleted row).
+    The positions publish to ``_dv/dv-<uuid>.json`` and ONE metadata-only
+    log action makes them visible atomically — ``as_of`` reads before it
+    still see the rows, :func:`restore_table` resurrects them via
+    ``dvRestore``, and any later CoW rewrite of a file materializes the
+    deletes (survivor decode is DV-filtered) and retires its vectors.
+    """
+    from .encode import append_log_entry, committed_files
+
+    io = _io(out_dir, io)
+    if committed_files(out_dir, io) is None:
+        raise ValueError("dv_delete_where requires a committed table (no _log found)")
+    spec = read_table_spec(out_dir, io)
+
+    probe = decode_table(spark, out_dir, columns=condition_cols, io=io,
+                         chunk_filter=chunk_filter,
+                         meta_cols=["chunk_id", "__pos"])
+    hits = (probe.filter(condition).select("chunk_id", "__pos")
+            .localCheckpoint(eager=False))
+    total = hits.count()
+    if total == 0:
+        return {"rows_deleted": 0, "chunks_touched": 0,
+                "dv_file": None, "log": None}
+    if total > DV_MAX_DELETED_ROWS:
+        raise ValueError(
+            f"predicate matches {total} rows "
+            f"(> DV_MAX_DELETED_ROWS={DV_MAX_DELETED_ROWS}); this is a broad "
+            "delete — use the copy-on-write delete_where instead"
+        )
+    rows = (
+        hits.groupBy("chunk_id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+        .collect()
+    )
+    chunks = {r["chunk_id"]: _pack_positions(np.asarray(r["pos"]))
+              for r in rows}
+    name = f"dv-{uuid.uuid4().hex[:12]}.json"
+    io.makedirs(io.join("_dv"))
+    io.publish_bytes(
+        io.join("_dv/" + name),
+        json.dumps({"chunks": chunks, "cardinality": total}).encode(),
+        attempt_tag=name[3:15],
+    )
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec), {"dv": {"dvFile": name, "cardinality": total}}],
+        io,
+    )
+    return {"rows_deleted": total, "chunks_touched": len(rows),
+            "dv_file": name, "log": log}
 
 
 def _route_inserts(spark: SparkSession, src_flat: DataFrame, spec: TableSpec,
@@ -2858,6 +3009,10 @@ def table_diff(spark: SparkSession, out_dir: str,
                     data_change_adds.append(entry["add"]["path"])
             if "remove" in entry and entry["remove"].get("dataChange", True):
                 removed = True
+            if "dv" in entry or "dvRestore" in entry:
+                # a deletion vector (or its restore) changed existing files'
+                # visible rows: the range is not append-only
+                removed = True
 
     from .encode import committed_files
 
@@ -3026,15 +3181,22 @@ def restore_table(out_dir: str, version: int, io: FsIO | None = None) -> dict:
     entry returns the live file set to exactly what commit ``version`` left
     — files live then but removed since are RE-ADDED (their original add
     records, still on disk because :func:`..operators.encode.vacuum` hasn't
-    reclaimed them), files added since are REMOVED. No data byte moves;
+    reclaimed them), files added since are REMOVED. Deletion-vector state
+    rolls back too: a ``dvRestore`` action carrying the target version's
+    exact live DV set replaces the current one — rows soft-deleted since
+    resurrect, and a later forward-restore re-applies them (embedded state
+    makes restore self-inverse). No data byte moves;
     history is preserved (``as_of`` reads of intermediate versions still
     work, and the restore itself is a new version that can be restored
     away). Raises if any needed file has already been vacuumed."""
-    from .encode import append_log_entry, committed_files, read_commit_log
+    from .encode import (append_log_entry, committed_dv_actions,
+                         committed_files, read_commit_log)
 
     io = _io(out_dir, io)
     cur = committed_files(out_dir, io)
     old = committed_files(out_dir, io, as_of=version)
+    dv_target = committed_dv_actions(out_dir, io, as_of=version)
+    dv_changed = committed_dv_actions(out_dir, io) != dv_target
     if cur is None or old is None:
         raise ValueError("restore_table requires a committed table (no _log found)")
     add_records = {
@@ -3051,7 +3213,14 @@ def restore_table(out_dir: str, version: int, io: FsIO | None = None) -> dict:
             f"cannot restore to version {version}: {len(gone)} file(s) already "
             f"vacuumed (e.g. {gone[0]!r})"
         )
-    if not re_add and not remove:
+    dv_gone = [a["dvFile"] for a in dv_target
+               if not io.exists(io.join("_dv/" + a["dvFile"]))]
+    if dv_gone:
+        raise ValueError(
+            f"cannot restore to version {version}: deletion-vector file(s) "
+            f"already vacuumed (e.g. {dv_gone[0]!r})"
+        )
+    if not re_add and not remove and not dv_changed:
         return {"restored_to": version, "files_readded": 0,
                 "files_removed": 0, "log": None}
     spec = read_table_spec(out_dir, io)
@@ -3059,7 +3228,9 @@ def restore_table(out_dir: str, version: int, io: FsIO | None = None) -> dict:
         out_dir,
         [_meta_entry(spec)]
         + [{"add": dict(add_records[f], dataChange=True)} for f in re_add]
-        + [{"remove": {"path": f, "dataChange": True}} for f in remove],
+        + [{"remove": {"path": f, "dataChange": True}} for f in remove]
+        + ([{"dvRestore": {"asOf": version, "keep": dv_target}}]
+           if dv_changed else []),
         io,
     )
     return {"restored_to": version, "files_readded": len(re_add),
@@ -3099,10 +3270,26 @@ def clone_table(src_dir: str, dst_dir: str, as_of: int | None = None,
     for f in live:
         data = src_io.open_input_file(posixpath.join(src_data, f)).read()
         dst_io.publish_bytes(posixpath.join(dst_data, f), data, attempt_tag=tag)
+    # deletion-vector state travels with the clone: copy the live dv files
+    # and re-commit their actions in the clone's version 0
+    from .encode import committed_dv_actions
+
+    dv_actions = committed_dv_actions(src_dir, src_io, as_of=as_of)
+    if dv_actions:
+        dst_io.makedirs(dst_io.join("_dv"))
+        for a in dv_actions:
+            dst_io.publish_bytes(
+                posixpath.join(dst_io.join("_dv"), a["dvFile"]),
+                src_io.read_text(
+                    posixpath.join(src_io.join("_dv"), a["dvFile"])).encode(),
+                attempt_tag=tag,
+            )
     log = append_log_entry(
         dst_dir,
         [_meta_entry(spec)]
-        + [{"add": dict(add_records[f], dataChange=True)} for f in live],
+        + [{"add": dict(add_records[f], dataChange=True)} for f in live]
+        + [{"dv": {"dvFile": a["dvFile"], "cardinality": a["cardinality"]}}
+           for a in dv_actions],
         dst_io,
     )
     return {"files_cloned": len(live), "log": log}

@@ -563,6 +563,40 @@ FROM lineitem WHERE NOT (l_quantity > 45.0)
 """
 
 
+def q_table_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (Delta's DV feature over
+    this store's chunk model; commit protocol DeltaLake.fs:176-444): two
+    sequential sparse deletes record matched rows' (chunk_id, ordinal) in
+    ``_dv/`` sidecars + one metadata-only log action each — ZERO data files
+    rewritten (asserted), every reader subtracts at decode. Ordinals are
+    physical, so the second delete composes with the first. Survivors =
+    the conjunctive SQL anti-filter."""
+    from .operators.encode import committed_files, log_versions
+    from .operators.table import decode_table, dv_delete_where
+
+    out = _mutable_table_dir(spark, sf_dir, "dvd")
+    if len(log_versions(out)) < 3:
+        before = committed_files(out)
+        dv_delete_where(spark, out, F.col("l_orderkey") % 97 == 13,
+                        condition_cols=["l_orderkey"])
+        dv_delete_where(
+            spark, out,
+            (F.col("l_orderkey") % 97 == 14) | (F.col("l_quantity") > 49.0),
+            condition_cols=["l_orderkey", "l_quantity"],
+        )
+        if committed_files(out) != before:  # merge-on-read invariant
+            raise AssertionError("dv_delete_where rewrote data files")
+    return decode_table(spark, out)
+
+
+O_TABLE_DV_DELETE = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+FROM lineitem
+WHERE NOT (l_orderkey % 97 = 13)
+  AND NOT (l_orderkey % 97 = 14 OR l_quantity > 49.0)
+"""
+
+
 def q_table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert (Delta ``MERGE`` whenMatchedUpdateAll + whenNotMatchedInsertAll)
     keyed on (l_orderkey, l_linenumber): line-1 rows get a doubled price
@@ -4506,6 +4540,7 @@ QUERIES: dict[str, tuple] = {
     "table_lookup_range": (q_table_lookup_range, O_TABLE_LOOKUP_RANGE),
     "table_bloom_lookup": (q_table_bloom_lookup, O_TABLE_BLOOM_LOOKUP),
     "table_delete_where": (q_table_delete_where, O_TABLE_DELETE_WHERE),
+    "table_dv_delete": (q_table_dv_delete, O_TABLE_DV_DELETE),
     "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
     "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
@@ -4663,7 +4698,10 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_duplicate_spans",
     "text_repetition_filter",
     "hybrid_search_rrf",
-    # -- stalest coverage: last green in r02 (24) --------------------------
+    "table_dv_delete",
+    # -- stalest coverage: last green in r02 (23; text_fingerprint yielded
+    # its slot to table_dv_delete — the text tier stays covered via
+    # text_quality / text_langid / text_token_counts) ----------------------
     "events_tumbling_1h",
     "events_sessionize",
     "scalar_kitchen_sink",
@@ -4682,7 +4720,6 @@ _DRIVER_WINDOW: list[str] = [
     "text_quality",
     "text_langid",
     "text_token_counts",
-    "text_fingerprint",
     "streaming_encode",
     "nested_flatten_words",
     "avro_flatten",

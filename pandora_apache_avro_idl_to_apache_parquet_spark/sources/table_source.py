@@ -252,6 +252,16 @@ class PandoraTableReader(DataSourceReader):
         self._as_of = as_of
         self._plan_prune = plan_prune
         self._zone: list = []
+        # merge-on-read deletes: live DV file names at this version; the
+        # executors load `_dv/` payloads themselves (bounded sidecars), so
+        # only the NAMES ride the plan
+        from ..operators.encode import committed_dv_actions
+        from ..operators.table import _io
+
+        self._dv_files = [
+            a["dvFile"]
+            for a in committed_dv_actions(path, _io(path, None), as_of=as_of)
+        ]
 
     # -- planning (driver) --------------------------------------------------
 
@@ -355,16 +365,19 @@ class PandoraTableReader(DataSourceReader):
             return
         yield from _decode_file_batches(
             self._path, self._spec_json, self._out_names, self._zone,
-            partition.value,
+            partition.value, dv_files=self._dv_files,
         )
 
 
 def _decode_file_batches(path: str, spec_json: str, names: list[str],
-                         zone: list, fname: str) -> Iterator[Any]:
+                         zone: list, fname: str,
+                         dv_files: list[str] | None = None) -> Iterator[Any]:
     """Executor-side: one chunk file -> decoded Arrow batches (one per
     surviving chunk), with the chunk-level zone filter applied over the
-    file's META rows before any payload bytes materialize. Shared by the
+    file's META rows before any payload bytes materialize, and live
+    deletion vectors (``dv_files``) subtracted per chunk. Shared by the
     batch reader and the streaming reader (``zone=[]`` there)."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -373,7 +386,7 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
 
     from ..operators.table import (
         TableSpec, _decode_column, _io, _struct_col_type, _struct_flat_names,
-        assemble_struct_arrow, relax_nullable,
+        assemble_struct_arrow, load_dv_map, relax_nullable,
     )
 
     spec = TableSpec.from_json(spec_json)
@@ -432,7 +445,11 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
             continue
         expr = e if expr is None else expr & e
 
+    dv_map = (load_dv_map(io, [{"dvFile": f} for f in dv_files])
+              if dv_files else {})
     want = ["n_rows"]
+    if dv_map:
+        want.append("chunk_id")
     for n in flat_needed:
         for side in ("__valid", "__payload"):
             if f"{n}{side}" in present:
@@ -470,6 +487,13 @@ def _decode_file_batches(path: str, spec_json: str, names: list[str],
             if name in scols else flat[name]
             for name in names
         ]
+        if dv_map:
+            dead = dv_map.get(cols["chunk_id"][i].as_py())
+            if dead is not None:
+                keep = np.ones(n, dtype=bool)
+                keep[dead] = False
+                mask = pa.array(keep)
+                arrays = [a.filter(mask) for a in arrays]
         yield pa.RecordBatch.from_arrays(arrays, schema=arrow_out)
 
 
@@ -742,7 +766,11 @@ class PandoraTableStreamReader(DataSourceStreamReader):
     *added with dataChange* — compaction's rewrite entries carry
     ``dataChange: false`` (``operators/table.py:compact_table``) and are
     skipped, so a tailing consumer sees every appended row exactly once and
-    never re-sees rows a compaction merely moved. This is the streaming half
+    never re-sees rows a compaction merely moved. Deletion-vector commits
+    (``{"dv": ...}``, metadata-only) likewise add nothing: the offset
+    advances with zero rows — streams are append-only and soft deletes never
+    retract already-emitted rows (Delta's ``skipChangeCommits`` analog).
+    This is the streaming half
     of the reference's micro-batch loop (``README.md`` foreachBatch usage)
     turned inside out: the encoded store as an exactly-once *source*."""
 

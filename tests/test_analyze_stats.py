@@ -78,6 +78,22 @@ def test_removes_force_full_recompute(spark, out_dir):
     assert abs(est["id"] - 900) / 900 < 0.15  # deletions actually left
 
 
+def test_dv_deletes_force_full_recompute(spark, out_dir):
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        dv_delete_where,
+    )
+
+    encode_table(_df(spark, 0, 1000), out_dir, key_cols=["id"], n_parts=2)
+    analyze_table(spark, out_dir, columns=COLS)
+    # a DV commit changes visible rows WITHOUT adds/removes: the gap is not
+    # append-only, so the refresh must re-fold (decode is DV-filtered)
+    dv_delete_where(spark, out_dir, F.col("id") < 100, condition_cols=["id"])
+    doc = analyze_table(spark, out_dir, columns=COLS)
+    assert doc["mode"] == "full"
+    est = {r.col_name: r.ndv_est for r in ndv_estimates(spark, out_dir).collect()}
+    assert abs(est["id"] - 900) / 900 < 0.15  # soft deletes actually left
+
+
 def test_idempotent_per_version_and_column_set_change(spark, out_dir):
     encode_table(_df(spark, 0, 500), out_dir, key_cols=["id"], n_parts=1)
     d1 = analyze_table(spark, out_dir, columns=COLS)
