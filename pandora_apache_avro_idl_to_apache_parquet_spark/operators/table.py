@@ -2529,6 +2529,120 @@ def dv_delete_where(spark: SparkSession, out_dir: str, condition,
             "dv_file": name, "log": log}
 
 
+def dv_update_where(spark: SparkSession, out_dir: str, condition,
+                    assignments: dict, io: FsIO | None = None,
+                    chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                    pds: date | None = None,
+                    condition_cols: list[str] | None = None,
+                    chunk_filter=None,
+                    update_parts: int = 8) -> dict:
+    """Row-level UPDATE as merge-on-read: DV-mark the old rows, append the
+    updated rows as fresh files, ONE atomic log commit — no existing data
+    file is rewritten (Delta's DV-backed UPDATE shape, vs the copy-on-write
+    :func:`update_where` which rewrites every matched file in place).
+
+    Semantics differ from the CoW path in one liberating way: because the
+    updated rows RELOCATE into fresh files (own zone maps, own
+    ``partitionValues``), *any* column may be assigned — including the key
+    columns and the partition column ``pds_col`` (rows re-route to their new
+    date's files via the same per-(date, salt) routing merge inserts use).
+    The in-place CoW paths must reject both, since there the row keeps its
+    file and the file keeps its placement metadata.
+
+    Two distributed passes over DV-filtered decodes, so repeated MoR updates
+    compose (an already-superseded row never re-matches):
+
+    1. *Probe*: selective decode of ``condition_cols`` (``chunk_filter``
+       prunes via zone maps/blooms) yields matched (chunk_id, physical
+       ordinal); bounded by ``DV_MAX_DELETED_ROWS`` — past it the predicate
+       is not sparse, use :func:`update_where`.
+    2. *Rewrite rows, not files*: only the touched chunks decode in full;
+       ``condition`` re-applies (it must be DETERMINISTIC over the row — the
+       same contract the CoW rewrite's in-place ``F.when`` relies on) and
+       ``assignments`` (column → Column over the PRE-update row, SQL UPDATE
+       semantics) produce the replacement rows, encoded append-style.
+
+    The commit carries the new files' adds AND the ``{"dv": ...}`` action
+    atomically: readers see either the old rows or (new rows + vectors),
+    never both. ``as_of`` before the commit sees pre-update rows;
+    :func:`restore_table` undoes both halves (``dvRestore`` + file removes);
+    a later compaction carries the vectors (chunk-id-keyed) verbatim.
+    """
+    from .encode import append_log_entry, committed_files
+
+    io = _io(out_dir, io)
+    if committed_files(out_dir, io) is None:
+        raise ValueError("dv_update_where requires a committed table (no _log found)")
+    spec = read_table_spec(out_dir, io)
+    scols = {n: relax_nullable(_struct_col_type(tj))
+             for n, tj in (spec.structs or {}).get("cols", {}).items()}
+    orig_fields = [
+        (n, scols.get(n) or spec.schema[n].dataType)
+        for n in _orig_columns(spec)
+    ]
+    bad = sorted(set(assignments) - {n for n, _ in orig_fields})
+    if bad:
+        raise ValueError(f"assigned columns not in table: {bad}")
+    pds = pds or date(2026, 1, 1)
+
+    probe = decode_table(spark, out_dir, columns=condition_cols, io=io,
+                         chunk_filter=chunk_filter,
+                         meta_cols=["chunk_id", "__pos"])
+    hits = (probe.filter(condition).select("chunk_id", "__pos")
+            .localCheckpoint(eager=False))
+    total = hits.count()
+    if total == 0:
+        return {"rows_updated": 0, "chunks_touched": 0, "files_added": 0,
+                "dv_file": None, "log": None}
+    if total > DV_MAX_DELETED_ROWS:
+        raise ValueError(
+            f"predicate matches {total} rows "
+            f"(> DV_MAX_DELETED_ROWS={DV_MAX_DELETED_ROWS}); this is a broad "
+            "update — use the copy-on-write update_where instead"
+        )
+    pos_rows = (
+        hits.groupBy("chunk_id")
+        .agg(F.sort_array(F.collect_list("__pos")).alias("pos"))
+        .collect()
+    )
+    chunks = {r["chunk_id"]: _pack_positions(np.asarray(r["pos"]))
+              for r in pos_rows}
+
+    # replacement rows: full decode of ONLY the touched chunks (every other
+    # chunk's payload is never read), condition re-applied, assignments
+    # evaluated against the pre-update row, routed like merge inserts
+    run = f"du{uuid.uuid4().hex[:8]}"
+    dec = decode_table(spark, out_dir, io=io,
+                       chunk_filter=F.col("chunk_id").isin(sorted(chunks)))
+    updated = dec.filter(condition).select(
+        *[
+            assignments[name].cast(dtype).alias(name)
+            if name in assignments else F.col(name)
+            for name, dtype in orig_fields
+        ]
+    )
+    routed = _route_inserts(spark, _flat_for_rewrite(updated, spec), spec,
+                            update_parts, pds, 0, out_dir, io)
+    adds = _rewrite_job(routed, io, spec, chunk_rows, pds, run,
+                        pds_from_col=True)
+
+    name = f"dv-{uuid.uuid4().hex[:12]}.json"
+    io.makedirs(io.join("_dv"))
+    io.publish_bytes(
+        io.join("_dv/" + name),
+        json.dumps({"chunks": chunks, "cardinality": total}).encode(),
+        attempt_tag=name[3:15],
+    )
+    log = append_log_entry(
+        out_dir,
+        [_meta_entry(spec)] + adds
+        + [{"dv": {"dvFile": name, "cardinality": total}}],
+        io,
+    )
+    return {"rows_updated": total, "chunks_touched": len(pos_rows),
+            "files_added": len(adds), "dv_file": name, "log": log}
+
+
 def _route_inserts(spark: SparkSession, src_flat: DataFrame, spec: TableSpec,
                    insert_parts: int, pds: date, part_offset: int,
                    out_dir: str, io: FsIO) -> DataFrame:
@@ -2697,6 +2811,14 @@ def _merge_with_clauses(spark: SparkSession, out_dir: str, source: DataFrame,
         bad = [c for c in upd if c in keys]
         if bad:
             raise ValueError(f"key columns cannot be assigned: {bad}")
+        if spec.pds_col and spec.pds_col in upd:
+            # same in-place hazard as update_where: the matched row stays in
+            # its file, whose partitionValues date would go stale
+            raise ValueError(
+                f"partition column {spec.pds_col!r} cannot be assigned by "
+                "when_matched_update (rows keep their file's partition "
+                "date); delete + re-insert, or dv_update_where"
+            )
         unknown = [c for c in upd if c not in orig_cols]
         if unknown:
             raise ValueError(f"assignments target unknown columns: {unknown}")
@@ -2849,6 +2971,16 @@ def update_where(spark: SparkSession, out_dir: str, condition,
     if keyed:
         raise ValueError(
             f"key columns cannot be assigned (delete+merge to re-key): {keyed}"
+        )
+    if spec.pds_col and spec.pds_col in assignments:
+        # the CoW rewrite keeps each file's partitionValues date — assigning
+        # the partition column in place would desync it from the rows and
+        # silently break pds chunk_filter pruning. The merge-on-read
+        # dv_update_where relocates rows, so it CAN re-partition them.
+        raise ValueError(
+            f"partition column {spec.pds_col!r} cannot be assigned in place "
+            "(rows keep their file's partition date); use dv_update_where, "
+            "which re-routes updated rows to their new date's files"
         )
     pds = pds or date(2026, 1, 1)
 

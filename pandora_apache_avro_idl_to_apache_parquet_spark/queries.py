@@ -597,6 +597,56 @@ WHERE NOT (l_orderkey % 97 = 13)
 """
 
 
+def q_table_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors (`dv_update_where` — the
+    DV-backed half of Delta UPDATE over the commit protocol,
+    DeltaLake.fs:176-444): the old rows DV-mark, the updated rows append as
+    fresh files, ONE atomic adds+dv commit — ZERO pre-update files removed
+    (asserted). Two sequential sparse updates compose: the second's
+    predicate matches the FIRST's assigned values (probe runs over the
+    DV-filtered view). Result = the nested CASE WHEN in SQL."""
+    from .operators.encode import committed_files, log_versions
+    from .operators.table import decode_table, dv_update_where
+
+    out = _mutable_table_dir(spark, sf_dir, "dvu")
+    if len(log_versions(out)) < 3:
+        before = set(committed_files(out))
+        dv_update_where(
+            spark, out, F.col("l_orderkey") % 97 == 13,
+            {"l_extendedprice": F.col("l_extendedprice") * 2,
+             "l_returnflag": F.lit("X")},
+            condition_cols=["l_orderkey"],
+        )
+        dv_update_where(
+            spark, out,
+            (F.col("l_returnflag") == "X") & (F.col("l_quantity") > 25.0),
+            {"l_quantity": F.lit(0.0)},
+            condition_cols=["l_returnflag", "l_quantity"],
+        )
+        if not before <= set(committed_files(out)):  # merge-on-read invariant
+            raise AssertionError("dv_update_where removed pre-update files")
+    return decode_table(spark, out)
+
+
+O_TABLE_DV_UPDATE = """
+WITH u1 AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_orderkey % 97 = 13
+              THEN l_extendedprice * 2 ELSE l_extendedprice
+         END AS l_extendedprice,
+         CASE WHEN l_orderkey % 97 = 13 THEN 'X' ELSE l_returnflag
+         END AS l_returnflag
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_returnflag = 'X' AND l_quantity > 25.0
+            THEN 0.0 ELSE l_quantity
+       END AS l_quantity,
+       l_extendedprice, l_returnflag
+FROM u1
+"""
+
+
 def q_table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert (Delta ``MERGE`` whenMatchedUpdateAll + whenNotMatchedInsertAll)
     keyed on (l_orderkey, l_linenumber): line-1 rows get a doubled price
@@ -4541,6 +4591,7 @@ QUERIES: dict[str, tuple] = {
     "table_bloom_lookup": (q_table_bloom_lookup, O_TABLE_BLOOM_LOOKUP),
     "table_delete_where": (q_table_delete_where, O_TABLE_DELETE_WHERE),
     "table_dv_delete": (q_table_dv_delete, O_TABLE_DV_DELETE),
+    "table_dv_update": (q_table_dv_update, O_TABLE_DV_UPDATE),
     "table_merge_upsert": (q_table_merge_upsert, O_TABLE_MERGE_UPSERT),
     "table_update_where": (q_table_update_where, O_TABLE_UPDATE_WHERE),
     "table_changes_feed": (q_table_changes_feed, O_TABLE_CHANGES_FEED),
@@ -4699,7 +4750,8 @@ _DRIVER_WINDOW: list[str] = [
     "text_repetition_filter",
     "hybrid_search_rrf",
     "table_dv_delete",
-    # -- stalest coverage: last green in r02 (23; text_fingerprint yielded
+    "table_dv_update",
+    # -- stalest coverage: last green in r02 (22; text_fingerprint yielded
     # its slot to table_dv_delete — the text tier stays covered via
     # text_quality / text_langid / text_token_counts) ----------------------
     "events_tumbling_1h",
@@ -4713,7 +4765,8 @@ _DRIVER_WINDOW: list[str] = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "ann_bruteforce_topk",
+    # (ann_bruteforce_topk yielded its slot to table_dv_update — the ANN
+    # tier stays covered via ann_lsh_topk / ann_ivf_assign / ann_ivf_topk)
     "ann_lsh_topk",
     "ann_ivf_assign",
     "ann_ivf_topk",

@@ -30,11 +30,14 @@ from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
     decode_table,
     delete_where,
     dv_delete_where,
+    dv_update_where,
     encode_table,
     load_dv_map,
+    merge_table,
     restore_table,
     table_diff,
     table_stats,
+    update_where,
 )
 from pandora_apache_avro_idl_to_apache_parquet_spark.sources.table_source import (
     read_encoded_table,
@@ -310,3 +313,131 @@ def test_pos_meta_col_is_physical_ordinal(spark, tmp_path):
     # PHYSICAL (stable), not re-densified
     assert dec2.filter(F.col("__pos") == 0).count() < dec.filter(
         F.col("__pos") == 0).count()
+
+
+# ------------------------------------------------- merge-on-read UPDATE (DV)
+
+
+def test_dv_update_rewrites_rows_not_files(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = _mk(spark, out)
+    files_before = committed_files(out)
+    res = dv_update_where(spark, out, F.col("k") % 100 == 3,
+                          {"amt": F.col("amt") * 10, "tag": F.lit("upd")},
+                          condition_cols=["k"])
+    assert res["rows_updated"] == 50
+    assert res["files_added"] >= 1
+    assert res["dv_file"].startswith("dv-")
+    # merge-on-read: every pre-update file is STILL live (no removes), the
+    # updated rows live in fresh appended files
+    after = committed_files(out)
+    assert set(files_before) <= set(after)
+    assert len(after) == len(files_before) + res["files_added"]
+    hit = F.col("k") % 100 == 3
+    exp = df.select(
+        "k", "grp",
+        F.when(hit, F.col("amt") * 10).otherwise(F.col("amt")).alias("amt"),
+        F.when(hit, F.lit("upd")).otherwise(F.col("tag")).alias("tag"),
+    )
+    dec = decode_table(spark, out)
+    assert dec.count() == 5000
+    assert _rows(dec.select("k", "grp", "amt", "tag")) == _rows(exp)
+
+
+def test_dv_update_composes_with_further_dml(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = _mk(spark, out)
+    dv_update_where(spark, out, F.col("k") < 100,
+                    {"grp": F.lit(999).cast("int")}, condition_cols=["k"])
+    # a second MoR pass probes the post-update view: the new value matches
+    res = dv_update_where(spark, out, F.col("grp") == 999,
+                          {"amt": F.lit(0.0)}, condition_cols=["grp"])
+    assert res["rows_updated"] == 100
+    dec = decode_table(spark, out)
+    assert dec.count() == 5000
+    assert dec.filter(F.col("grp") == 999).count() == 100
+    assert dec.filter((F.col("grp") == 999) & (F.col("amt") != 0.0)).count() == 0
+    # and a DV delete of the relocated rows sees exactly them
+    dv_delete_where(spark, out, F.col("grp") == 999, condition_cols=["grp"])
+    assert _rows(decode_table(spark, out).select("k")) == _rows(
+        df.filter(F.col("k") >= 100).select("k"))
+
+
+def test_dv_update_noop_and_broad_guard(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "t")
+    _mk(spark, out)
+    res = dv_update_where(spark, out, F.col("k") < 0, {"amt": F.lit(0.0)},
+                          condition_cols=["k"])
+    assert res["rows_updated"] == 0 and res["log"] is None
+    assert committed_dv_actions(out) == []
+    import pandora_apache_avro_idl_to_apache_parquet_spark.operators.table as tbl
+    monkeypatch.setattr(tbl, "DV_MAX_DELETED_ROWS", 10)
+    with pytest.raises(ValueError, match="copy-on-write update_where"):
+        dv_update_where(spark, out, F.col("k") < 100, {"amt": F.lit(0.0)},
+                        condition_cols=["k"])
+    with pytest.raises(ValueError, match="not in table"):
+        dv_update_where(spark, out, F.col("k") < 0, {"nope": F.lit(1)})
+
+
+def test_dv_update_can_reassign_key_and_partition_columns(spark, tmp_path):
+    """The MoR update RELOCATES rows into fresh files, so the placement
+    metadata the in-place CoW paths must freeze (key columns, pds_col) is
+    legitimately assignable: relocated rows re-route to their new date's
+    files and partition pruning stays exact."""
+    out = str(tmp_path / "t")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        F.to_date(F.lit("2024-01-01")).alias("day"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    encode_table(df, out, key_cols=["k"], n_parts=2, chunk_rows=256,
+                 pds_col="day")
+    res = dv_update_where(
+        spark, out, F.col("k") < 50,
+        {"day": F.to_date(F.lit("2024-02-01")), "k": F.col("k") + 10000},
+        condition_cols=["k"])
+    assert res["rows_updated"] == 50
+    # pds chunk pruning finds the moved rows under their NEW date only
+    feb = decode_table(spark, out,
+                       chunk_filter=F.col("pds") == "2024-02-01")
+    assert feb.count() == 50
+    assert feb.agg(F.min("k")).collect()[0][0] == 10000
+    jan = decode_table(spark, out,
+                       chunk_filter=F.col("pds") == "2024-01-01")
+    assert jan.filter(F.col("k") < 50).count() == 0
+    assert decode_table(spark, out).count() == 2000
+
+
+def test_cow_paths_reject_partition_column_assignment(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.to_date(F.lit("2024-01-01")).alias("day"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    encode_table(df, out, key_cols=["k"], n_parts=1, pds_col="day")
+    with pytest.raises(ValueError, match="cannot be assigned in place"):
+        update_where(spark, out, F.col("k") < 10,
+                     {"day": F.to_date(F.lit("2024-02-01"))})
+    src = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="when_matched_update"):
+        merge_table(spark, out, src,
+                    when_matched_update={"day": F.to_date(F.lit("2024-02-01"))})
+
+
+def test_dv_update_as_of_and_restore(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = _mk(spark, out)
+    v0 = log_versions(out)[-1]
+    dv_update_where(spark, out, F.col("k") < 20, {"amt": F.lit(-1.0)},
+                    condition_cols=["k"])
+    assert decode_table(spark, out).filter(F.col("amt") == -1.0).count() == 20
+    # pinned reads before the commit see the original values
+    assert decode_table(spark, out, as_of=v0).filter(
+        F.col("amt") == -1.0).count() == 0
+    # restore undoes BOTH halves: vectors drop, appended files go
+    restore_table(out, v0)
+    assert committed_dv_actions(out) == []
+    dec = decode_table(spark, out)
+    assert dec.count() == 5000
+    assert _rows(dec) == _rows(df)
