@@ -1,0 +1,160 @@
+"""Iceberg v2 front door (`sources/iceberg.py`) — reader/writer pair built on
+this repo's own Avro OCF machinery, no Iceberg library.
+
+Covered: snapshot round-trip, plan-time partition pruning from manifest
+entries, append + time travel (by snapshot id and by timestamp), positional
+merge-on-read deletes (subtraction, composition, older snapshots untouched,
+zero data-file rewrites), the pre-tokenized-sequence schema (array<int>
+tokens — the north-star input shape), metadata-layout shape checks, and the
+error paths (not-a-table, unknown snapshot, fully-pruned scan)."""
+
+import json
+import os
+import posixpath
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandora_apache_avro_idl_to_apache_parquet_spark.functions.fsio import FsIO
+from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_binary import (
+    read_avro_container,
+)
+from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+    append_iceberg,
+    current_metadata,
+    delete_iceberg_rows,
+    read_iceberg,
+    scan_manifests,
+    write_iceberg,
+)
+
+
+def _docs(spark, n=2000, shift=0):
+    return spark.range(n).select(
+        (F.col("id") + shift).alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        ((F.col("id") + shift) * 1.5).alias("v"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_roundtrip_unpartitioned(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = _docs(spark)
+    res = write_iceberg(df, d)
+    assert res == {"snapshot_id": 1, "version": 1,
+                   "files": res["files"], "rows": 2000}
+    got = read_iceberg(spark, d)
+    assert got.columns == df.columns
+    assert _rows(got) == _rows(df)
+    # column projection stays a plain parquet scan
+    assert read_iceberg(spark, d, columns=["doc_id"]).columns == ["doc_id"]
+
+
+def test_partition_pruning_from_manifest_entries(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = _docs(spark)
+    write_iceberg(df, d, partition_by="source")
+    plan_all = scan_manifests(d)
+    plan = scan_manifests(d, partition_filter=lambda p: p["source"] == "src2")
+    # pruning happened at PLAN time, against manifest partition values
+    assert plan["pruned_files"] > 0
+    assert len(plan["data_files"]) < len(plan_all["data_files"])
+    assert all(f["partition"]["source"] == "src2" for f in plan["data_files"])
+    got = read_iceberg(spark, d,
+                       partition_filter=lambda p: p["source"] == "src2")
+    assert _rows(got) == _rows(df.filter(F.col("source") == "src2"))
+    # the partition column survives in the data files (string-twin layout)
+    assert "source" in got.columns
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark), d, partition_by="source")
+    append_iceberg(_docs(spark, shift=2000), d, partition_by="source")
+    assert read_iceberg(spark, d).count() == 4000
+    assert read_iceberg(spark, d, snapshot_id=1).count() == 2000
+    meta = current_metadata(d)
+    log = meta["snapshot-log"]
+    assert [e["snapshot-id"] for e in log] == [1, 2]
+    # as-of the first snapshot's timestamp: the append is invisible
+    assert read_iceberg(spark, d, as_of_ms=log[0]["timestamp-ms"]).count() == 2000
+    with pytest.raises(ValueError, match="not in table"):
+        read_iceberg(spark, d, snapshot_id=99)
+    with pytest.raises(ValueError, match="at or before"):
+        read_iceberg(spark, d, as_of_ms=1)
+
+
+def test_positional_delete_merge_on_read(spark, tmp_path):
+    d = str(tmp_path / "t")
+    df = _docs(spark)
+    write_iceberg(df, d, partition_by="source")
+    files_before = {f["file_path"] for f in scan_manifests(d)["data_files"]}
+    res = delete_iceberg_rows(spark, d, F.col("doc_id") % 10 == 3)
+    assert res["rows_deleted"] == 200
+    # merge-on-read: the data-file set is IDENTICAL, deletes live beside it
+    plan = scan_manifests(d)
+    assert {f["file_path"] for f in plan["data_files"]} == files_before
+    assert len(plan["delete_files"]) == 1
+    got = read_iceberg(spark, d)
+    assert _rows(got) == _rows(df.filter(F.col("doc_id") % 10 != 3))
+    # the pre-delete snapshot still reads every row
+    assert read_iceberg(spark, d, snapshot_id=1).count() == 2000
+    # deletes compose: a second delete subtracts from the remaining rows
+    delete_iceberg_rows(spark, d, F.col("doc_id") % 10 == 4)
+    assert read_iceberg(spark, d).count() == 1600
+
+
+def test_tokens_schema_roundtrip(spark, tmp_path):
+    """The north-star input: pre-tokenized sequences (doc_id, tokens:
+    array<int>, n_tok, source) ride the Iceberg layout bit-identically."""
+    d = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.transform(F.sequence(F.lit(0), (F.col("id") % 7 + 1).cast("int")),
+                    lambda i: (i * 31 + F.col("id")).cast("int")).alias("tokens"),
+        (F.col("id") % 7 + 2).cast("int").alias("n_tok"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    write_iceberg(df, d, partition_by="source")
+    got = read_iceberg(spark, d)
+    exp = [(r["doc_id"], tuple(r["tokens"])) for r in df.collect()]
+    act = [(r["doc_id"], tuple(r["tokens"])) for r in got.collect()]
+    assert sorted(act) == sorted(exp)
+    # schema json records the list type
+    sch = current_metadata(d)["schemas"][0]
+    tok = [f for f in sch["fields"] if f["name"] == "tokens"][0]
+    assert tok["type"]["type"] == "list" and tok["type"]["element"] == "int"
+
+
+def test_metadata_layout_is_spec_shaped(spark, tmp_path):
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=100), d, partition_by="source")
+    io = FsIO.resolve(d)
+    meta_dir = posixpath.join(d, "metadata")
+    names = set(os.listdir(meta_dir))
+    assert "version-hint.text" in names and "v1.metadata.json" in names
+    meta = json.loads(io.read_text(posixpath.join(meta_dir, "v1.metadata.json")))
+    assert meta["format-version"] == 2
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "identity"
+    assert meta["current-snapshot-id"] == 1
+    # the manifest list and manifest are real Avro OCF files
+    ml = meta["snapshots"][0]["manifest-list"]
+    _, manifests = read_avro_container(io.read_bytes(ml))
+    assert manifests[0]["added_files_count"] >= 1
+    _, entries = read_avro_container(io.read_bytes(manifests[0]["manifest_path"]))
+    e = entries[0]["data_file"]
+    assert e["file_format"] == "PARQUET" and e["record_count"] > 0
+    assert "source" in e["partition"]
+
+
+def test_error_paths(spark, tmp_path):
+    with pytest.raises(ValueError, match="not an Iceberg table"):
+        read_iceberg(spark, str(tmp_path / "nope"))
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=50), d, partition_by="source")
+    with pytest.raises(ValueError, match="empty"):
+        read_iceberg(spark, d, partition_filter=lambda p: False)
