@@ -122,6 +122,11 @@ BENCH_QUERIES = [
     "dedup_duplicate_spans",
     "text_repetition_filter",
     "hybrid_search_rrf",
+    "table_dv_update",
+    "iceberg_scan_agg",
+    "iceberg_partition_pruning",
+    "iceberg_mor_delete",
+    "iceberg_encode_roundtrip",
 ]
 
 

@@ -139,9 +139,14 @@ def scan_manifests(table_dir: str, snapshot_id: int | None = None,
         for e in entries:
             if e.get("status", 1) == 2:  # DELETED entry: file left the table
                 continue
-            df_rec = e["data_file"]
+            df_rec = dict(e["data_file"])
+            # data sequence number: explicit on the entry, else inherited
+            # from the manifest (the spec's inheritance rule) — equality
+            # deletes apply only to files with a STRICTLY LOWER one
+            df_rec["_seq"] = (e.get("sequence_number")
+                              or m.get("sequence_number", 0))
             part = df_rec.get("partition") or {}
-            if is_delete_manifest or df_rec.get("content", 0) == 1:
+            if is_delete_manifest or df_rec.get("content", 0) in (1, 2):
                 delete_files.append(df_rec)
                 continue
             if partition_filter is not None and not partition_filter(part):
@@ -163,48 +168,80 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     The metadata walk (snapshot → manifests → file list, partition pruning,
     delete-file discovery) is driver-side and tiny; the returned plan is a
     plain distributed parquet scan over exactly the live, pruned files —
-    predicate pushdown / column pruning / AQE all apply as usual. With
-    positional deletes present, rows subtract via a broadcast-friendly
-    left-anti join on ``(file, row ordinal)`` using Spark's ``_metadata``
-    columns — no data file is ever rewritten (Iceberg v2 merge-on-read)."""
+    predicate pushdown / column pruning / AQE all apply as usual. Both v2
+    merge-on-read delete kinds subtract without rewriting any data file:
+    positional deletes via a broadcast left-anti join on ``(file, row
+    ordinal)`` using Spark's ``_metadata`` columns; equality deletes via a
+    left-anti join on the delete file's columns, applied ONLY to data files
+    with a strictly lower sequence number (the spec's rule — a row
+    re-inserted after the delete survives)."""
     plan = scan_manifests(table_dir, snapshot_id, as_of_ms,
                           partition_filter, io)
     io = _io(table_dir, io)
-    paths = [_local_path(io, table_dir, f["file_path"])
-             for f in plan["data_files"]]
-    if not paths:
+    if not plan["data_files"]:
         raise ValueError("scan plan is empty (all files pruned or table empty)")
-    df = spark.read.parquet(*paths)
-    if columns:
-        df = df.select(*columns)
-    dels = [f for f in plan["delete_files"] if f.get("content", 0) == 1]
-    if dels:
-        del_paths = [_local_path(io, table_dir, f["file_path"]) for f in dels]
+    pos_dels = [f for f in plan["delete_files"] if f.get("content", 0) == 1]
+    eq_dels = [f for f in plan["delete_files"] if f.get("content", 0) == 2]
+
+    pos_del_df = None
+    if pos_dels:
         # positional delete files: (file_path, pos) parquet, tiny vs data
-        pos_del = (
-            spark.read.parquet(*del_paths)
+        pos_del_df = (
+            spark.read.parquet(*[_local_path(io, table_dir, f["file_path"])
+                                 for f in pos_dels])
             .select(
                 F.regexp_replace("file_path", "^file:(//)?", "").alias("__del_file"),
                 F.col("pos").alias("__del_pos"),
             )
         )
-        keep_cols = df.columns
-        df = (
-            df.select(
+
+    def leg(files: list[dict], project: bool = True) -> DataFrame:
+        d = spark.read.parquet(*[_local_path(io, table_dir, f["file_path"])
+                                 for f in files])
+        if columns and project:
+            d = d.select(*columns)
+        if pos_del_df is None:
+            return d
+        keep = d.columns
+        return (
+            d.select(
                 "*",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
                 .alias("__file"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
             .join(
-                F.broadcast(pos_del),
+                F.broadcast(pos_del_df),
                 (F.col("__file") == F.col("__del_file"))
                 & (F.col("__pos") == F.col("__del_pos")),
                 "left_anti",
             )
-            .select(*keep_cols)
+            .select(*keep)
         )
-    return df
+
+    if not eq_dels:
+        return leg(plan["data_files"])
+    # equality deletes: group data files by sequence number; each group
+    # anti-joins only the delete files sequenced AFTER it (projection waits
+    # until after the join — the equality column may not be in `columns`).
+    # Group count is bounded by snapshot count, so the union stays shallow.
+    out = None
+    for seq in sorted({f["_seq"] for f in plan["data_files"]}):
+        d = leg([f for f in plan["data_files"] if f["_seq"] == seq],
+                project=False)
+        applicable = [f for f in eq_dels if f["_seq"] > seq]
+        if applicable:
+            keys = spark.read.parquet(
+                *[_local_path(io, table_dir, f["file_path"])
+                  for f in applicable]
+            ).distinct()
+            missing = [c for c in keys.columns if c not in d.columns]
+            if missing:
+                raise ValueError(
+                    f"equality-delete columns not in table schema: {missing}")
+            d = d.join(F.broadcast(keys), keys.columns, "left_anti")
+        out = d if out is None else out.unionByName(d)
+    return out.select(*columns) if columns else out
 
 
 # --------------------------------------------------------------- writer side
@@ -561,6 +598,51 @@ def delete_iceberg_rows(spark: SparkSession, table_dir: str, condition,
     res = _commit_snapshot(io, table_dir, tbl_schema, partition_by,
                            entries, manifest_content=1, op="delete")
     res["rows_deleted"] = n_rows
+    return res
+
+
+def equality_delete_iceberg(keys: DataFrame, table_dir: str,
+                            io: FsIO | None = None) -> dict:
+    """Iceberg v2 EQUALITY delete: ``keys``' rows name the doomed tuples by
+    value (its columns are the equality columns — e.g. one ``doc_id``
+    column deletes every current row carrying a listed id). One tiny parquet
+    delete file + a delete manifest in a new snapshot; no probe scan at all
+    (the defining advantage over positional deletes for key-addressed
+    retractions — a streaming upsert's delete half). Readers apply it only
+    to data files with a strictly lower sequence number, so rows appended
+    AFTER this delete with the same key survive, per spec."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+    bad = [c for c in keys.columns
+           if c not in {f.name for f in tbl_schema.fields}]
+    if bad:
+        raise ValueError(f"equality columns not in table schema: {bad}")
+    seq = meta["last-sequence-number"] + 1
+    del_dir = io.join("data", f"e{seq}")
+    keys.distinct().coalesce(1).write.mode("errorifexists").parquet(del_dir)
+
+    import pyarrow.parquet as pq
+    spec_fields = meta["partition-specs"][0]["fields"]
+    partition_by = spec_fields[0]["name"] if spec_fields else None
+    null_part = {f["name"]: None for f in spec_fields}
+    recs = []
+    n_rows = 0
+    for name in sorted(io.listdir(del_dir)):
+        if name.endswith(".parquet"):
+            p = posixpath.join(del_dir, name)
+            md = pq.ParquetFile(p).metadata
+            n_rows += md.num_rows
+            recs.append({
+                "content": 2, "file_path": p, "file_format": "PARQUET",
+                "partition": dict(null_part), "record_count": md.num_rows,
+                "file_size_in_bytes": io.size(p),
+            })
+    entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
+                "data_file": r} for r in recs]
+    res = _commit_snapshot(io, table_dir, tbl_schema, partition_by,
+                           entries, manifest_content=1, op="delete")
+    res["delete_keys"] = n_rows
     return res
 
 

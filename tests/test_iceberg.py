@@ -158,3 +158,37 @@ def test_error_paths(spark, tmp_path):
     write_iceberg(_docs(spark, n=50), d, partition_by="source")
     with pytest.raises(ValueError, match="empty"):
         read_iceberg(spark, d, partition_filter=lambda p: False)
+
+
+def test_equality_delete_sequence_semantics(spark, tmp_path):
+    """Equality deletes remove CURRENT rows by key value — and only rows in
+    files with a strictly lower sequence number, so a same-key row appended
+    AFTER the delete survives (the spec rule that makes streaming upserts
+    correct). Composes with a positional delete."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        equality_delete_iceberg,
+    )
+
+    d = str(tmp_path / "t")
+    df = _docs(spark, n=1000)
+    write_iceberg(df, d, partition_by="source")
+    keys = spark.range(100).select(F.col("id").alias("doc_id"))
+    res = equality_delete_iceberg(keys, d)
+    assert res["delete_keys"] == 100
+    assert read_iceberg(spark, d).count() == 900
+    # re-insert 40 of the deleted keys in a LATER snapshot: they survive
+    append_iceberg(_docs(spark, n=40), d, partition_by="source")
+    got = read_iceberg(spark, d)
+    assert got.count() == 940
+    assert got.filter(F.col("doc_id") < 100).count() == 40
+    # the pre-delete snapshot still reads everything
+    assert read_iceberg(spark, d, snapshot_id=1).count() == 1000
+    # a positional delete stacks on top
+    delete_iceberg_rows(spark, d, F.col("doc_id") >= 900)
+    assert read_iceberg(spark, d).count() == 940 - 100
+    # column projection that drops the equality column still subtracts
+    assert read_iceberg(spark, d, columns=["source"]).count() == 840
+    # unknown equality column rejects
+    with pytest.raises(ValueError, match="not in table schema"):
+        equality_delete_iceberg(
+            spark.range(1).select(F.col("id").alias("nope")), d)
