@@ -123,8 +123,21 @@ def synthesize_tokens_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
 
 
 def scan_tokens(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-validated scan of a token table (parquet dir / Iceberg table)."""
-    df = spark.read.parquet(path) if "/" in path else spark.read.table(path)
+    """Schema-validated scan of a token table: an Iceberg v2 table directory
+    (detected by its ``metadata/`` chain; read through
+    `.iceberg.read_iceberg`'s manifest walk — the north star's literal
+    input), a plain parquet dir, or a catalog table name."""
+    if "/" in path:
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(path, "metadata")):
+            from .iceberg import read_iceberg
+
+            df = read_iceberg(spark, path)
+        else:
+            df = spark.read.parquet(path)
+    else:
+        df = spark.read.table(path)
     want = {f.name: f.dataType.simpleString() for f in TOKENS_SCHEMA.fields}
     have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     missing = {k: v for k, v in want.items() if have.get(k) != v}

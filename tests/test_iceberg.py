@@ -192,3 +192,40 @@ def test_equality_delete_sequence_semantics(spark, tmp_path):
     with pytest.raises(ValueError, match="not in table schema"):
         equality_delete_iceberg(
             spark.range(1).select(F.col("id").alias("nope")), d)
+
+
+def test_read_iceberg_keeps_parquet_pushdown(spark, tmp_path):
+    """The data scan behind read_iceberg is an ordinary parquet relation:
+    filters land in PushedFilters and projections in ReadSchema — Iceberg
+    metadata handling must not cost Catalyst anything."""
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark), d, partition_by="source")
+    plan = (read_iceberg(spark, d)
+            .filter(F.col("doc_id") > 100).select("doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)" in plan
+    assert "struct<doc_id:bigint>" in plan.replace(" ", "")
+
+
+def test_scan_tokens_detects_iceberg_layout(spark, tmp_path):
+    """The production job's --input accepts an Iceberg table dir verbatim:
+    scan_tokens routes through the manifest walk and the encode flagship
+    round-trips from it bit-identically."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.decode import (
+        decode_tokens, verify_roundtrip,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.encode import (
+        encode_tokens,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.tokens import (
+        scan_tokens, synthesize_tokens,
+    )
+
+    d = str(tmp_path / "ice")
+    src = synthesize_tokens(spark, 2000, seed=5)
+    write_iceberg(src, d, partition_by="source")
+    scanned = scan_tokens(spark, d)
+    assert scanned.columns == ["doc_id", "tokens", "n_tok", "source"]
+    out = str(tmp_path / "enc")
+    encode_tokens(scanned, out, n_parts=4)
+    assert verify_roundtrip(src, decode_tokens(spark, out)).count() == 0
