@@ -3684,6 +3684,54 @@ WHERE NOT (doc_id % 13 = 0)
 """
 
 
+def q_iceberg_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT-TAIL STREAMING: `pandora_iceberg` readStream's
+    offset axis is the table's sequence number — each micro-batch is the
+    data files added in (start, end], delete snapshots advance with zero
+    rows. The table stages in TWO append snapshots (odd/even doc ids); the
+    drained sink's aggregate must equal the batch SQL — a duplicated or
+    dropped row in the offset accounting fails rows/hash."""
+    import tempfile
+
+    from .sources.iceberg import append_iceberg, current_metadata, write_iceberg
+    from .sources.iceberg import stream_iceberg
+
+    key = hashlib.md5(
+        f"icestr1:{_FORMAT_TAG}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"pandora_engine_icestr_{key}")
+    docs = _t(spark, sf_dir, "documents")
+    if not os.path.exists(os.path.join(d, "metadata", "version-hint.text")):
+        shutil.rmtree(d, ignore_errors=True)
+        write_iceberg(docs.filter(F.col("doc_id") % 2 == 0), d,
+                      partition_by="lang")
+    if current_metadata(d)["current-snapshot-id"] < 2:
+        append_iceberg(docs.filter(F.col("doc_id") % 2 == 1), d,
+                       partition_by="lang")
+    sink = tempfile.mkdtemp(prefix="pandora_icestr_sink_")
+    ckpt = tempfile.mkdtemp(prefix="pandora_icestr_ckpt_")
+    q = (stream_iceberg(spark, d)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.count_distinct("doc_id").alias("n_keys"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+O_ICEBERG_SNAPSHOT_STREAM = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       count(DISTINCT doc_id)::BIGINT AS n_keys,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-SQL surface with a CORRELATED scalar subquery (every order
     above its customer's own average) — Catalyst decorrelates it into an
@@ -4782,6 +4830,9 @@ QUERIES: dict[str, tuple] = {
     "iceberg_encode_roundtrip": (
         q_iceberg_encode_roundtrip, O_ICEBERG_ENCODE_ROUNDTRIP,
     ),
+    "iceberg_snapshot_stream": (
+        q_iceberg_snapshot_stream, O_ICEBERG_SNAPSHOT_STREAM,
+    ),
     "graph_pagerank": (q_graph_pagerank, _o_pagerank()),
     "cube_order_flags": (q_cube_order_flags, O_CUBE_ORDER_FLAGS),
     "events_tumbling_1h": (q_events_tumbling_1h, O_EVENTS_TUMBLING),
@@ -4895,6 +4946,7 @@ _DRIVER_WINDOW: list[str] = [
     "iceberg_partition_pruning",
     "iceberg_mor_delete",
     "iceberg_encode_roundtrip",
+    "iceberg_snapshot_stream",
     # -- stalest coverage: last green in r02 (19; text_fingerprint yielded
     # its slot to table_dv_delete — the text tier stays covered via
     # text_quality / text_langid / text_token_counts) ----------------------
@@ -4921,7 +4973,9 @@ _DRIVER_WINDOW: list[str] = [
     "ann_ivf_topk",
     "text_quality",
     "text_langid",
-    "text_token_counts",
+    # (text_token_counts yielded its slot to iceberg_snapshot_stream — the
+    # text tier stays covered via text_quality / text_langid here and the
+    # r5-new text_repetition_filter above)
     "streaming_encode",
     "nested_flatten_words",
     "avro_flatten",

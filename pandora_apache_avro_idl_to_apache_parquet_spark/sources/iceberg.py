@@ -646,6 +646,105 @@ def equality_delete_iceberg(keys: DataFrame, table_dir: str,
     return res
 
 
+# ------------------------------------------------------- streaming source
+#
+# `spark.readStream.format("pandora_iceberg")` — tail an Iceberg table's
+# snapshot sequence. The offset axis is the SEQUENCE NUMBER: each micro-batch
+# covers the data files whose manifest entries were added with a sequence in
+# (start, end]. Delete snapshots (positional/equality) add no data files, so
+# the offset advances with zero rows — streams are append-only and a delete
+# never retracts already-emitted rows (the same contract as the encoded
+# store's DV-only commits and Delta's skipChangeCommits). Exactly-once comes
+# from Spark's streaming checkpoint owning the offset.
+
+
+def _iceberg_stream_classes():
+    """Late import: pyspark.sql.datasource exists only where Spark 4's
+    Python DataSource API does; everything else in this module works
+    without it."""
+    from pyspark.sql.datasource import (
+        DataSource, DataSourceStreamReader, InputPartition,
+    )
+
+    class IcebergSnapshotTailReader(DataSourceStreamReader):
+        def __init__(self, path: str):
+            self._path = path
+
+        def initialOffset(self) -> dict:
+            return {"seq": 0}
+
+        def latestOffset(self) -> dict:
+            return {"seq": current_metadata(self._path)["last-sequence-number"]}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = int(start["seq"]), int(end["seq"])
+            meta = current_metadata(self._path)
+            io = _io(self._path, None)
+            snaps = [s for s in meta.get("snapshots", [])
+                     if s.get("sequence-number", 0) <= hi]
+            files: list[str] = []
+            if snaps:
+                snap = snaps[-1]  # its manifest list carries every prior entry
+                ml = _local_path(io, self._path, snap["manifest-list"])
+                _, manifests = read_avro_container(io.read_bytes(ml))
+                for m in manifests:
+                    if m.get("content", 0) == 1:
+                        continue  # delete manifest: append-only stream
+                    if m.get("sequence_number", 0) <= lo:
+                        continue  # whole manifest predates the batch
+                    mp = _local_path(io, self._path, m["manifest_path"])
+                    _, entries = read_avro_container(io.read_bytes(mp))
+                    for e in entries:
+                        if e.get("status", 1) == 2:
+                            continue
+                        seq = e.get("sequence_number") or m.get(
+                            "sequence_number", 0)
+                        rec = e["data_file"]
+                        if lo < seq <= hi and rec.get("content", 0) == 0:
+                            files.append(
+                                _local_path(io, self._path, rec["file_path"]))
+            # Spark requires >= 1 partition per planned batch
+            return [InputPartition(f) for f in files] or [InputPartition(None)]
+
+        def read(self, partition):
+            if partition.value is None:
+                return
+            import pyarrow.parquet as pq
+
+            yield from pq.ParquetFile(partition.value).iter_batches(65536)
+
+        def commit(self, end: dict) -> None:
+            pass  # progress lives in Spark's streaming checkpoint
+
+    class PandoraIcebergDataSource(DataSource):
+        """Streaming-only DataSource: batch reads go through
+        :func:`read_iceberg` (whose delete handling and partition pruning a
+        per-file reader cannot express)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "pandora_iceberg"
+
+        def schema(self) -> T.StructType:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("pandora_iceberg requires .load(<table dir>)")
+            meta = current_metadata(path)
+            return _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+
+        def streamReader(self, schema: T.StructType):
+            return IcebergSnapshotTailReader(self.options.get("path"))
+
+    return PandoraIcebergDataSource
+
+
+def stream_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
+    """``spark.readStream.format("pandora_iceberg")`` with registration
+    wired: tail the table's append snapshots exactly once."""
+    spark.dataSource.register(_iceberg_stream_classes())
+    return spark.readStream.format("pandora_iceberg").load(table_dir)
+
+
 def _struct_from_iceberg(sch: dict) -> T.StructType:
     inv = {
         "long": T.LongType(), "int": T.IntegerType(), "double": T.DoubleType(),

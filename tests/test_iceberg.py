@@ -229,3 +229,33 @@ def test_scan_tokens_detects_iceberg_layout(spark, tmp_path):
     out = str(tmp_path / "enc")
     encode_tokens(scanned, out, n_parts=4)
     assert verify_roundtrip(src, decode_tokens(spark, out)).count() == 0
+
+
+def test_snapshot_tail_streaming_source(spark, tmp_path):
+    """`pandora_iceberg` readStream tails the snapshot sequence exactly
+    once: the first drain emits snapshot 1, an equality-delete snapshot
+    advances the offset with zero rows (append-only stream), and a later
+    append arrives exactly once."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        equality_delete_iceberg, stream_iceberg,
+    )
+
+    d, ckpt, sink = (str(tmp_path / x) for x in ("t", "ckpt", "sink"))
+    write_iceberg(_docs(spark, n=500), d, partition_by="source")
+
+    def drain():
+        q = (stream_iceberg(spark, d)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(sink)
+
+    assert drain().count() == 500
+    equality_delete_iceberg(
+        spark.range(50).select(F.col("id").alias("doc_id")), d)
+    assert drain().count() == 500  # delete snapshot: no new rows, no error
+    append_iceberg(_docs(spark, n=200, shift=500), d, partition_by="source")
+    out = drain()
+    assert out.count() == 700  # the append arrived exactly once
+    assert out.filter(F.col("doc_id") >= 500).count() == 200
