@@ -412,7 +412,7 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
 def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
                      partition_by: str | None,
                      new_entries: list[dict], manifest_content: int,
-                     op: str) -> dict:
+                     op: str, carry_prev: bool = True) -> dict:
     """Append one snapshot: write the new manifest, a manifest-list that
     carries every prior snapshot's manifests plus the new one, and the next
     ``vN.metadata.json`` + ``version-hint.text``. Timestamps derive from the
@@ -463,7 +463,7 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
     }
     manifests = [
         {k: m[k] for k in (f["name"] for f in mf_schema["fields"])}
-        for m in prev_manifests
+        for m in (prev_manifests if carry_prev else [])
     ] + [new_manifest]
     ml_name = f"snap-{snap_id}.avro"
     ml_path = posixpath.join(meta_dir, ml_name)
@@ -646,6 +646,39 @@ def equality_delete_iceberg(keys: DataFrame, table_dir: str,
     return res
 
 
+def compact_iceberg(spark: SparkSession, table_dir: str,
+                    io: FsIO | None = None) -> dict:
+    """Iceberg ``rewrite_data_files`` + delete materialization in ONE
+    ``replace`` snapshot: the current rows (all merge-on-read deletes
+    applied) rewrite into one file per partition value, and the new
+    manifest-list references ONLY the fresh manifest — every prior data
+    file AND every delete file retires from the live view in the same
+    atomic metadata swap. Time travel to pre-compaction snapshots is
+    untouched (their manifest-lists still exist); the streaming source
+    skips the snapshot entirely (``operation: replace`` — rows merely
+    moved, re-emitting them would break exactly-once)."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    plan = scan_manifests(table_dir, io=io)
+    tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+    spec_fields = meta["partition-specs"][0]["fields"]
+    partition_by = spec_fields[0]["name"] if spec_fields else None
+    seq = meta["last-sequence-number"] + 1
+
+    df = read_iceberg(spark, table_dir, io=io)  # deletes applied here
+    df = (df.repartition(F.col(partition_by)) if partition_by
+          else df.coalesce(1))
+    files = _write_data_files(df, io, table_dir, partition_by, seq=seq)
+    entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
+                "data_file": f} for f in files]
+    res = _commit_snapshot(io, table_dir, tbl_schema, partition_by,
+                           entries, manifest_content=0, op="replace",
+                           carry_prev=False)
+    res.update({"files_before": len(plan["data_files"]),
+                "delete_files_retired": len(plan["delete_files"])})
+    return res
+
+
 # ------------------------------------------------------- streaming source
 #
 # `spark.readStream.format("pandora_iceberg")` — tail an Iceberg table's
@@ -680,27 +713,34 @@ def _iceberg_stream_classes():
             lo, hi = int(start["seq"]), int(end["seq"])
             meta = current_metadata(self._path)
             io = _io(self._path, None)
-            snaps = [s for s in meta.get("snapshots", [])
-                     if s.get("sequence-number", 0) <= hi]
             files: list[str] = []
-            if snaps:
-                snap = snaps[-1]  # its manifest list carries every prior entry
-                ml = _local_path(io, self._path, snap["manifest-list"])
+            # iterate the SNAPSHOTS in range, not the final manifest-list:
+            # only "append" snapshots emit (a "replace" snapshot — compaction
+            # — re-adds every row under a fresh sequence number and MUST NOT
+            # re-emit; a "delete" snapshot adds no data manifests). Each
+            # append's new files are its manifest-list's entries carrying its
+            # own sequence number.
+            for s in meta.get("snapshots", []):
+                seq = s.get("sequence-number", 0)
+                if not (lo < seq <= hi):
+                    continue
+                if s.get("summary", {}).get("operation", "append") != "append":
+                    continue
+                ml = _local_path(io, self._path, s["manifest-list"])
                 _, manifests = read_avro_container(io.read_bytes(ml))
                 for m in manifests:
                     if m.get("content", 0) == 1:
-                        continue  # delete manifest: append-only stream
-                    if m.get("sequence_number", 0) <= lo:
-                        continue  # whole manifest predates the batch
+                        continue
+                    if m.get("sequence_number", 0) != seq:
+                        continue  # carried over from an earlier snapshot
                     mp = _local_path(io, self._path, m["manifest_path"])
                     _, entries = read_avro_container(io.read_bytes(mp))
                     for e in entries:
                         if e.get("status", 1) == 2:
                             continue
-                        seq = e.get("sequence_number") or m.get(
-                            "sequence_number", 0)
+                        e_seq = e.get("sequence_number") or seq
                         rec = e["data_file"]
-                        if lo < seq <= hi and rec.get("content", 0) == 0:
+                        if e_seq == seq and rec.get("content", 0) == 0:
                             files.append(
                                 _local_path(io, self._path, rec["file_path"]))
             # Spark requires >= 1 partition per planned batch

@@ -259,3 +259,48 @@ def test_snapshot_tail_streaming_source(spark, tmp_path):
     out = drain()
     assert out.count() == 700  # the append arrived exactly once
     assert out.filter(F.col("doc_id") >= 500).count() == 200
+
+
+def test_compaction_replace_snapshot(spark, tmp_path):
+    """compact_iceberg rewrites the live rows (deletes materialized) into
+    one replace snapshot: fewer data files, zero delete files, identical
+    rows; pre-compaction snapshots still time-travel; and the streaming
+    source skips the replace snapshot (rows merely moved — re-emitting
+    would break exactly-once) while a later append still arrives."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        compact_iceberg, equality_delete_iceberg, stream_iceberg,
+    )
+
+    d, ckpt, sink = (str(tmp_path / x) for x in ("t", "ckpt", "sink"))
+    df = _docs(spark, n=1000)
+    write_iceberg(df.repartition(6), d, partition_by="source")
+    append_iceberg(_docs(spark, n=200, shift=1000).repartition(3), d,
+                   partition_by="source")
+    equality_delete_iceberg(
+        spark.range(100).select(F.col("id").alias("doc_id")), d)
+
+    def drain():
+        q = (stream_iceberg(spark, d)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt).start())
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(sink)
+
+    assert drain().count() == 1200  # both appends (stream is append-only)
+
+    pre = _rows(read_iceberg(spark, d))
+    res = compact_iceberg(spark, d)
+    assert res["delete_files_retired"] == 1
+    plan = scan_manifests(d)
+    assert len(plan["data_files"]) < res["files_before"]
+    assert plan["delete_files"] == []
+    assert _rows(read_iceberg(spark, d)) == pre  # rows identical
+    # pre-compaction snapshots still read their own state
+    assert read_iceberg(spark, d, snapshot_id=1).count() == 1000
+    assert read_iceberg(spark, d, snapshot_id=2).count() == 1200
+    # the stream skips the replace snapshot entirely...
+    assert drain().count() == 1200
+    # ...and a post-compaction append arrives exactly once
+    append_iceberg(_docs(spark, n=50, shift=5000), d, partition_by="source")
+    assert drain().count() == 1250
