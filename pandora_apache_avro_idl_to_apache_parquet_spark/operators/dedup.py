@@ -697,6 +697,12 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_docs: int = 2,
         ).alias("win"),
     ).select("doc_id", F.col("win.start").alias("start"),
              F.expr(spark_md5_long("win.g")).alias("gh"))
+    # the windowed-md5 projection is the dominant cost and BOTH consumers
+    # below scan it (the gram-frequency agg and the hit semi-join); a lazy
+    # localCheckpoint materializes it once at first use — the same
+    # share-the-expensive-intermediate fix VERDICT r04 prescribed for the
+    # two-phase rank family
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
