@@ -182,6 +182,13 @@ def read_iceberg(spark: SparkSession, table_dir: str,
         raise ValueError("scan plan is empty (all files pruned or table empty)")
     pos_dels = [f for f in plan["delete_files"] if f.get("content", 0) == 1]
     eq_dels = [f for f in plan["delete_files"] if f.get("content", 0) == 2]
+    # impose the SNAPSHOT's schema on every file (fully-nullable on read):
+    # after schema evolution old files serve added columns as null, and a
+    # time-travel read uses the schema its snapshot wrote under
+    expected = T.StructType([
+        T.StructField(f.name, f.dataType, True)
+        for f in _snapshot_schema(plan["metadata"], plan["snapshot"]).fields
+    ])
 
     pos_del_df = None
     if pos_dels:
@@ -196,8 +203,8 @@ def read_iceberg(spark: SparkSession, table_dir: str,
         )
 
     def leg(files: list[dict], project: bool = True) -> DataFrame:
-        d = spark.read.parquet(*[_local_path(io, table_dir, f["file_path"])
-                                 for f in files])
+        d = spark.read.schema(expected).parquet(
+            *[_local_path(io, table_dir, f["file_path"]) for f in files])
         if columns and project:
             d = d.select(*columns)
         if pos_del_df is None:
@@ -409,6 +416,45 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
     return recs
 
 
+def _evolve_schema(meta: dict, schema: T.StructType) -> dict:
+    """Append-only schema evolution (the same contract as the encoded
+    store's): a data commit may ADD nullable columns — a new schema entry
+    lands in ``schemas`` with fresh field ids, ``current-schema-id``
+    advances, and old data files serve the new columns as null (the reader
+    imposes the snapshot's schema on every file). Dropping a column or
+    changing a type rejects loudly."""
+    cur = meta["schemas"][meta["current-schema-id"]]
+    cur_by_name = {f["name"]: f for f in cur["fields"]}
+    new_json = _iceberg_schema_json(schema)
+    for f in new_json["fields"]:
+        old = cur_by_name.get(f["name"])
+        if old is not None and old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution cannot change column {f['name']!r}: "
+                f"{old['type']} -> {f['type']}")
+    new_names = {f["name"] for f in new_json["fields"]}
+    dropped = [n for n in cur_by_name if n not in new_names]
+    if dropped:
+        raise ValueError(f"append may not drop columns: {dropped}")
+    added = [f for f in new_json["fields"] if f["name"] not in cur_by_name]
+    if not added:
+        return meta
+    # added columns are recorded OPTIONAL regardless of the incoming
+    # frame's nullability: pre-evolution files serve them as null
+    next_id = meta.get("last-column-id", len(cur_by_name))
+    fields = list(cur["fields"])
+    for f in added:
+        next_id += 1
+        fields.append(dict(f, id=next_id, required=False))
+    meta = dict(meta)
+    new_schema = {"type": "struct", "schema-id": len(meta["schemas"]),
+                  "fields": fields}
+    meta["schemas"] = list(meta["schemas"]) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
+    meta["last-column-id"] = next_id
+    return meta
+
+
 def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
                      partition_by: str | None,
                      new_entries: list[dict], manifest_content: int,
@@ -475,6 +521,8 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
         "timestamp-ms": ts, "manifest-list": ml_path,
         "summary": {"operation": op},
     }
+    if meta is not None and manifest_content == 0:
+        meta = _evolve_schema(meta, schema)
     if meta is None:
         import hashlib
         h = hashlib.md5(table_dir.encode()).hexdigest()
@@ -505,6 +553,9 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = ts
     meta["current-snapshot-id"] = snap_id
+    # each snapshot records the schema it wrote under (spec field): time
+    # travel then reads old snapshots with their OWN schema
+    snapshot["schema-id"] = meta["current-schema-id"]
     meta["snapshots"] = list(meta.get("snapshots", [])) + [snapshot]
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": ts, "snapshot-id": snap_id}
@@ -541,6 +592,7 @@ def append_iceberg(df: DataFrame, table_dir: str,
     over in the new manifest-list, so old snapshots stay readable)."""
     io = _io(table_dir, io)
     meta = current_metadata(table_dir, io)
+    _evolve_schema(meta, df.schema)  # preflight: reject BEFORE writing files
     seq = meta["last-sequence-number"] + 1
     files = _write_data_files(df, io, table_dir, partition_by, seq=seq)
     entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
@@ -561,7 +613,11 @@ def delete_iceberg_rows(spark: SparkSession, table_dir: str, condition,
     plan = scan_manifests(table_dir, io=io)
     paths = [_local_path(io, table_dir, f["file_path"])
              for f in plan["data_files"]]
-    cur = spark.read.parquet(*paths).select(
+    probe_schema = T.StructType([
+        T.StructField(f.name, f.dataType, True)
+        for f in _snapshot_schema(plan["metadata"], plan["snapshot"]).fields
+    ])
+    cur = spark.read.schema(probe_schema).parquet(*paths).select(
         "*",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
         .alias("file_path"),
@@ -783,6 +839,12 @@ def stream_iceberg(spark: SparkSession, table_dir: str) -> DataFrame:
     wired: tail the table's append snapshots exactly once."""
     spark.dataSource.register(_iceberg_stream_classes())
     return spark.readStream.format("pandora_iceberg").load(table_dir)
+
+
+def _snapshot_schema(meta: dict, snap: dict) -> T.StructType:
+    sid = snap.get("schema-id", meta["current-schema-id"])
+    sch = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+    return _struct_from_iceberg(sch)
 
 
 def _struct_from_iceberg(sch: dict) -> T.StructType:

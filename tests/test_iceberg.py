@@ -304,3 +304,45 @@ def test_compaction_replace_snapshot(spark, tmp_path):
     # ...and a post-compaction append arrives exactly once
     append_iceberg(_docs(spark, n=50, shift=5000), d, partition_by="source")
     assert drain().count() == 1250
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Append-only schema evolution: an append may ADD nullable columns —
+    a new schema entry with fresh field ids, old files serve the column as
+    null, time travel reads each snapshot under ITS schema; drops and type
+    changes reject."""
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=300), d, partition_by="source")
+    widened = _docs(spark, n=100, shift=300).withColumn(
+        "score", (F.col("doc_id") * 0.5))
+    append_iceberg(widened, d, partition_by="source")
+    meta = current_metadata(d)
+    assert meta["current-schema-id"] == 1
+    assert [f["name"] for f in meta["schemas"][1]["fields"]][-1] == "score"
+    got = read_iceberg(spark, d)
+    assert got.columns == ["doc_id", "source", "v", "score"]
+    assert got.count() == 400
+    # old files serve the added column as null; new files carry values
+    assert got.filter(F.col("score").isNull()).count() == 300
+    assert got.filter(F.col("score") == 150.0).count() == 1
+    # time travel reads snapshot 1 under its OWN (narrow) schema
+    assert read_iceberg(spark, d, snapshot_id=1).columns == [
+        "doc_id", "source", "v"]
+    # deletes still probe correctly across mixed-schema files
+    delete_iceberg_rows(spark, d, F.col("doc_id") % 2 == 0)
+    assert read_iceberg(spark, d).count() == 200
+    # compaction materializes the evolution (all files full-schema)
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        compact_iceberg,
+    )
+    compact_iceberg(spark, d)
+    assert read_iceberg(spark, d).filter(
+        F.col("score").isNull()).count() == 150
+    # guard rails
+    with pytest.raises(ValueError, match="may not drop"):
+        append_iceberg(_docs(spark, n=10).select("doc_id", "source"), d,
+                       partition_by="source")
+    with pytest.raises(ValueError, match="cannot change column"):
+        append_iceberg(
+            _docs(spark, n=10).withColumn("v", F.lit("s")), d,
+            partition_by="source")
