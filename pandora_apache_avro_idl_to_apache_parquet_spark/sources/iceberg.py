@@ -468,11 +468,19 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
     io.makedirs(meta_dir)
     try:
         meta = current_metadata(table_dir, io)
-        version = 1 + max(
-            int(f[1:].split(".")[0])
-            for f in io.listdir(meta_dir)
-            if f.startswith("v") and f.endswith(".metadata.json")
-        )
+        # claim PARENT+1, where parent is the version this commit's state
+        # derived from (the hint) — NOT max(files)+1, which would silently
+        # step over a concurrent writer's already-committed version instead
+        # of tripping the optimistic lock below
+        hint = posixpath.join(meta_dir, "version-hint.text")
+        if io.exists(hint):
+            version = int(io.read_text(hint).strip()) + 1
+        else:
+            version = 1 + max(
+                int(f[1:].split(".")[0])
+                for f in io.listdir(meta_dir)
+                if f.startswith("v") and f.endswith(".metadata.json")
+            )
         prev_snap = _select_snapshot(meta, meta.get("current-snapshot-id"), None)
         _, prev_manifests = read_avro_container(
             io.read_bytes(_local_path(io, table_dir, prev_snap["manifest-list"])))
@@ -560,10 +568,19 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
     meta["snapshot-log"] = list(meta.get("snapshot-log", [])) + [
         {"timestamp-ms": ts, "snapshot-id": snap_id}
     ]
-    io.publish_bytes(
+    # optimistic lock on the metadata version (HadoopCatalog's atomic-rename
+    # contract; the reference's upload-with-overwrite=false, README.md:608-701):
+    # two racing writers both derived state from version-1 — silently
+    # clobbering would drop one's snapshot, so the loser FAILS LOUDLY and
+    # must re-run its whole operation against the fresh state (its data
+    # files are orphans, like a crashed commit's).
+    if not io.create_exclusive(
         posixpath.join(meta_dir, f"v{version}.metadata.json"),
-        json.dumps(meta, indent=1).encode(), attempt_tag=f"v{version}",
-    )
+        json.dumps(meta, indent=1).encode(),
+    ):
+        raise RuntimeError(
+            f"concurrent Iceberg commit: v{version}.metadata.json already "
+            "exists — re-run the operation against the current table state")
     io.write_bytes(posixpath.join(meta_dir, "version-hint.text"),
                    str(version).encode())
     return {"snapshot_id": snap_id, "version": version,

@@ -346,3 +346,22 @@ def test_schema_evolution_add_column(spark, tmp_path):
         append_iceberg(
             _docs(spark, n=10).withColumn("v", F.lit("s")), d,
             partition_by="source")
+
+
+def test_concurrent_commit_fails_loudly(spark, tmp_path):
+    """The metadata version is an optimistic lock: a writer racing against
+    a committed version must fail loudly, never clobber (both writers
+    derived their manifest-list from the same parent — silent overwrite
+    would drop a snapshot)."""
+    import os as _os
+
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=100), d, partition_by="source")
+    # simulate the race: the next version number is already taken
+    meta_dir = _os.path.join(d, "metadata")
+    with open(_os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="concurrent Iceberg commit"):
+        append_iceberg(_docs(spark, n=10, shift=100), d, partition_by="source")
+    # the loser's state is untouched: hint still points at v1, reads work
+    assert read_iceberg(spark, d).count() == 100
