@@ -13,8 +13,10 @@ driver, which is exactly Iceberg's own design: manifests are the scan plan.
 Supported on read:
 * snapshot selection — current, by ``snapshot_id``, or by
   ``as_of_ms`` (snapshot-log binary search, Iceberg time travel);
-* partition pruning from manifest-entry partition values (identity
-  transforms), BEFORE any data file opens;
+* partition pruning from manifest-entry partition values — identity AND
+  hidden transforms (``days(ts)``, ``bucket(N, col)``,
+  ``truncate(W, col)``; :func:`derive_partition_filter` maps a source-column
+  constraint to the partition predicate) — BEFORE any data file opens;
 * positional delete files (v2 merge-on-read): deletes subtract via a
   left-anti join on ``(_metadata.file_path, _metadata.row_index)`` — the
   exact contract Iceberg readers implement, and the small delete side
@@ -359,8 +361,144 @@ def _manifest_schemas(part_fields: list[tuple[str, object]]) -> tuple[dict, dict
     return manifest_file, manifest_entry
 
 
-def _part_dirname(col: str, v) -> str:
-    return f"{col}={v}"
+# ----------------------------------------------- partition transforms
+#
+# Iceberg's HIDDEN PARTITIONING: a table partitions by a TRANSFORM of a
+# source column (`days(ts)`, `bucket(16, id)`, `truncate(4, s)`), the data
+# files keep only the source column, and planning prunes on the transform
+# values recorded per file in the manifests. ``partition_by`` accepts the
+# transform syntax everywhere a column name is accepted. Spec deviations,
+# documented: `bucket` uses the repo's deterministic md5 hash (not
+# murmur3 — cross-engine oracle parity beats byte-level bucket interop),
+# and `day` values record as Avro logical dates, not epoch-day ints.
+
+import re as _re
+
+
+class _Transform:
+    __slots__ = ("kind", "col", "param", "field")
+
+    def __init__(self, kind: str, col: str, param: int | None, field: str):
+        self.kind, self.col, self.param, self.field = kind, col, param, field
+
+    @property
+    def spec_name(self) -> str:  # the metadata "transform" string, per spec
+        if self.kind == "identity":
+            return "identity"
+        if self.kind == "day":
+            return "day"
+        return f"{self.kind}[{self.param}]"
+
+
+def _parse_transform(spec: str | None) -> _Transform | None:
+    if spec is None:
+        return None
+    m = _re.fullmatch(r"days?\((\w+)\)", spec)
+    if m:
+        return _Transform("day", m.group(1), None, f"{m.group(1)}_day")
+    m = _re.fullmatch(r"bucket\((\d+)\s*,\s*(\w+)\)", spec)
+    if m:
+        return _Transform("bucket", m.group(2), int(m.group(1)),
+                          f"{m.group(2)}_bucket")
+    m = _re.fullmatch(r"truncate\((\d+)\s*,\s*(\w+)\)", spec)
+    if m:
+        return _Transform("truncate", m.group(2), int(m.group(1)),
+                          f"{m.group(2)}_trunc")
+    return _Transform("identity", spec, None, spec)
+
+
+def _spec_to_partition_by(meta: dict) -> str | None:
+    """Reconstruct the ``partition_by`` string from the persisted partition
+    spec (delete/compact commits must reuse the table's own transform)."""
+    fields = meta["partition-specs"][0]["fields"]
+    if not fields:
+        return None
+    f = fields[0]
+    sid = f["source-id"]
+    sch = meta["schemas"][meta["current-schema-id"]]
+    col = next(c["name"] for c in sch["fields"] if c["id"] == sid)
+    t = f["transform"]
+    if t == "identity":
+        return col
+    if t == "day":
+        return f"days({col})"
+    m = _re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+    if m:
+        return f"{m.group(1)}({m.group(2)}, {col})"
+    raise ValueError(f"unsupported partition transform {t!r}")
+
+
+def _transform_expr(t: _Transform, df: DataFrame):
+    """The Spark Column computing the transform value (dir naming only —
+    never stored in the data files)."""
+    from ..functions.hashing import spark_md5_long
+
+    c = F.col(t.col)
+    if t.kind == "identity":
+        return c
+    if t.kind == "day":
+        return F.to_date(c)
+    if t.kind == "bucket":
+        return F.expr(
+            f"pmod({spark_md5_long(f'cast({t.col} as string)')}, {t.param})"
+        ).cast("int")
+    dt = df.schema[t.col].dataType
+    if isinstance(dt, T.StringType):
+        return F.substring(c, 1, t.param)
+    return (F.floor(c / t.param) * t.param).cast(dt)
+
+
+def transform_value(t: _Transform, v):
+    """Driver-side twin of :func:`_transform_expr` — MUST produce the same
+    value for the same input (pinned by a test), so
+    :func:`derive_partition_filter` can map source constraints to partition
+    predicates."""
+    import hashlib as _hl
+    from datetime import date, datetime
+
+    if v is None:
+        return None
+    if t.kind == "identity":
+        return v
+    if t.kind == "day":
+        return v.date() if isinstance(v, datetime) else v
+    if t.kind == "bucket":
+        h = int(_hl.md5(str(v).encode()).hexdigest()[:15], 16)
+        return h % t.param
+    if isinstance(v, str):
+        return v[: t.param]
+    return (v // t.param) * t.param
+
+
+def derive_partition_filter(table_dir: str, lo=None, hi=None, eq=None,
+                            io: FsIO | None = None):
+    """HIDDEN partitioning's payoff: the caller constrains the SOURCE
+    column (``eq=`` a value, or ``lo=``/``hi=`` an inclusive range) and the
+    engine derives the partition-dict predicate for the table's transform —
+    the user never names the partition field. Ranges work for identity /
+    day / truncate (order-preserving transforms); ``bucket`` supports
+    equality only (range over a hash is meaningless) and raises otherwise."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    pb = _spec_to_partition_by(meta)
+    if pb is None:
+        raise ValueError("table is unpartitioned")
+    t = _parse_transform(pb)
+    if eq is not None:
+        tv = transform_value(t, eq)
+        return lambda p: p.get(t.field) == tv
+    if t.kind == "bucket":
+        raise ValueError("bucket partitioning prunes equality only")
+    tlo = transform_value(t, lo) if lo is not None else None
+    thi = transform_value(t, hi) if hi is not None else None
+
+    def pred(p: dict) -> bool:
+        v = p.get(t.field)
+        if v is None:
+            return True  # null partition: cannot exclude
+        return (tlo is None or v >= tlo) and (thi is None or v <= thi)
+
+    return pred
 
 
 def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
@@ -372,19 +510,28 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
     import pyarrow.parquet as pq
 
     data_dir = io.join("data", f"s{seq}")
-    if partition_by:
-        # partition through a STRING TWIN of the column: Spark's partitionBy
-        # drops the partitioned column from the files, but an Iceberg reader
-        # plans by explicit file paths (never directory inference), so the
-        # real column must stay physical. The twin only names the dirs; the
-        # manifest entries carry the typed value.
-        w = (df.withColumn("__pdir", F.col(partition_by).cast("string"))
+    t = _parse_transform(partition_by)
+    if t:
+        # partition through a STRING TWIN of the transform value: Spark's
+        # partitionBy drops the partitioned column from the files, but an
+        # Iceberg reader plans by explicit file paths (never directory
+        # inference), so the source column must stay physical — this is
+        # exactly what makes the partitioning "hidden". The twin only names
+        # the dirs; the manifest entries carry the typed value.
+        w = (df.withColumn("__pdir", _transform_expr(t, df).cast("string"))
              .write.mode("errorifexists").partitionBy("__pdir"))
     else:
         w = df.write.mode("errorifexists")
     w.parquet(data_dir)
 
-    part_dt = df.schema[partition_by].dataType if partition_by else None
+    if t:
+        src_dt = df.schema[t.col].dataType
+        if t.kind == "day":
+            part_dt: T.DataType = T.DateType()
+        elif t.kind == "bucket":
+            part_dt = T.IntegerType()
+        else:
+            part_dt = src_dt
     recs: list[dict] = []
 
     def walk(d: str, part_val):
@@ -398,14 +545,16 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
             elif name.endswith(".parquet"):
                 md = pq.ParquetFile(p).metadata
                 part = {}
-                if partition_by:
+                if t:
                     v = part_val
-                    if isinstance(part_dt, T.DateType):
+                    if v == "__HIVE_DEFAULT_PARTITION__":
+                        v = None
+                    elif isinstance(part_dt, T.DateType):
                         from datetime import date
                         v = date.fromisoformat(v)
                     elif isinstance(part_dt, (T.IntegerType, T.LongType)):
                         v = int(v)
-                    part[partition_by] = v
+                    part[t.field] = v
                 recs.append({
                     "content": 0, "file_path": p, "file_format": "PARQUET",
                     "partition": part, "record_count": md.num_rows,
@@ -493,10 +642,16 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
     snap_id = seq  # deterministic monotone ids
     ts = 1700000000000 + version  # deterministic pseudo-time, monotone in version
 
+    t = _parse_transform(partition_by)
     part_fields = []
-    if partition_by:
-        part_fields = [(partition_by,
-                        _avro_part_type(schema[partition_by].dataType))]
+    if t:
+        if t.kind == "day":
+            at: object = {"type": "int", "logicalType": "date"}
+        elif t.kind == "bucket":
+            at = "int"
+        else:
+            at = _avro_part_type(schema[t.col].dataType)
+        part_fields = [(t.field, at)]
     mf_schema, me_schema = _manifest_schemas(part_fields)
 
     man_name = f"m{seq}-{manifest_content}.avro"
@@ -545,13 +700,12 @@ def _commit_snapshot(io: FsIO, table_dir: str, schema: T.StructType,
             "default-spec-id": 0,
             "partition-specs": [{
                 "spec-id": 0,
-                "fields": [
-                    {"name": n, "transform": "identity",
+                "fields": ([
+                    {"name": t.field, "transform": t.spec_name,
                      "source-id": [i + 1 for i, f in enumerate(schema.fields)
-                                   if f.name == n][0],
-                     "field-id": 1000 + j}
-                    for j, (n, _) in enumerate(part_fields)
-                ],
+                                   if f.name == t.col][0],
+                     "field-id": 1000}
+                ] if t else []),
             }],
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
@@ -648,7 +802,7 @@ def delete_iceberg_rows(spark: SparkSession, table_dir: str, condition,
     # partition spec must match the table's existing one; a positional
     # delete file is partition-agnostic, so its spec values are all-null
     spec_fields = meta["partition-specs"][0]["fields"]
-    partition_by = spec_fields[0]["name"] if spec_fields else None
+    partition_by = _spec_to_partition_by(meta)
     null_part = {f["name"]: None for f in spec_fields}
 
     import pyarrow.parquet as pq
@@ -697,7 +851,7 @@ def equality_delete_iceberg(keys: DataFrame, table_dir: str,
 
     import pyarrow.parquet as pq
     spec_fields = meta["partition-specs"][0]["fields"]
-    partition_by = spec_fields[0]["name"] if spec_fields else None
+    partition_by = _spec_to_partition_by(meta)
     null_part = {f["name"]: None for f in spec_fields}
     recs = []
     n_rows = 0
@@ -735,12 +889,12 @@ def compact_iceberg(spark: SparkSession, table_dir: str,
     plan = scan_manifests(table_dir, io=io)
     tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
     spec_fields = meta["partition-specs"][0]["fields"]
-    partition_by = spec_fields[0]["name"] if spec_fields else None
+    partition_by = _spec_to_partition_by(meta)
     seq = meta["last-sequence-number"] + 1
 
     df = read_iceberg(spark, table_dir, io=io)  # deletes applied here
-    df = (df.repartition(F.col(partition_by)) if partition_by
-          else df.coalesce(1))
+    t = _parse_transform(partition_by)
+    df = df.repartition(_transform_expr(t, df)) if t else df.coalesce(1)
     files = _write_data_files(df, io, table_dir, partition_by, seq=seq)
     entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
                 "data_file": f} for f in files]

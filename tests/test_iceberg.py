@@ -365,3 +365,67 @@ def test_concurrent_commit_fails_loudly(spark, tmp_path):
         append_iceberg(_docs(spark, n=10, shift=100), d, partition_by="source")
     # the loser's state is untouched: hint still points at v1, reads work
     assert read_iceberg(spark, d).count() == 100
+
+
+def test_hidden_partition_transforms(spark, tmp_path):
+    """Hidden partitioning: the table partitions by a TRANSFORM of a source
+    column — days(ts), bucket(N, id), truncate(W, s) — the data files keep
+    only the source column, and derive_partition_filter maps a source-column
+    constraint to the partition predicate so callers never name the
+    partition field."""
+    from datetime import date, datetime
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        derive_partition_filter,
+    )
+
+    # days(ts): a timestamp column partitions by its date
+    d1 = str(tmp_path / "days")
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(hours=F.col("id"))).alias("ts"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    write_iceberg(ev, d1, partition_by="days(ts)")
+    meta = current_metadata(d1)
+    assert meta["partition-specs"][0]["fields"][0]["transform"] == "day"
+    plan = scan_manifests(d1, partition_filter=derive_partition_filter(
+        d1, lo=datetime(2024, 1, 3, 0, 0), hi=datetime(2024, 1, 4, 23, 59)))
+    assert plan["pruned_files"] > 0
+    assert all(f["partition"]["ts_day"] in (date(2024, 1, 3), date(2024, 1, 4))
+               for f in plan["data_files"])
+    got = read_iceberg(spark, d1, partition_filter=derive_partition_filter(
+        d1, lo=datetime(2024, 1, 3), hi=datetime(2024, 1, 4, 23, 59, 59)))
+    exp = ev.filter(F.to_date("ts").between("2024-01-03", "2024-01-04"))
+    assert got.count() == exp.count() == 48
+    assert "ts" in got.columns  # source column physical, partition hidden
+
+    # bucket(8, doc_id): equality pruning through the hash
+    d2 = str(tmp_path / "bucket")
+    docs = _docs(spark, n=400)
+    write_iceberg(docs, d2, partition_by="bucket(8, doc_id)")
+    plan = scan_manifests(d2, partition_filter=derive_partition_filter(
+        d2, eq=123))
+    assert plan["pruned_files"] > 0
+    got = read_iceberg(spark, d2, partition_filter=derive_partition_filter(
+        d2, eq=123)).filter(F.col("doc_id") == 123)
+    assert got.count() == 1  # the matching file group contains the row
+    with pytest.raises(ValueError, match="equality only"):
+        derive_partition_filter(d2, lo=1, hi=5)
+
+    # truncate(1, source): string prefix partitioning; deletes + compaction
+    # reconstruct the transform from the spec
+    d3 = str(tmp_path / "trunc")
+    write_iceberg(docs.withColumn("source", F.concat(F.lit("ab"), F.col("source"))),
+                  d3, partition_by="truncate(1, source)")
+    meta3 = current_metadata(d3)
+    assert meta3["partition-specs"][0]["fields"][0]["transform"] == "truncate[1]"
+    delete_iceberg_rows(spark, d3, F.col("doc_id") < 50)
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        compact_iceberg,
+    )
+    compact_iceberg(spark, d3)
+    assert read_iceberg(spark, d3).count() == 350
+    assert all(f["partition"]["source_trunc"] == "a"
+               for f in scan_manifests(d3)["data_files"])
