@@ -117,20 +117,42 @@ def _local_path(io: FsIO, table_dir: str, path: str) -> str:
 def scan_manifests(table_dir: str, snapshot_id: int | None = None,
                    as_of_ms: int | None = None,
                    partition_filter=None,
-                   io: FsIO | None = None) -> dict:
+                   io: FsIO | None = None,
+                   stats_filter: dict | None = None) -> dict:
     """Driver-side scan plan: walk the manifest chain and return
     ``{"data_files": [...], "delete_files": [...], "pruned_files": n,
     "snapshot": {...}}``. ``partition_filter`` is a Python predicate over
     the entry's partition dict (identity-transform values, e.g.
     ``lambda p: p["source"] == "src1"``) applied to DATA manifests' entries
     — file-level pruning before any parquet footer is touched, the Iceberg
-    planning contract. Delete files are never partition-pruned (a delete
-    may target any file; correctness first)."""
+    planning contract. ``stats_filter`` maps column name -> (lo, hi)
+    inclusive bounds over the SOURCE column: files whose manifest-recorded
+    min/max are disjoint with the range prune too (the spec's
+    lower_bounds/upper_bounds tier); files lacking bounds are kept.
+    Delete files are never pruned (a delete may target any file;
+    correctness first)."""
     io = _io(table_dir, io)
     meta = current_metadata(table_dir, io)
     snap = _select_snapshot(meta, snapshot_id, as_of_ms)
     ml_path = _local_path(io, table_dir, snap["manifest-list"])
     _, manifests = read_avro_container(io.read_bytes(ml_path))
+    sch = _snapshot_schema(meta, snap) if stats_filter else None
+
+    def stats_keep(rec: dict) -> bool:
+        lo_b = rec.get("lower_bounds") or {}
+        hi_b = rec.get("upper_bounds") or {}
+        for col, (lo, hi) in stats_filter.items():
+            dt = sch[col].dataType
+            f_lo = lo_b.get(col)
+            f_hi = hi_b.get(col)
+            if f_lo is not None and hi is not None \
+                    and _bound_parse(dt, f_lo) > hi:
+                return False
+            if f_hi is not None and lo is not None \
+                    and _bound_parse(dt, f_hi) < lo:
+                return False
+        return True
+
     data_files: list[dict] = []
     delete_files: list[dict] = []
     pruned = 0
@@ -154,6 +176,9 @@ def scan_manifests(table_dir: str, snapshot_id: int | None = None,
             if partition_filter is not None and not partition_filter(part):
                 pruned += 1
                 continue
+            if stats_filter and not stats_keep(df_rec):
+                pruned += 1
+                continue
             data_files.append(df_rec)
     return {"data_files": data_files, "delete_files": delete_files,
             "pruned_files": pruned, "snapshot": snap, "metadata": meta}
@@ -164,7 +189,8 @@ def read_iceberg(spark: SparkSession, table_dir: str,
                  as_of_ms: int | None = None,
                  columns: list[str] | None = None,
                  partition_filter=None,
-                 io: FsIO | None = None) -> DataFrame:
+                 io: FsIO | None = None,
+                 stats_filter: dict | None = None) -> DataFrame:
     """Read an Iceberg v2 table directory as a DataFrame.
 
     The metadata walk (snapshot → manifests → file list, partition pruning,
@@ -178,7 +204,7 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     with a strictly lower sequence number (the spec's rule — a row
     re-inserted after the delete survives)."""
     plan = scan_manifests(table_dir, snapshot_id, as_of_ms,
-                          partition_filter, io)
+                          partition_filter, io, stats_filter=stats_filter)
     io = _io(table_dir, io)
     if not plan["data_files"]:
         raise ValueError("scan plan is empty (all files pruned or table empty)")
@@ -329,6 +355,16 @@ def _manifest_schemas(part_fields: list[tuple[str, object]]) -> tuple[dict, dict
             {"name": "partition", "type": part_rec},
             {"name": "record_count", "type": "long"},
             {"name": "file_size_in_bytes", "type": "long"},
+            # per-file column bounds (the spec's lower_bounds/upper_bounds;
+            # deviation: keyed by column NAME with string-repr values —
+            # typed parse-back consults the table schema — instead of
+            # field-id -> single-value-serialized bytes)
+            {"name": "lower_bounds",
+             "type": ["null", {"type": "map", "values": "string"}],
+             "default": None},
+            {"name": "upper_bounds",
+             "type": ["null", {"type": "map", "values": "string"}],
+             "default": None},
         ],
     }
     manifest_entry = {
@@ -501,6 +537,57 @@ def derive_partition_filter(table_dir: str, lo=None, hi=None, eq=None,
     return pred
 
 
+def _bound_repr(v) -> str:
+    from datetime import date, datetime
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (date, datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def _bound_parse(dt: T.DataType, s: str):
+    from datetime import date, datetime
+
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return int(s)
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float(s)
+    if isinstance(dt, T.DateType):
+        return date.fromisoformat(s)
+    if isinstance(dt, T.TimestampType):
+        return datetime.fromisoformat(s)
+    return s
+
+
+def _footer_bounds(md) -> tuple[dict, dict]:
+    """Per-file column min/max folded from the parquet footer's row-group
+    statistics — free at write time (the footer is already in memory).
+    Only top-level primitive columns participate (nested paths carry a
+    dot); columns lacking stats are simply absent, which every consumer
+    treats as 'cannot prune'."""
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if name not in lo or mn < lo[name]:
+                lo[name] = mn
+            if name not in hi or mx > hi[name]:
+                hi[name] = mx
+    return ({k: _bound_repr(v) for k, v in lo.items()},
+            {k: _bound_repr(v) for k, v in hi.items()})
+
+
 def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
                       partition_by: str | None, seq: int) -> list[dict]:
     """Write the snapshot's parquet data files under ``data/`` and return
@@ -555,10 +642,12 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
                     elif isinstance(part_dt, (T.IntegerType, T.LongType)):
                         v = int(v)
                     part[t.field] = v
+                lo, hi = _footer_bounds(md)
                 recs.append({
                     "content": 0, "file_path": p, "file_format": "PARQUET",
                     "partition": part, "record_count": md.num_rows,
                     "file_size_in_bytes": io.size(p),
+                    "lower_bounds": lo or None, "upper_bounds": hi or None,
                 })
 
     walk(data_dir, None)
@@ -817,6 +906,7 @@ def delete_iceberg_rows(spark: SparkSession, table_dir: str, condition,
                 "content": 1, "file_path": p, "file_format": "PARQUET",
                 "partition": dict(null_part), "record_count": md.num_rows,
                 "file_size_in_bytes": io.size(p),
+                "lower_bounds": None, "upper_bounds": None,
             })
     entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
                 "data_file": r} for r in recs]
@@ -864,6 +954,7 @@ def equality_delete_iceberg(keys: DataFrame, table_dir: str,
                 "content": 2, "file_path": p, "file_format": "PARQUET",
                 "partition": dict(null_part), "record_count": md.num_rows,
                 "file_size_in_bytes": io.size(p),
+                "lower_bounds": None, "upper_bounds": None,
             })
     entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
                 "data_file": r} for r in recs]

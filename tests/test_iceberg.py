@@ -429,3 +429,29 @@ def test_hidden_partition_transforms(spark, tmp_path):
     assert read_iceberg(spark, d3).count() == 350
     assert all(f["partition"]["source_trunc"] == "a"
                for f in scan_manifests(d3)["data_files"])
+
+
+def test_column_bounds_file_pruning(spark, tmp_path):
+    """The spec's lower/upper-bounds tier: the writer folds per-file
+    column min/max from the parquet footers into the manifest entries, and
+    a stats_filter range prunes disjoint files at plan time — the zone-map
+    idea at the lakehouse-metadata level."""
+    d = str(tmp_path / "t")
+    # repartitionByRange clusters doc_id so per-file ranges are tight
+    df = _docs(spark, n=4000).repartitionByRange(8, "doc_id")
+    write_iceberg(df, d)
+    plan_all = scan_manifests(d)
+    f = plan_all["data_files"][0]
+    assert "doc_id" in (f["lower_bounds"] or {})
+    plan = scan_manifests(d, stats_filter={"doc_id": (100, 400)})
+    assert plan["pruned_files"] > 0
+    assert len(plan["data_files"]) < len(plan_all["data_files"])
+    got = read_iceberg(spark, d, stats_filter={"doc_id": (100, 400)}) \
+        .filter(F.col("doc_id").between(100, 400))
+    assert _rows(got) == _rows(df.filter(F.col("doc_id").between(100, 400)))
+    # open-ended ranges and string bounds
+    plan_hi = scan_manifests(d, stats_filter={"doc_id": (3500, None)})
+    assert plan_hi["pruned_files"] > 0
+    assert read_iceberg(
+        spark, d, stats_filter={"source": ("src1", "src1")}).count() == 4000
+    # src1 rows exist in every range file -> nothing pruned, nothing lost
