@@ -68,10 +68,6 @@ CODEC_NAMES = {
     STR_FSST: "fsst",
     STR_ZLIB: "zlib",
 }
-NAME_TO_CODEC_INT = {"plain": PLAIN, "bitpack": BITPACK, "for": FOR, "rle": RLE, "dict": DICT}
-NAME_TO_CODEC_STR = {"plain": STR_PLAIN, "dict": STR_DICT, "fsst": STR_FSST,
-                     "zlib": STR_ZLIB}
-
 _HDR = struct.Struct("<2sBBBQ")  # magic, version, codec, dtype, n_values
 
 

@@ -270,6 +270,25 @@ def main() -> None:
         ),
     ]
 
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        read_iceberg, write_iceberg,
+    )
+
+    ice_dir = tempfile.mkdtemp(prefix="plans_ice_")
+    write_iceberg(docs.select("doc_id", "source", "n_chars"), ice_dir,
+                  partition_by="source")
+    sections += [
+        (
+            "Iceberg ingest (manifest-planned file list → pushdown parquet scan)",
+            "* The metadata walk (snapshot → manifests → pruned file list)\n"
+            "is driver-side; the DATA scan is an ordinary parquet relation:\n"
+            "the filter lands in PushedFilters and the projection in\n"
+            "ReadSchema — the Iceberg front door costs Catalyst nothing.",
+            read_iceberg(spark, ice_dir)
+            .filter(F.col("doc_id") > 100).select("doc_id"),
+        ),
+    ]
+
     parts = [HEADER]
     for title, note, df in sections:
         parts.append(f"## {title}\n\n{note}\n\n```\n{fmt(df).strip()}\n```\n")
