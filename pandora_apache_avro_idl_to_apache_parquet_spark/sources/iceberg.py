@@ -997,6 +997,108 @@ def compact_iceberg(spark: SparkSession, table_dir: str,
     return res
 
 
+def expire_snapshots(table_dir: str, keep_last: int = 1,
+                     io: FsIO | None = None) -> dict:
+    """Iceberg ``expire_snapshots``: drop all but the last ``keep_last``
+    snapshots from the table metadata (a new metadata version — the commit
+    is the same optimistic vN claim) and delete the files ONLY they
+    referenced: their manifest-lists, their manifests, and any data/delete
+    file no surviving snapshot references. Time travel to an expired
+    snapshot then fails loudly ("not in table metadata"), never returns a
+    silently incomplete result — the same contract as the encoded store's
+    cleaned log checkpoint."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    snaps = meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"snapshots_expired": 0, "files_deleted": 0}
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+
+    def refs(snapshot: dict) -> tuple[set, set]:
+        """(manifest paths, data-file paths) reachable from a snapshot."""
+        ml = _local_path(io, table_dir, snapshot["manifest-list"])
+        _, manifests = read_avro_container(io.read_bytes(ml))
+        mans, files = {ml}, set()
+        for m in manifests:
+            mp = _local_path(io, table_dir, m["manifest_path"])
+            mans.add(mp)
+            _, entries = read_avro_container(io.read_bytes(mp))
+            for e in entries:
+                files.add(_local_path(io, table_dir,
+                                      e["data_file"]["file_path"]))
+        return mans, files
+
+    live_m: set = set()
+    live_f: set = set()
+    for s in keep:
+        m, f = refs(s)
+        live_m |= m
+        live_f |= f
+    doomed: set = set()
+    for s in drop:
+        m, f = refs(s)
+        doomed |= (m - live_m) | (f - live_f)
+
+    keep_ids = {s["snapshot-id"] for s in keep}
+    meta = dict(meta)
+    meta["snapshots"] = keep
+    meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
+                            if e["snapshot-id"] in keep_ids]
+    hint = posixpath.join(io.join("metadata"), "version-hint.text")
+    version = int(io.read_text(hint).strip()) + 1
+    if not io.create_exclusive(
+        posixpath.join(io.join("metadata"), f"v{version}.metadata.json"),
+        json.dumps(meta, indent=1).encode(),
+    ):
+        raise RuntimeError(
+            f"concurrent Iceberg commit: v{version}.metadata.json already "
+            "exists — re-run expire_snapshots against the current state")
+    io.write_bytes(hint, str(version).encode())
+    for p in sorted(doomed):  # only after the metadata swap is visible
+        try:
+            io.fs.delete_file(p)
+        except Exception:
+            pass  # a straggler is an orphan for remove_orphan_files
+    return {"snapshots_expired": len(drop), "files_deleted": len(doomed),
+            "version": version}
+
+
+def remove_orphan_files(table_dir: str, io: FsIO | None = None) -> list[str]:
+    """Delete files under ``data/`` that no retained snapshot references —
+    the leftovers of crashed commits and of optimistic-concurrency losers
+    (their data files were written before the metadata claim failed). Never
+    touches ``metadata/``; returns the deleted paths."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    live: set = set()
+    for s in meta.get("snapshots", []):
+        ml = _local_path(io, table_dir, s["manifest-list"])
+        _, manifests = read_avro_container(io.read_bytes(ml))
+        for m in manifests:
+            mp = _local_path(io, table_dir, m["manifest_path"])
+            _, entries = read_avro_container(io.read_bytes(mp))
+            for e in entries:
+                live.add(_local_path(io, table_dir,
+                                     e["data_file"]["file_path"]))
+    removed: list[str] = []
+    data_dir = io.join("data")
+
+    def walk(d: str):
+        for name in sorted(io.listdir(d)):
+            p = posixpath.join(d, name)
+            if io.isdir(p):
+                walk(p)
+            elif name.endswith(".parquet") and p not in live:
+                io.fs.delete_file(p)
+                removed.append(p)
+
+    if io.isdir(data_dir):
+        walk(data_dir)
+    return removed
+
+
 # ------------------------------------------------------- streaming source
 #
 # `spark.readStream.format("pandora_iceberg")` — tail an Iceberg table's

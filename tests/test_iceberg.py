@@ -455,3 +455,37 @@ def test_column_bounds_file_pruning(spark, tmp_path):
     assert read_iceberg(
         spark, d, stats_filter={"source": ("src1", "src1")}).count() == 4000
     # src1 rows exist in every range file -> nothing pruned, nothing lost
+
+
+def test_expire_snapshots_and_orphan_removal(spark, tmp_path):
+    """Lifecycle tier: expire_snapshots drops old snapshots (their
+    manifest-lists/manifests/unreferenced files delete; expired time travel
+    fails loudly, current reads untouched); remove_orphan_files reclaims
+    crashed-commit leftovers without touching live data."""
+    import os as _os
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        compact_iceberg, expire_snapshots, remove_orphan_files,
+    )
+
+    d = str(tmp_path / "t")
+    df = _docs(spark, n=600)
+    write_iceberg(df.repartition(4), d, partition_by="source")
+    append_iceberg(_docs(spark, n=100, shift=600), d, partition_by="source")
+    compact_iceberg(spark, d)  # snapshot 3 references only fresh files
+    pre = _rows(read_iceberg(spark, d))
+
+    res = expire_snapshots(d, keep_last=1)
+    assert res["snapshots_expired"] == 2
+    assert res["files_deleted"] > 0
+    assert _rows(read_iceberg(spark, d)) == pre  # current state untouched
+    with pytest.raises(ValueError, match="not in table"):
+        read_iceberg(spark, d, snapshot_id=1)
+
+    # a crashed commit's leftover (no snapshot references it) is an orphan
+    orphan = _os.path.join(d, "data", "s99")
+    _docs(spark, n=10).coalesce(1).write.parquet(orphan)
+    removed = remove_orphan_files(d)
+    assert removed and all("s99" in p for p in removed)
+    assert _rows(read_iceberg(spark, d)) == pre
+    assert remove_orphan_files(d) == []  # idempotent; live files never touched
