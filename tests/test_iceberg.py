@@ -489,3 +489,103 @@ def test_expire_snapshots_and_orphan_removal(spark, tmp_path):
     assert removed and all("s99" in p for p in removed)
     assert _rows(read_iceberg(spark, d)) == pre
     assert remove_orphan_files(d) == []  # idempotent; live files never touched
+
+
+def test_reader_tolerates_foreign_manifest_fields(spark, tmp_path):
+    """Forward compatibility with manifests written by other engines: OCF is
+    self-describing, so entries carrying EXTRA spec fields (field-id-keyed
+    byte bounds, file_ordinal, nan_value_counts...) decode fine and the
+    planner keys off only the fields it knows. This pins the module
+    docstring's tolerance claim with a hand-crafted foreign manifest."""
+    import json as _json
+    import os as _os
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_binary import (
+        write_avro_container,
+    )
+
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=200), d, partition_by="source")
+    meta_dir = _os.path.join(d, "metadata")
+    meta = current_metadata(d)
+    plan = scan_manifests(d)
+    keep = plan["data_files"][0]
+
+    # a "foreign" manifest: extra fields our writer never emits
+    foreign_entry_schema = {
+        "type": "record", "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "file_sequence_number", "type": ["null", "long"], "default": None},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": [{"name": "source",
+                                    "type": ["null", "string"],
+                                    "default": None}]}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "column_sizes", "type": ["null", {
+                        "type": "map", "values": "long"}], "default": None},
+                    {"name": "value_counts", "type": ["null", {
+                        "type": "map", "values": "long"}], "default": None},
+                    {"name": "lower_bounds_by_id", "type": ["null", {
+                        "type": "map", "values": "bytes"}], "default": None},
+                    {"name": "split_offsets", "type": ["null", {
+                        "type": "array", "items": "long"}], "default": None},
+                ]}},
+        ],
+    }
+    entry = {
+        "status": 1, "snapshot_id": 99, "sequence_number": 9,
+        "file_sequence_number": 9,
+        "data_file": {
+            "content": 0, "file_path": keep["file_path"],
+            "file_format": "PARQUET",
+            "partition": {"source": keep["partition"]["source"]},
+            "record_count": keep["record_count"],
+            "file_size_in_bytes": keep["file_size_in_bytes"],
+            "column_sizes": {"1": 10}, "value_counts": {"1": 5},
+            "lower_bounds_by_id": {"1": b"\x01\x02"},
+            "split_offsets": [4, 100],
+        },
+    }
+    man_path = _os.path.join(meta_dir, "m-foreign.avro")
+    write_avro_container(man_path, foreign_entry_schema, [entry])
+
+    # splice the foreign manifest into a copy of the current manifest-list
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.avro_binary import (
+        read_avro_container,
+    )
+    ml = meta["snapshots"][-1]["manifest-list"]
+    mf_schema, manifests = read_avro_container(open(ml, "rb").read())
+    foreign_m = dict(manifests[0], manifest_path=man_path,
+                     sequence_number=9, min_sequence_number=9)
+    ml2 = _os.path.join(meta_dir, "snap-foreign.avro")
+    write_avro_container(ml2, mf_schema, manifests + [foreign_m])
+    meta2 = dict(meta)
+    meta2["snapshots"] = list(meta["snapshots"]) + [{
+        "snapshot-id": 99, "sequence-number": 9, "timestamp-ms": 1700000009000,
+        "manifest-list": ml2, "summary": {"operation": "append"},
+        "schema-id": meta["current-schema-id"],
+    }]
+    meta2["current-snapshot-id"] = 99
+    meta2["last-sequence-number"] = 9
+    with open(_os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        fh.write(_json.dumps(meta2))
+    with open(_os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+    plan2 = scan_manifests(d)
+    # the foreign entry planned: one extra (duplicate) reference to the file
+    assert len(plan2["data_files"]) == len(plan["data_files"]) + 1
+    foreign = [f for f in plan2["data_files"] if f["_seq"] == 9][0]
+    assert foreign["file_path"] == keep["file_path"]
+    assert foreign["lower_bounds_by_id"] == {"1": b"\x01\x02"}
