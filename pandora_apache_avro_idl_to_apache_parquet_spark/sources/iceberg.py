@@ -507,7 +507,7 @@ def transform_value(t: _Transform, v):
 
 
 def derive_partition_filter(table_dir: str, lo=None, hi=None, eq=None,
-                            io: FsIO | None = None):
+                            isin=None, io: FsIO | None = None):
     """HIDDEN partitioning's payoff: the caller constrains the SOURCE
     column (``eq=`` a value, or ``lo=``/``hi=`` an inclusive range) and the
     engine derives the partition-dict predicate for the table's transform —
@@ -523,6 +523,9 @@ def derive_partition_filter(table_dir: str, lo=None, hi=None, eq=None,
     if eq is not None:
         tv = transform_value(t, eq)
         return lambda p: p.get(t.field) == tv
+    if isin is not None:
+        tvs = {transform_value(t, v) for v in isin}
+        return lambda p: p.get(t.field) in tvs
     if t.kind == "bucket":
         raise ValueError("bucket partitioning prunes equality only")
     tlo = transform_value(t, lo) if lo is not None else None
@@ -995,6 +998,22 @@ def compact_iceberg(spark: SparkSession, table_dir: str,
     res.update({"files_before": len(plan["data_files"]),
                 "delete_files_retired": len(plan["delete_files"])})
     return res
+
+
+def export_table_to_iceberg(spark: SparkSession, store_dir: str,
+                            iceberg_dir: str,
+                            partition_by: str | None = None,
+                            io: FsIO | None = None) -> dict:
+    """Bridge the engine's two lake tiers: decode an encoded pandora_table
+    store (codec'd chunks + commit log) and publish it as an Iceberg v2
+    table — the interchange layout any external engine can plan. Deletion
+    vectors/DML are materialized by the decode, so the export is the
+    store's CURRENT logical state; ``partition_by`` accepts the same
+    transform syntax as :func:`write_iceberg`."""
+    from ..operators.table import decode_table
+
+    return write_iceberg(decode_table(spark, store_dir), iceberg_dir,
+                         partition_by=partition_by, io=io)
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 1,

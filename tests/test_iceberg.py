@@ -589,3 +589,36 @@ def test_reader_tolerates_foreign_manifest_fields(spark, tmp_path):
     foreign = [f for f in plan2["data_files"] if f["_seq"] == 9][0]
     assert foreign["file_path"] == keep["file_path"]
     assert foreign["lower_bounds_by_id"] == {"1": b"\x01\x02"}
+
+
+def test_export_store_to_iceberg_and_isin_pruning(spark, tmp_path):
+    """Bridge test: an encoded pandora_table store (with a DV delete
+    applied) exports as an Iceberg table carrying its CURRENT logical
+    state; derive_partition_filter(isin=...) prunes multi-value sets
+    through any transform."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.table import (
+        dv_delete_where, encode_table,
+    )
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        derive_partition_filter, export_table_to_iceberg,
+    )
+
+    store = str(tmp_path / "store")
+    ice = str(tmp_path / "ice")
+    df = _docs(spark, n=800)
+    encode_table(df, store, key_cols=["doc_id"], n_parts=2, chunk_rows=256)
+    dv_delete_where(spark, store, F.col("doc_id") % 10 == 0,
+                    condition_cols=["doc_id"])
+    res = export_table_to_iceberg(spark, store, ice, partition_by="source")
+    assert res["rows"] == 720  # DV delete materialized in the export
+    got = read_iceberg(spark, ice)
+    assert _rows(got.select(*df.columns)) == _rows(
+        df.filter(F.col("doc_id") % 10 != 0))
+    # isin pruning across two partition values
+    plan = scan_manifests(ice, partition_filter=derive_partition_filter(
+        ice, isin=["src1", "src3"]))
+    assert plan["pruned_files"] > 0
+    n = read_iceberg(spark, ice, partition_filter=derive_partition_filter(
+        ice, isin=["src1", "src3"])).count()
+    assert n == df.filter(F.col("source").isin("src1", "src3")
+                          & (F.col("doc_id") % 10 != 0)).count()
