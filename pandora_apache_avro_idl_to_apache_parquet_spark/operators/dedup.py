@@ -515,12 +515,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b
     # emits star edges node -> partition-local min root (vectorized numpy
     # union; see _contract_components_locally). The loop below then converges
     # in cross-partition hops, not raw graph diameter — a within-partition
-    # chain of any depth costs ZERO rounds. Self-stars drop (the root node
-    # itself reappears as the b side of every other member's star edge, so
-    # no node is lost — every LSH/fuzzy pair has two distinct endpoints).
-    stars = _contract_components_locally(pairs, src, dst).filter(
-        F.col("a") != F.col("b")
-    )
+    # chain of any depth costs ZERO rounds. Self-stars are KEPT: a node
+    # whose only pair is a self-pair would otherwise vanish from the label
+    # set, and self-edges are harmless in the min-label loop (distinct
+    # collapses the doubled copies).
+    stars = _contract_components_locally(pairs, src, dst)
     rev = stars.select(F.col("b").alias("a"), F.col("a").alias("b"))
     edges = stars.union(rev).distinct().cache()
 

@@ -639,14 +639,19 @@ def q_table_dv_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.table import decode_table, dv_update_where
 
     out = _mutable_table_dir(spark, sf_dir, "dvu")
-    if len(log_versions(out)) < 3:
-        before = set(committed_files(out))
+    # EACH update guards on its own log version (not one <3 check for the
+    # pair): a crash between the two commits must not re-apply update 1 —
+    # its predicate would re-match the relocated rows and double the price
+    # AGAIN, permanently poisoning the cached table against the oracle
+    before = set(committed_files(out))
+    if len(log_versions(out)) < 2:
         dv_update_where(
             spark, out, F.col("l_orderkey") % 97 == 13,
             {"l_extendedprice": F.col("l_extendedprice") * 2,
              "l_returnflag": F.lit("X")},
             condition_cols=["l_orderkey"],
         )
+    if len(log_versions(out)) < 3:
         dv_update_where(
             spark, out,
             (F.col("l_returnflag") == "X") & (F.col("l_quantity") > 25.0),

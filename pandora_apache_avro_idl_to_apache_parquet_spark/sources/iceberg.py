@@ -259,16 +259,28 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     # equality deletes: group data files by sequence number; each group
     # anti-joins only the delete files sequenced AFTER it (projection waits
     # until after the join — the equality column may not be in `columns`).
-    # Group count is bounded by snapshot count, so the union stays shallow.
+    # Delete files additionally group BY THEIR COLUMN SET (one footer read
+    # each, driver-side): two deletes keyed on different columns must each
+    # anti-join on their own keys — a combined read would null-fill the
+    # minority schema and silently drop its deletes. Group counts are
+    # bounded by snapshot count, so the union stays shallow.
+    import pyarrow.parquet as _pq
+
+    def eq_cols(f: dict) -> tuple:
+        p = _local_path(io, table_dir, f["file_path"])
+        return tuple(_pq.ParquetFile(p).schema_arrow.names)
+
     out = None
     for seq in sorted({f["_seq"] for f in plan["data_files"]}):
         d = leg([f for f in plan["data_files"] if f["_seq"] == seq],
                 project=False)
         applicable = [f for f in eq_dels if f["_seq"] > seq]
-        if applicable:
+        by_cols: dict[tuple, list] = {}
+        for f in applicable:
+            by_cols.setdefault(eq_cols(f), []).append(f)
+        for cols_key, group in sorted(by_cols.items()):
             keys = spark.read.parquet(
-                *[_local_path(io, table_dir, f["file_path"])
-                  for f in applicable]
+                *[_local_path(io, table_dir, f["file_path"]) for f in group]
             ).distinct()
             missing = [c for c in keys.columns if c not in d.columns]
             if missing:
@@ -451,7 +463,7 @@ def _spec_to_partition_by(meta: dict) -> str | None:
         return None
     f = fields[0]
     sid = f["source-id"]
-    sch = meta["schemas"][meta["current-schema-id"]]
+    sch = _schema_by_id(meta)
     col = next(c["name"] for c in sch["fields"] if c["id"] == sid)
     t = f["transform"]
     if t == "identity":
@@ -481,7 +493,10 @@ def _transform_expr(t: _Transform, df: DataFrame):
     dt = df.schema[t.col].dataType
     if isinstance(dt, T.StringType):
         return F.substring(c, 1, t.param)
-    return (F.floor(c / t.param) * t.param).cast(dt)
+    # integer-exact floor multiple: c - pmod(c, W) stays in long arithmetic
+    # (a double-division floor() would round wrong past 2^53 and desync
+    # from the driver twin transform_value)
+    return (c - F.pmod(c, F.lit(t.param))).cast(dt)
 
 
 def transform_value(t: _Transform, v):
@@ -629,7 +644,12 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
             p = posixpath.join(d, name)
             if io.isdir(p):
                 if "=" in name:
-                    walk(p, name.split("=", 1)[1])
+                    # Spark hive-escapes special chars in partition dir
+                    # names (':' -> '%3A', ...); the manifest must record
+                    # the TRUE value or pruning would compare escaped
+                    # against unescaped and silently drop files
+                    from urllib.parse import unquote
+                    walk(p, unquote(name.split("=", 1)[1]))
                 else:
                     walk(p, part_val)
             elif name.endswith(".parquet"):
@@ -657,6 +677,23 @@ def _write_data_files(df: DataFrame, io: FsIO, table_dir: str,
     return recs
 
 
+def _schema_by_id(meta: dict) -> dict:
+    """The current schema entry looked up BY ID, never by list index —
+    foreign-written tables may carry sparse schema ids."""
+    sid = meta["current-schema-id"]
+    return next(s for s in meta["schemas"] if s["schema-id"] == sid)
+
+
+def _type_shape(t) -> object:
+    """A type with its id assignments stripped, for evolution comparison:
+    element/field ids are allocation artifacts (they shift when columns are
+    added), not type identity."""
+    if isinstance(t, dict):
+        return {k: _type_shape(v) for k, v in t.items()
+                if k not in ("element-id", "field-id", "key-id", "value-id")}
+    return t
+
+
 def _evolve_schema(meta: dict, schema: T.StructType) -> dict:
     """Append-only schema evolution (the same contract as the encoded
     store's): a data commit may ADD nullable columns — a new schema entry
@@ -664,12 +701,12 @@ def _evolve_schema(meta: dict, schema: T.StructType) -> dict:
     advances, and old data files serve the new columns as null (the reader
     imposes the snapshot's schema on every file). Dropping a column or
     changing a type rejects loudly."""
-    cur = meta["schemas"][meta["current-schema-id"]]
+    cur = _schema_by_id(meta)
     cur_by_name = {f["name"]: f for f in cur["fields"]}
     new_json = _iceberg_schema_json(schema)
     for f in new_json["fields"]:
         old = cur_by_name.get(f["name"])
-        if old is not None and old["type"] != f["type"]:
+        if old is not None and _type_shape(old["type"]) != _type_shape(f["type"]):
             raise ValueError(
                 f"schema evolution cannot change column {f['name']!r}: "
                 f"{old['type']} -> {f['type']}")
@@ -914,7 +951,7 @@ def delete_iceberg_rows(spark: SparkSession, table_dir: str, condition,
     entries = [{"status": 1, "snapshot_id": seq, "sequence_number": seq,
                 "data_file": r} for r in recs]
     # reconstruct a minimal StructType for partition typing
-    tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+    tbl_schema = _struct_from_iceberg(_schema_by_id(meta))
     res = _commit_snapshot(io, table_dir, tbl_schema, partition_by,
                            entries, manifest_content=1, op="delete")
     res["rows_deleted"] = n_rows
@@ -933,7 +970,7 @@ def equality_delete_iceberg(keys: DataFrame, table_dir: str,
     AFTER this delete with the same key survive, per spec."""
     io = _io(table_dir, io)
     meta = current_metadata(table_dir, io)
-    tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+    tbl_schema = _struct_from_iceberg(_schema_by_id(meta))
     bad = [c for c in keys.columns
            if c not in {f.name for f in tbl_schema.fields}]
     if bad:
@@ -981,7 +1018,7 @@ def compact_iceberg(spark: SparkSession, table_dir: str,
     io = _io(table_dir, io)
     meta = current_metadata(table_dir, io)
     plan = scan_manifests(table_dir, io=io)
-    tbl_schema = _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+    tbl_schema = _struct_from_iceberg(_schema_by_id(meta))
     spec_fields = meta["partition-specs"][0]["fields"]
     partition_by = _spec_to_partition_by(meta)
     seq = meta["last-sequence-number"] + 1
@@ -1084,12 +1121,23 @@ def expire_snapshots(table_dir: str, keep_last: int = 1,
             "version": version}
 
 
-def remove_orphan_files(table_dir: str, io: FsIO | None = None) -> list[str]:
+def remove_orphan_files(table_dir: str, io: FsIO | None = None,
+                        min_age_sec: float = 86400.0) -> list[str]:
     """Delete files under ``data/`` that no retained snapshot references —
     the leftovers of crashed commits and of optimistic-concurrency losers
     (their data files were written before the metadata claim failed). Never
-    touches ``metadata/``; returns the deleted paths."""
+    touches ``metadata/``; returns the deleted paths.
+
+    ``min_age_sec`` (default 1 day — Iceberg's ``older_than`` contract, and
+    the same retention idea as the store's ``vacuum``) protects an
+    IN-FLIGHT write: a concurrent appender's files are unreferenced until
+    its metadata commit lands, and deleting them would let that commit
+    succeed pointing at vanished files. Only files strictly older than the
+    window are eligible; pass 0 only when no writer can be racing (tests)."""
+    import time as _time
+
     io = _io(table_dir, io)
+    cutoff_ms = (_time.time() - min_age_sec) * 1000.0
     meta = current_metadata(table_dir, io)
     live: set = set()
     for s in meta.get("snapshots", []):
@@ -1109,7 +1157,8 @@ def remove_orphan_files(table_dir: str, io: FsIO | None = None) -> list[str]:
             p = posixpath.join(d, name)
             if io.isdir(p):
                 walk(p)
-            elif name.endswith(".parquet") and p not in live:
+            elif (name.endswith(".parquet") and p not in live
+                  and io.mtime_ms(p) < cutoff_ms):
                 io.fs.delete_file(p)
                 removed.append(p)
 
@@ -1139,8 +1188,12 @@ def _iceberg_stream_classes():
     )
 
     class IcebergSnapshotTailReader(DataSourceStreamReader):
-        def __init__(self, path: str):
+        def __init__(self, path: str, schema: T.StructType):
             self._path = path
+            self._schema = T.StructType([
+                T.StructField(f.name, f.dataType, True)
+                for f in schema.fields
+            ])
 
         def initialOffset(self) -> dict:
             return {"seq": 0}
@@ -1188,9 +1241,26 @@ def _iceberg_stream_classes():
         def read(self, partition):
             if partition.value is None:
                 return
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            yield from pq.ParquetFile(partition.value).iter_batches(65536)
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            # pad every batch to the DECLARED schema: after append-only
+            # schema evolution, pre-evolution files lack the added columns
+            # and must serve them as null (exactly like the batch reader)
+            target = to_arrow_schema(self._schema)
+            for b in pq.ParquetFile(partition.value).iter_batches(65536):
+                arrays = []
+                for f in target:
+                    if f.name in b.schema.names:
+                        col = b.column(b.schema.names.index(f.name))
+                        if col.type != f.type:
+                            col = col.cast(f.type)
+                        arrays.append(col)
+                    else:
+                        arrays.append(pa.nulls(b.num_rows, f.type))
+                yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
         def commit(self, end: dict) -> None:
             pass  # progress lives in Spark's streaming checkpoint
@@ -1209,10 +1279,10 @@ def _iceberg_stream_classes():
             if not path:
                 raise ValueError("pandora_iceberg requires .load(<table dir>)")
             meta = current_metadata(path)
-            return _struct_from_iceberg(meta["schemas"][meta["current-schema-id"]])
+            return _struct_from_iceberg(_schema_by_id(meta))
 
         def streamReader(self, schema: T.StructType):
-            return IcebergSnapshotTailReader(self.options.get("path"))
+            return IcebergSnapshotTailReader(self.options.get("path"), schema)
 
     return PandoraIcebergDataSource
 

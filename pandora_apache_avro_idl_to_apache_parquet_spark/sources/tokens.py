@@ -128,9 +128,16 @@ def scan_tokens(spark: SparkSession, path: str) -> DataFrame:
     `.iceberg.read_iceberg`'s manifest walk — the north star's literal
     input), a plain parquet dir, or a catalog table name."""
     if "/" in path:
-        import os as _os
+        # detect through FsIO so object-store URIs (s3://...) route to the
+        # Iceberg walk too, not only local paths
+        from ..functions.fsio import FsIO
 
-        if _os.path.isdir(_os.path.join(path, "metadata")):
+        try:
+            io = FsIO.resolve(path)
+            is_iceberg = io.isdir(io.join("metadata"))
+        except Exception:
+            is_iceberg = False
+        if is_iceberg:
             from .iceberg import read_iceberg
 
             df = read_iceberg(spark, path)

@@ -485,10 +485,11 @@ def test_expire_snapshots_and_orphan_removal(spark, tmp_path):
     # a crashed commit's leftover (no snapshot references it) is an orphan
     orphan = _os.path.join(d, "data", "s99")
     _docs(spark, n=10).coalesce(1).write.parquet(orphan)
-    removed = remove_orphan_files(d)
+    assert remove_orphan_files(d) == []  # age-gated: fresh files safe
+    removed = remove_orphan_files(d, min_age_sec=0)
     assert removed and all("s99" in p for p in removed)
     assert _rows(read_iceberg(spark, d)) == pre
-    assert remove_orphan_files(d) == []  # idempotent; live files never touched
+    assert remove_orphan_files(d, min_age_sec=0) == []  # idempotent; live never touched
 
 
 def test_reader_tolerates_foreign_manifest_fields(spark, tmp_path):
@@ -622,3 +623,100 @@ def test_export_store_to_iceberg_and_isin_pruning(spark, tmp_path):
         ice, isin=["src1", "src3"])).count()
     assert n == df.filter(F.col("source").isin("src1", "src3")
                           & (F.col("doc_id") % 10 != 0)).count()
+
+
+def test_review_regressions_round5(spark, tmp_path):
+    """Regression batch from the round-5 self-review: (a) two equality
+    deletes keyed on DIFFERENT columns each subtract (a combined
+    mixed-schema read used to null one side's keys); (b) hive-escaped
+    partition values unescape into the manifest, so pruning on the true
+    value works; (c) schema evolution on a table WITH an array column does
+    not spuriously reject (element-id renumbering is not a type change);
+    (d) the snapshot-tail stream pads pre-evolution files' batches to the
+    declared schema instead of crashing."""
+    from datetime import date  # noqa: F401
+
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        equality_delete_iceberg, stream_iceberg,
+    )
+
+    # (a) different-column equality deletes
+    d = str(tmp_path / "eq2")
+    write_iceberg(_docs(spark, n=300), d)
+    equality_delete_iceberg(
+        spark.range(30).select(F.col("id").alias("doc_id")), d)
+    equality_delete_iceberg(
+        spark.createDataFrame([("src1",)], "source string"), d)
+    got = read_iceberg(spark, d)
+    assert got.filter(F.col("doc_id") < 30).count() == 0
+    assert got.filter(F.col("source") == "src1").count() == 0
+    assert got.count() == 300 - 30 - int(
+        _docs(spark, n=300).filter(
+            (F.col("source") == "src1") & (F.col("doc_id") >= 30)).count())
+
+    # (b) hive-escaped partition value
+    d2 = str(tmp_path / "esc")
+    df2 = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("a:b#"), (F.col("id") % 2).cast("string")).alias("g"),
+    )
+    write_iceberg(df2, d2, partition_by="g")
+    vals = {f["partition"]["g"] for f in scan_manifests(d2)["data_files"]}
+    assert vals == {"a:b#0", "a:b#1"}
+    assert read_iceberg(
+        spark, d2, partition_filter=lambda p: p["g"] == "a:b#1").count() == 20
+
+    # (c) evolution with an array column (the north-star tokens shape)
+    d3 = str(tmp_path / "evo")
+    toks = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit(1), F.lit(2)).alias("tokens"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+    )
+    write_iceberg(toks, d3, partition_by="source")
+    append_iceberg(toks.withColumn("extra", F.lit(7).cast("long")), d3,
+                   partition_by="source")  # used to raise "cannot change"
+    assert read_iceberg(spark, d3).count() == 100
+
+    # (d) streaming across the evolution boundary pads old files with null
+    ckpt, sink = str(tmp_path / "ck"), str(tmp_path / "sk")
+    q = (stream_iceberg(spark, d3)
+         .writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == 100
+    assert out.filter(F.col("extra").isNull()).count() == 50
+
+
+def test_cc_self_loop_nodes_survive(spark):
+    """A node whose only pair is a self-pair keeps its (d, d) row — the
+    phase-0 contraction must not drop it (pre-round-5 behavior pinned)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("z", "z")], "doc_a string, doc_b string")
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_truncate_transform_exact_past_2_53(spark, tmp_path):
+    """truncate(W) on int64 stays in integer arithmetic: values past 2^53
+    (where double floor() rounds wrong) land in the same partition the
+    driver twin computes, so eq-pruning still finds them."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        derive_partition_filter,
+    )
+
+    d = str(tmp_path / "t")
+    base = 2 ** 53
+    df = spark.createDataFrame(
+        [(base + 1001,), (base + 2002,), (17,)], "k long")
+    write_iceberg(df, d, partition_by="truncate(1000, k)")
+    got = read_iceberg(spark, d, partition_filter=derive_partition_filter(
+        d, eq=base + 1001)).filter(F.col("k") == base + 1001)
+    assert got.count() == 1
