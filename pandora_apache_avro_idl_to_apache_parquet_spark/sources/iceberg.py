@@ -24,12 +24,15 @@ Supported on read:
 
 The writer emits the same layout (data parquet + manifest + manifest-list +
 ``vN.metadata.json`` + ``version-hint.text``), spec-shaped field names and
-ids, so round-trips are self-contained in tests and benches; appends and
-positional deletes create real new snapshots. Deviations from full spec
-compliance are documented inline (no field-id column mapping inside parquet,
-identity partition transforms only, stats maps left empty) — the reader
-tolerates real manifests that carry the extra fields because the row decoder
-is schema-driven.
+ids, so round-trips are self-contained in tests and benches; appends, all
+three delete kinds, compaction, and schema evolution create real new
+snapshots, and commits claim their metadata version through an optimistic
+lock. Deviations from full spec compliance are documented inline (no
+field-id column mapping inside parquet; bounds maps key by column name with
+string-repr values; ``bucket`` hashes with deterministic md5, not murmur3;
+``day`` partition values record as Avro logical dates) — the reader
+tolerates real manifests that carry extra fields because the row decoder is
+schema-driven (pinned by a hand-crafted foreign-manifest test).
 
 Reference parity: the reference's lake layer is Delta (``DeltaLake.fs:176-444``,
 one commit-log json per write); Iceberg's manifest chain is the other
