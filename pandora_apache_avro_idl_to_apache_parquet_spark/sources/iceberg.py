@@ -82,10 +82,16 @@ def current_metadata(table_dir: str, io: FsIO | None = None) -> dict:
 
 
 def _select_snapshot(meta: dict, snapshot_id: int | None,
-                     as_of_ms: int | None) -> dict:
+                     as_of_ms: int | None, ref: str | None = None) -> dict:
     snaps = meta.get("snapshots", [])
     if not snaps:
         raise ValueError("Iceberg table has no snapshots")
+    if ref is not None:
+        refs = meta.get("refs", {})
+        if ref not in refs:
+            raise ValueError(f"ref {ref!r} not in table metadata "
+                             f"(have: {sorted(refs)})")
+        return _select_snapshot(meta, refs[ref]["snapshot-id"], None)
     if snapshot_id is not None:
         for s in snaps:
             if s["snapshot-id"] == snapshot_id:
@@ -121,7 +127,8 @@ def scan_manifests(table_dir: str, snapshot_id: int | None = None,
                    as_of_ms: int | None = None,
                    partition_filter=None,
                    io: FsIO | None = None,
-                   stats_filter: dict | None = None) -> dict:
+                   stats_filter: dict | None = None,
+                   ref: str | None = None) -> dict:
     """Driver-side scan plan: walk the manifest chain and return
     ``{"data_files": [...], "delete_files": [...], "pruned_files": n,
     "snapshot": {...}}``. ``partition_filter`` is a Python predicate over
@@ -136,7 +143,7 @@ def scan_manifests(table_dir: str, snapshot_id: int | None = None,
     correctness first)."""
     io = _io(table_dir, io)
     meta = current_metadata(table_dir, io)
-    snap = _select_snapshot(meta, snapshot_id, as_of_ms)
+    snap = _select_snapshot(meta, snapshot_id, as_of_ms, ref)
     ml_path = _local_path(io, table_dir, snap["manifest-list"])
     _, manifests = read_avro_container(io.read_bytes(ml_path))
     sch = _snapshot_schema(meta, snap) if stats_filter else None
@@ -193,7 +200,8 @@ def read_iceberg(spark: SparkSession, table_dir: str,
                  columns: list[str] | None = None,
                  partition_filter=None,
                  io: FsIO | None = None,
-                 stats_filter: dict | None = None) -> DataFrame:
+                 stats_filter: dict | None = None,
+                 ref: str | None = None) -> DataFrame:
     """Read an Iceberg v2 table directory as a DataFrame.
 
     The metadata walk (snapshot → manifests → file list, partition pruning,
@@ -207,7 +215,8 @@ def read_iceberg(spark: SparkSession, table_dir: str,
     with a strictly lower sequence number (the spec's rule — a row
     re-inserted after the delete survives)."""
     plan = scan_manifests(table_dir, snapshot_id, as_of_ms,
-                          partition_filter, io, stats_filter=stats_filter)
+                          partition_filter, io, stats_filter=stats_filter,
+                          ref=ref)
     io = _io(table_dir, io)
     if not plan["data_files"]:
         raise ValueError("scan plan is empty (all files pruned or table empty)")
@@ -1056,6 +1065,57 @@ def export_table_to_iceberg(spark: SparkSession, store_dir: str,
                          partition_by=partition_by, io=io)
 
 
+def _write_next_metadata(io: FsIO, meta: dict, what: str) -> int:
+    """Commit a metadata-only change as the next version through the same
+    optimistic parent+1 claim data commits use."""
+    meta_dir = io.join("metadata")
+    hint = posixpath.join(meta_dir, "version-hint.text")
+    version = int(io.read_text(hint).strip()) + 1
+    if not io.create_exclusive(
+        posixpath.join(meta_dir, f"v{version}.metadata.json"),
+        json.dumps(meta, indent=1).encode(),
+    ):
+        raise RuntimeError(
+            f"concurrent Iceberg commit: v{version}.metadata.json already "
+            f"exists — re-run {what} against the current table state")
+    io.write_bytes(hint, str(version).encode())
+    return version
+
+
+def set_ref(table_dir: str, name: str, snapshot_id: int | None = None,
+            kind: str = "tag", io: FsIO | None = None) -> dict:
+    """Iceberg REFS — git-like named snapshot pointers (the spec's ``refs``
+    map): a ``tag`` pins a snapshot forever (``expire_snapshots`` retains
+    its target), a ``branch`` is a movable pointer (re-``set_ref`` to
+    advance it). ``snapshot_id`` defaults to the current snapshot. Reads
+    follow a ref with ``read_iceberg(..., ref=name)``."""
+    if kind not in ("tag", "branch"):
+        raise ValueError("ref kind must be 'tag' or 'branch'")
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    _select_snapshot(meta, sid, None)  # must exist
+    meta = dict(meta)
+    meta["refs"] = dict(meta.get("refs", {}))
+    meta["refs"][name] = {"snapshot-id": sid, "type": kind}
+    version = _write_next_metadata(io, meta, f"set_ref({name!r})")
+    return {"ref": name, "snapshot_id": sid, "type": kind, "version": version}
+
+
+def drop_ref(table_dir: str, name: str, io: FsIO | None = None) -> dict:
+    """Remove a ref; its target snapshot becomes expirable again."""
+    io = _io(table_dir, io)
+    meta = current_metadata(table_dir, io)
+    refs = dict(meta.get("refs", {}))
+    if name not in refs:
+        raise ValueError(f"ref {name!r} not in table metadata")
+    refs.pop(name)
+    meta = dict(meta)
+    meta["refs"] = refs
+    version = _write_next_metadata(io, meta, f"drop_ref({name!r})")
+    return {"ref": name, "version": version}
+
+
 def expire_snapshots(table_dir: str, keep_last: int = 1,
                      io: FsIO | None = None) -> dict:
     """Iceberg ``expire_snapshots``: drop all but the last ``keep_last``
@@ -1071,9 +1131,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 1,
     snaps = meta.get("snapshots", [])
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    if len(snaps) <= keep_last:
+    # snapshots a ref points at are PROTECTED (a tag pins its snapshot)
+    ref_ids = {r["snapshot-id"] for r in meta.get("refs", {}).values()}
+    keep = [s for i, s in enumerate(snaps)
+            if i >= len(snaps) - keep_last or s["snapshot-id"] in ref_ids]
+    drop = [s for s in snaps if s not in keep]
+    if not drop:
         return {"snapshots_expired": 0, "files_deleted": 0}
-    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
 
     def refs(snapshot: dict) -> tuple[set, set]:
         """(manifest paths, data-file paths) reachable from a snapshot."""
@@ -1105,16 +1169,7 @@ def expire_snapshots(table_dir: str, keep_last: int = 1,
     meta["snapshots"] = keep
     meta["snapshot-log"] = [e for e in meta.get("snapshot-log", [])
                             if e["snapshot-id"] in keep_ids]
-    hint = posixpath.join(io.join("metadata"), "version-hint.text")
-    version = int(io.read_text(hint).strip()) + 1
-    if not io.create_exclusive(
-        posixpath.join(io.join("metadata"), f"v{version}.metadata.json"),
-        json.dumps(meta, indent=1).encode(),
-    ):
-        raise RuntimeError(
-            f"concurrent Iceberg commit: v{version}.metadata.json already "
-            "exists — re-run expire_snapshots against the current state")
-    io.write_bytes(hint, str(version).encode())
+    version = _write_next_metadata(io, meta, "expire_snapshots")
     for p in sorted(doomed):  # only after the metadata swap is visible
         try:
             io.fs.delete_file(p)

@@ -720,3 +720,39 @@ def test_truncate_transform_exact_past_2_53(spark, tmp_path):
     got = read_iceberg(spark, d, partition_filter=derive_partition_filter(
         d, eq=base + 1001)).filter(F.col("k") == base + 1001)
     assert got.count() == 1
+
+
+def test_refs_tags_and_branches(spark, tmp_path):
+    """Iceberg refs: a tag pins its snapshot (reads follow it by name;
+    expire_snapshots retains the pinned snapshot and its files), a branch
+    is a movable pointer; dropping the ref releases the pin."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.sources.iceberg import (
+        drop_ref, expire_snapshots, set_ref,
+    )
+
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=200), d, partition_by="source")
+    set_ref(d, "v1-release")  # tag the current (first) snapshot
+    append_iceberg(_docs(spark, n=100, shift=200), d, partition_by="source")
+    append_iceberg(_docs(spark, n=50, shift=300), d, partition_by="source")
+    set_ref(d, "dev", kind="branch")
+    assert read_iceberg(spark, d, ref="v1-release").count() == 200
+    assert read_iceberg(spark, d, ref="dev").count() == 350
+    with pytest.raises(ValueError, match="not in table metadata"):
+        read_iceberg(spark, d, ref="nope")
+
+    # expiry keeps the tagged snapshot alive alongside the newest one
+    res = expire_snapshots(d, keep_last=1)
+    assert res["snapshots_expired"] == 1  # only the untagged middle snapshot
+    assert read_iceberg(spark, d, ref="v1-release").count() == 200
+    assert read_iceberg(spark, d).count() == 350
+    with pytest.raises(ValueError, match="not in table"):
+        read_iceberg(spark, d, snapshot_id=2)
+
+    # dropping the tag releases the pin; the next expiry reclaims it
+    drop_ref(d, "v1-release")
+    # dev still points at snapshot 3 (kept as latest anyway)
+    res2 = expire_snapshots(d, keep_last=1)
+    assert res2["snapshots_expired"] == 1
+    with pytest.raises(ValueError, match="not in table"):
+        read_iceberg(spark, d, ref="v1-release")
