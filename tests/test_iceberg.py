@@ -756,3 +756,25 @@ def test_refs_tags_and_branches(spark, tmp_path):
     assert res2["snapshots_expired"] == 1
     with pytest.raises(ValueError, match="not in table"):
         read_iceberg(spark, d, ref="v1-release")
+
+
+def test_metadata_walk_through_object_store_io(spark, tmp_path):
+    """The metadata walk (scan planning, snapshot selection, pruning) runs
+    through an injected object-store-semantics FsIO — no rename, no local
+    os.* assumptions — proving the driver-side half is object-store-ready
+    (the data scan itself is Spark's own parquet reader, which already is)."""
+    from pandora_apache_avro_idl_to_apache_parquet_spark.functions.fsio import (
+        object_store_like_io,
+    )
+
+    d = str(tmp_path / "t")
+    write_iceberg(_docs(spark, n=300), d, partition_by="source")
+    io = object_store_like_io(d)
+    plan = scan_manifests(d, io=io)
+    assert sum(f["record_count"] for f in plan["data_files"]) == 300
+    plan2 = scan_manifests(
+        d, io=io, partition_filter=lambda p: p["source"] == "src1")
+    assert plan2["pruned_files"] > 0
+    got = read_iceberg(spark, d, io=io,
+                       partition_filter=lambda p: p["source"] == "src1")
+    assert got.count() == 75
